@@ -1,0 +1,85 @@
+"""Deterministic numeric aggregation helpers.
+
+Floating-point SUM/AVG/STDDEV are order-dependent; on a cluster the
+partition merge order is nondeterministic, so the same query can
+return different last bits run-to-run (and will never bitwise-match a
+single-threaded oracle). We route additive aggregates through exact
+DECIMAL arithmetic — the sum is exact, the final cast back to DOUBLE
+is a single deterministic rounding. This is both the correctness-gate
+strategy and the right call at 100 TB: results stop depending on
+partition count / AQE decisions.
+
+The matching ANSI-SQL spellings (for DuckDB oracles) are provided by
+``oracle_sql_fragments`` mirrors in each operator module.
+
+Reference parity notes: the reference computes AVG/SUM/STDDEV in
+PostgreSQL (e.g. `sql/analysis_queries.sql:42-46,141`); PG's numeric
+aggregates over double precision have the same order-dependence — we
+deliberately upgrade the semantics to exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Exact intermediate type: 14 integer digits / 4 fractional digits per
+#: term; Spark widens the sum to DECIMAL(28,4) (no overflow up to 1e13
+#: rows of 1e14-scale values — fine at 100 TB).
+DEC = "decimal(18,4)"
+#: For squared terms (variance sufficient statistics).
+DEC2 = "decimal(28,6)"
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dsum(col: str | Column) -> Column:
+    """Exact sum of a double column, returned as DOUBLE."""
+    return F.sum(_c(col).cast(DEC)).cast("double")
+
+
+def davg(col: str | Column) -> Column:
+    """Deterministic mean: exact decimal sum / non-null count."""
+    c = _c(col)
+    return F.sum(c.cast(DEC)).cast("double") / F.count(c)
+
+
+def dstddev(col: str | Column) -> Column:
+    """Deterministic sample stddev from exact sufficient statistics:
+    sqrt((sum(x²) − sum(x)²/n) / (n−1)). NULL when n < 2 (matches
+    PG/Spark STDDEV_SAMP)."""
+    c = _c(col)
+    n = F.count(c).cast("double")
+    s = F.sum(c.cast(DEC)).cast("double")
+    s2 = F.sum((c * c).cast(DEC2)).cast("double")
+    var = (s2 - (s * s) / n) / (n - F.lit(1.0))
+    # Guard tiny negative values from the final double subtraction.
+    return F.when(n >= 2, F.sqrt(F.greatest(var, F.lit(0.0))))
+
+
+def safe_div(num: Column, den: Column) -> Column:
+    """NULLIF-style safe division (reference `sql/analysis_queries.sql:305`)."""
+    return num / F.nullif(den, F.lit(0))
+
+
+def sql_dsum(expr: str) -> str:
+    """DuckDB spelling of :func:`dsum`."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+def sql_davg(expr: str) -> str:
+    """DuckDB spelling of :func:`davg`."""
+    return f"({sql_dsum(expr)} / COUNT({expr}))"
+
+
+def sql_dstddev(expr: str) -> str:
+    """DuckDB spelling of :func:`dstddev`."""
+    n = f"CAST(COUNT({expr}) AS DOUBLE)"
+    s = sql_dsum(expr)
+    s2 = f"CAST(SUM(CAST((({expr}) * ({expr})) AS DECIMAL(28,6))) AS DOUBLE)"
+    return (
+        f"(CASE WHEN COUNT({expr}) >= 2 THEN "
+        f"SQRT(GREATEST(({s2} - ({s} * {s}) / {n}) / ({n} - 1.0), 0.0)) END)"
+    )

@@ -1,0 +1,731 @@
+"""Core relational operators (SURVEY §2.1–2.4, 2.6–2.8) expressed on
+the driver's TPC-H-ish tables.
+
+Each query re-expresses a reference operator pattern (file:line cited
+per function) as a declarative DataFrame plan: scans get predicate
+pushdown + column pruning from Catalyst, dimension joins are
+broadcast, aggregates are partial+final hash aggs, and every floating
+aggregate is decimal-exact so results are partition-order independent
+(see functions/numeric.py).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import dim, table
+from ..functions import numeric as N
+from .registry import register
+
+# Revenue expression used throughout (kept textually identical on the
+# oracle side so double arithmetic is bit-equal). Function, not module
+# constant: Column construction needs an active SparkContext.
+def REVENUE():
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+SQL_REVENUE = "l_extendedprice * (1.0 - l_discount)"
+
+
+# ---------------------------------------------------------------------------
+# Flagship: performance ranking with trends.
+# Reference: "Route Performance Ranking with Trends"
+# (`sql/analysis_queries.sql:1-50`): star join → two-level aggregate →
+# LAG + ROW_NUMBER windows → rank filter → ordered top slice.
+# ---------------------------------------------------------------------------
+@register(
+    "perf_ranking_trends",
+    ops=("J3", "A3", "A5", "W1", "W4", "P4", "O1", "F1"),
+    doc="Monthly per-nation revenue with prior-month LAG trend and "
+    "ROW_NUMBER rank, top-5 nations per month (flagship).",
+    oracle=f"""
+WITH monthly AS (
+  SELECT
+    n.n_name AS nation,
+    CAST(year(o.o_orderdate) AS INT) AS order_year,
+    CAST(month(o.o_orderdate) AS INT) AS order_month,
+    {N.sql_dsum(SQL_REVENUE)} AS total_revenue,
+    COUNT(DISTINCT o.o_orderkey) AS n_orders
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT
+    nation, order_year, order_month, total_revenue, n_orders,
+    LAG(total_revenue) OVER (
+      PARTITION BY nation ORDER BY order_year, order_month) AS prev_month_revenue,
+    ROW_NUMBER() OVER (
+      PARTITION BY order_year, order_month
+      ORDER BY total_revenue DESC, nation) AS revenue_rank
+  FROM monthly
+)
+SELECT * FROM ranked WHERE revenue_rank <= 5
+""",
+)
+def perf_ranking_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = dim(spark, sf_dir, "nation")
+
+    monthly = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+        )
+        .agg(
+            N.dsum(REVENUE()).alias("total_revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+    trend_w = Window.partitionBy("nation").orderBy("order_year", "order_month")
+    rank_w = Window.partitionBy("order_year", "order_month").orderBy(
+        F.col("total_revenue").desc(), F.col("nation")
+    )
+    return (
+        monthly.withColumn("prev_month_revenue", F.lag("total_revenue").over(trend_w))
+        .withColumn("revenue_rank", F.row_number().over(rank_w))
+        .filter(F.col("revenue_rank") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters / predicates
+# ---------------------------------------------------------------------------
+@register(
+    "filter_project_cast",
+    ops=("P1", "P2", "P3", "P4", "P9", "F5"),
+    doc="Pushed-down date-range + threshold + null-rejection filters "
+    "with projection and casts (ref `load_gtfs_data.sql:128-138`, "
+    "`streamlit_dashboard.py:87`).",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+  CAST(l_quantity AS INT) AS qty,
+  l_extendedprice * (1.0 - l_discount) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount IS NOT NULL
+  AND l_quantity > 25
+""",
+)
+def filter_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").isNotNull()
+            & (F.col("l_quantity") > 25)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+            F.col("l_quantity").cast("int").alias("qty"),
+            REVENUE().alias("revenue"),
+        )
+    )
+
+
+@register(
+    "case_coalesce_bounding",
+    ops=("P5", "P6", "P7", "P8", "F8"),
+    doc="CASE WHEN categorization, COALESCE defaulting, LEAST/GREATEST "
+    "bounding, NULLIF-safe division (ref `fact_dim_tables.sql:335-340`, "
+    "`:359-361`; `analysis_queries.sql:305`).",
+    oracle="""
+SELECT
+  o_orderkey,
+  CASE
+    WHEN o_totalprice BETWEEN 1 AND 50000 THEN 'Minor'
+    WHEN o_totalprice BETWEEN 50001 AND 150000 THEN 'Moderate'
+    WHEN o_totalprice BETWEEN 150001 AND 300000 THEN 'Major'
+    ELSE 'Extreme'
+  END AS price_category,
+  LEAST(100.0, GREATEST(0.0, o_totalprice / 5000.0)) AS bounded_score,
+  COALESCE(o_orderpriority, 'UNKNOWN') AS priority,
+  o_totalprice / NULLIF(CAST(o_orderkey % 5 AS DOUBLE), 0) AS safe_ratio
+FROM orders
+""",
+)
+def case_coalesce_bounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(price.between(1, 50000), "Minor")
+        .when(price.between(50001, 150000), "Moderate")
+        .when(price.between(150001, 300000), "Major")
+        .otherwise("Extreme")
+        .alias("price_category"),
+        F.least(F.lit(100.0), F.greatest(F.lit(0.0), price / F.lit(5000.0))).alias(
+            "bounded_score"
+        ),
+        F.coalesce(F.col("o_orderpriority"), F.lit("UNKNOWN")).alias("priority"),
+        (price / F.nullif((F.col("o_orderkey") % 5).cast("double"), F.lit(0))).alias(
+            "safe_ratio"
+        ),
+    )
+
+
+@register(
+    "distinct_projection",
+    ops=("P10",),
+    doc="DISTINCT projection over a join (ref `streamlit_dashboard.py:72`, "
+    "`predict_delays.py:210-216`).",
+    oracle="""
+SELECT DISTINCT c.c_mktsegment AS mktsegment, o.o_orderpriority AS orderpriority
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+@register(
+    "anti_join_orphans",
+    ops=("J2",),
+    doc="Left-anti join quality audit: customers with no orders "
+    "(ref orphan-trips audit `load_gtfs_data.sql:96-101`).",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def anti_join_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "semi_join_per_nation",
+    ops=("J9", "J3", "A1"),
+    doc="Left-semi membership filter + broadcast dim join "
+    "(ref holiday semi-join `fact_dim_tables.sql:186-192`).",
+    oracle="""
+SELECT n.n_name AS nation, COUNT(*) AS n_active_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1
+""",
+)
+def semi_join_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    n = dim(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .join(n, F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_active_customers"))
+    )
+
+
+@register(
+    "star_join_region_rollup",
+    ops=("J3", "J4", "A3", "A9", "F8"),
+    doc="Five-way star join with broadcast dims, region/segment rollup "
+    "(ref star joins `analysis_queries.sql:12-14`, MVs "
+    "`performance_optimization.sql:39-41`).",
+    oracle=f"""
+SELECT
+  r.r_name AS region,
+  c.c_mktsegment AS mktsegment,
+  COUNT(*) AS n_lineitems,
+  {N.sql_dsum(SQL_REVENUE)} AS total_revenue,
+  {N.sql_davg("l_quantity")} AS avg_quantity
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+""",
+)
+def star_join_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = dim(spark, sf_dir, "nation")
+    r = dim(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            N.dsum(REVENUE()).alias("total_revenue"),
+            N.davg("l_quantity").alias("avg_quantity"),
+        )
+    )
+
+
+@register(
+    "cross_join_grid",
+    ops=("J10", "P6", "A1"),
+    doc="Cross-join dimension grid with zero-filled counts "
+    "(ref dim_time 24h x 15min grid `fact_dim_tables.sql:215-217`).",
+    oracle="""
+WITH grid AS (
+  SELECT r.r_name AS region, p.o_orderpriority AS orderpriority
+  FROM region r
+  CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+), actual AS (
+  SELECT r.r_name AS region, o.o_orderpriority AS orderpriority,
+         COUNT(*) AS n_orders
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT g.region, g.orderpriority, COALESCE(a.n_orders, 0) AS n_orders
+FROM grid g LEFT JOIN actual a
+  ON g.region = a.region AND g.orderpriority = a.orderpriority
+""",
+)
+def cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = dim(spark, sf_dir, "nation")
+    r = dim(spark, sf_dir, "region")
+    prios = o.select(F.col("o_orderpriority").alias("orderpriority")).distinct()
+    grid = r.select(F.col("r_name").alias("region")).crossJoin(prios)
+    actual = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("o_orderpriority").alias("orderpriority"))
+        .agg(F.count(F.lit(1)).alias("n_orders_actual"))
+    )
+    return grid.join(actual, ["region", "orderpriority"], "left").select(
+        "region",
+        "orderpriority",
+        F.coalesce(F.col("n_orders_actual"), F.lit(0)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+@register(
+    "conditional_aggregates",
+    ops=("A1", "A2", "A5", "A6", "A7", "A9"),
+    doc="COUNT DISTINCT, SUM(CASE WHEN), filtered COUNT, conditional "
+    "AVG, ratio-of-aggregates (ref `analysis_queries.sql:11,61-62`, "
+    "`:330-337`, `performance_optimization.sql:37`).",
+    oracle=f"""
+SELECT
+  o_orderpriority AS priority,
+  COUNT(*) AS n_orders,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+  COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_big,
+  {N.sql_davg("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS avg_finished_price,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) * 100.0
+    / COUNT(*) AS pct_finished
+FROM orders
+GROUP BY 1
+""",
+)
+def conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    finished = F.col("o_orderstatus") == "F"
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.when(finished, 1).otherwise(0)).alias("n_finished"),
+        F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_big"),
+        N.davg(F.when(finished, F.col("o_totalprice"))).alias("avg_finished_price"),
+        (
+            F.sum(F.when(finished, 1).otherwise(0)).cast("double")
+            * F.lit(100.0)
+            / F.count(F.lit(1))
+        ).alias("pct_finished"),
+    )
+
+
+@register(
+    "exact_percentiles",
+    ops=("A8",),
+    doc="Exact PERCENTILE_CONT 0.25/0.5/0.75/0.95 per group "
+    "(ref `analysis_queries.sql:58-59,294-296`) — exact `percentile`, "
+    "never percentile_approx.",
+    oracle="""
+SELECT
+  o_orderstatus AS status,
+  quantile_cont(o_totalprice, 0.25) AS p25,
+  quantile_cont(o_totalprice, 0.5) AS p50,
+  quantile_cont(o_totalprice, 0.75) AS p75,
+  quantile_cont(o_totalprice, 0.95) AS p95
+FROM orders
+GROUP BY 1
+""",
+)
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+    )
+
+
+@register(
+    "stddev_by_group",
+    ops=("A3", "A4"),
+    doc="Sample STDDEV + AVG per group, decimal-exact "
+    "(ref `analysis_queries.sql:141,293,323`).",
+    oracle=f"""
+SELECT
+  l_returnflag AS returnflag,
+  l_linestatus AS linestatus,
+  COUNT(*) AS n_rows,
+  {N.sql_davg("l_quantity")} AS avg_qty,
+  {N.sql_dstddev("l_quantity")} AS stddev_qty,
+  {N.sql_dsum("l_extendedprice")} AS sum_price
+FROM lineitem
+GROUP BY 1, 2
+""",
+)
+def stddev_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        N.davg("l_quantity").alias("avg_qty"),
+        N.dstddev("l_quantity").alias("stddev_qty"),
+        N.dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
+@register(
+    "two_level_agg_having",
+    ops=("A10", "A11", "J1"),
+    doc="Two-level aggregate (per-order totals → per-customer average) "
+    "with HAVING (ref avg-trip-duration `fact_dim_tables.sql:268-280`, "
+    "HAVING `analysis_queries.sql:208`).",
+    oracle=f"""
+WITH per_order AS (
+  SELECT o.o_custkey AS custkey, l.l_orderkey AS orderkey,
+         {N.sql_dsum(SQL_REVENUE)} AS order_revenue
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+)
+SELECT
+  custkey,
+  COUNT(*) AS n_orders,
+  {N.sql_davg("order_revenue")} AS avg_order_revenue
+FROM per_order
+GROUP BY 1
+HAVING COUNT(*) >= 5
+""",
+)
+def two_level_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    per_order = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("custkey"), F.col("l_orderkey").alias("orderkey"))
+        .agg(N.dsum(REVENUE()).alias("order_revenue"))
+    )
+    return (
+        per_order.groupBy("custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            N.davg("order_revenue").alias("avg_order_revenue"),
+        )
+        .filter(F.col("n_orders") >= 5)
+    )
+
+
+@register(
+    "global_stats",
+    ops=("A12", "A3", "A1"),
+    doc="Global no-group aggregates for load verification "
+    "(ref `load_gtfs_data.sql:89-114`, `generate_synthetic_data.py:375-414`).",
+    oracle=f"""
+SELECT
+  COUNT(*) AS n_rows,
+  COUNT(DISTINCT l_orderkey) AS n_orders,
+  strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
+  strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship,
+  {N.sql_dsum("l_quantity")} AS total_qty,
+  {N.sql_davg("l_extendedprice")} AS avg_price
+FROM lineitem
+""",
+)
+def global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_ship"),
+        N.dsum("l_quantity").alias("total_qty"),
+        N.davg("l_extendedprice").alias("avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k, set ops, dedup-upsert
+# ---------------------------------------------------------------------------
+@register(
+    "topk_orders",
+    ops=("O1", "O3", "O4"),
+    doc="Top-25 by value with DESC NULLS LAST and explicit tiebreaker "
+    "(ref `analysis_queries.sql:367-368`; TakeOrderedAndProject plan).",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC NULLS LAST, o_orderkey
+LIMIT 25
+""",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "union_all_counts",
+    ops=("U1", "A1"),
+    doc="UNION ALL record-count verification across tables "
+    "(ref `load_gtfs_data.sql:244-267`, `fact_dim_tables.sql:416-424`).",
+    oracle="""
+SELECT 'region' AS table_name, COUNT(*) AS n_rows FROM region
+UNION ALL SELECT 'nation', COUNT(*) FROM nation
+UNION ALL SELECT 'customer', COUNT(*) FROM customer
+UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+UNION ALL SELECT 'part', COUNT(*) FROM part
+UNION ALL SELECT 'orders', COUNT(*) FROM orders
+UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+UNION ALL SELECT 'events', COUNT(*) FROM events
+""",
+)
+def union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events")
+    counts = [
+        table(spark, sf_dir, t).agg(
+            F.lit(t).alias("table_name"), F.count(F.lit(1)).alias("n_rows")
+        )
+        for t in names
+    ]
+    return reduce(DataFrame.unionByName, counts)
+
+
+@register(
+    "dedup_first_wins",
+    ops=("S4", "W4"),
+    doc="ON CONFLICT DO NOTHING semantics: first-row-wins dedup via "
+    "ROW_NUMBER over a deterministic order, never dropDuplicates "
+    "(ref `load_gtfs_data.sql:139` + SURVEY §7 trap).",
+    oracle="""
+SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber
+FROM (
+  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+  FROM lineitem
+)
+WHERE rn = 1
+""",
+)
+def dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return (
+        l.select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface: date parts, smart keys, series, binning
+# ---------------------------------------------------------------------------
+@register(
+    "date_parts_smart_keys",
+    ops=("F1", "F3", "F4", "F5", "P5"),
+    doc="EXTRACT family + YYYYMMDD smart key + day/month names + "
+    "season/weekend CASE (ref `fact_dim_tables.sql:161-178`). "
+    "PG DOW convention (0=Sunday) via dayofweek(d)-1.",
+    oracle="""
+SELECT DISTINCT
+  CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS date_key,
+  CAST(year(o_orderdate) AS INT) AS order_year,
+  CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+  CAST(month(o_orderdate) AS INT) AS order_month,
+  CAST(weekofyear(o_orderdate) AS INT) AS order_week,
+  CAST(day(o_orderdate) AS INT) AS order_dom,
+  CAST(dayofweek(o_orderdate) AS INT) AS pg_dow,
+  dayname(o_orderdate) AS day_name,
+  monthname(o_orderdate) AS month_name,
+  CASE WHEN dayofweek(o_orderdate) IN (0, 6) THEN TRUE ELSE FALSE END AS is_weekend,
+  CASE
+    WHEN month(o_orderdate) IN (12, 1, 2) THEN 'Winter'
+    WHEN month(o_orderdate) IN (3, 4, 5) THEN 'Spring'
+    WHEN month(o_orderdate) IN (6, 7, 8) THEN 'Summer'
+    ELSE 'Fall'
+  END AS season
+FROM orders
+""",
+)
+def date_parts_smart_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    pg_dow = (F.dayofweek(d) - 1).cast("int")
+    month = F.month(d)
+    return o.select(
+        F.date_format(d, "yyyyMMdd").cast("int").alias("date_key"),
+        F.year(d).cast("int").alias("order_year"),
+        F.quarter(d).cast("int").alias("order_quarter"),
+        month.cast("int").alias("order_month"),
+        F.weekofyear(d).cast("int").alias("order_week"),
+        F.dayofmonth(d).cast("int").alias("order_dom"),
+        pg_dow.alias("pg_dow"),
+        F.date_format(d, "EEEE").alias("day_name"),
+        F.date_format(d, "MMMM").alias("month_name"),
+        pg_dow.isin(0, 6).alias("is_weekend"),
+        F.when(month.isin(12, 1, 2), "Winter")
+        .when(month.isin(3, 4, 5), "Spring")
+        .when(month.isin(6, 7, 8), "Summer")
+        .otherwise("Fall")
+        .alias("season"),
+    ).distinct()
+
+
+@register(
+    "dim_date_series",
+    ops=("F7", "F1", "J10"),
+    doc="dim_date generation via sequence+explode "
+    "(ref generate_series `fact_dim_tables.sql:179-183`).",
+    oracle="""
+SELECT
+  strftime(d, '%Y-%m-%d') AS full_date,
+  CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
+  CAST(year(d) AS INT) AS y,
+  CAST(month(d) AS INT) AS m,
+  CAST(dayofweek(d) AS INT) AS pg_dow
+FROM generate_series(DATE '1995-01-01', DATE '1995-12-31', INTERVAL 1 DAY) AS t(d)
+""",
+)
+def dim_date_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-12-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("full_date")
+    )
+    d = F.col("full_date")
+    return days.select(
+        F.date_format(d, "yyyy-MM-dd").alias("full_date"),
+        F.date_format(d, "yyyyMMdd").cast("int").alias("date_key"),
+        F.year(d).cast("int").alias("y"),
+        F.month(d).cast("int").alias("m"),
+        (F.dayofweek(d) - 1).cast("int").alias("pg_dow"),
+    )
+
+
+@register(
+    "risk_binning",
+    ops=("F13", "A1"),
+    doc="Threshold binning into risk levels + distribution count "
+    "(ref pd.cut risk_level `predict_delays.py:348-352,411-415`).",
+    oracle="""
+SELECT
+  CASE
+    WHEN o_totalprice <= 50000 THEN 'Low'
+    WHEN o_totalprice <= 150000 THEN 'Medium'
+    WHEN o_totalprice <= 300000 THEN 'High'
+    ELSE 'Severe'
+  END AS risk_level,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1
+""",
+)
+def risk_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return (
+        o.select(
+            F.when(p <= 50000, "Low")
+            .when(p <= 150000, "Medium")
+            .when(p <= 300000, "High")
+            .otherwise("Severe")
+            .alias("risk_level")
+        )
+        .groupBy("risk_level")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "retention_filter",
+    ops=("S11", "P3", "F6"),
+    doc="Retention cutoff delete re-expressed as a filter, with 'now' "
+    "frozen for determinism (ref `ml_pipeline_dag.py:506-507`; "
+    "SURVEY §7 nondeterminism trap).",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events
+FROM events
+WHERE make_timestamp(epoch_ns(ts) // 1000)
+      >= TIMESTAMP '2024-03-01 00:00:00' - INTERVAL 30 DAY
+GROUP BY 1
+""",
+)
+def retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    now = F.lit("2024-03-01 00:00:00").cast("timestamp")
+    return (
+        e.filter(F.col("event_time") >= now - F.expr("interval 30 days"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
