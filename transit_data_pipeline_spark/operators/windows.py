@@ -1,1 +1,315 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Window-function operators (SURVEY §2.5 W1–W14) — the reference's
+analytical core, re-expressed on the driver tables.
+
+Scale notes: every window here partitions by a key (nation, order,
+user) except the deliberately-global ones (percent_rank/ntile/split),
+which the reference also runs globally (`sql/analysis_queries.sql:127,189`;
+`ml_feature_engineering.sql:472`). Global windows serialize into a
+single partition — acceptable because their input is already an
+aggregate (thousands of rows, not the fact table). Moving sums go
+through DECIMAL so sliding-frame arithmetic is exact and
+engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import numeric as N
+from .registry import register
+from .relational import REVENUE, SQL_REVENUE
+
+_DAILY_REV = f"""
+  SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+         {N.sql_dsum(SQL_REVENUE)} AS daily_revenue,
+         COUNT(*) AS n_lineitems
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1
+"""
+
+
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"))
+        .agg(
+            N.dsum(REVENUE()).alias("daily_revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "lag_cascade",
+    ops=("W3", "P2"),
+    doc="LAG of two columns within a partition — delay-cascade pattern "
+    "(ref previous-stop delay `analysis_queries.sql:252-259`).",
+    oracle="""
+WITH seq AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice,
+         LAG(l_extendedprice) OVER w AS prev_price,
+         LAG(l_partkey) OVER w AS prev_partkey
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_suppkey)
+)
+SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice,
+       prev_price, prev_partkey,
+       l_extendedprice - prev_price AS price_change
+FROM seq
+WHERE prev_price IS NOT NULL
+""",
+)
+def lag_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return (
+        l.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_extendedprice",
+            F.lag("l_extendedprice").over(w).alias("prev_price"),
+            F.lag("l_partkey").over(w).alias("prev_partkey"),
+        )
+        .filter(F.col("prev_price").isNotNull())
+        .withColumn("price_change", F.col("l_extendedprice") - F.col("prev_price"))
+    )
+
+
+@register(
+    "rank_suite",
+    ops=("W6", "W7", "W8", "A3"),
+    doc="DENSE_RANK within partition + global PERCENT_RANK + NTILE(4) "
+    "(ref hotspot ranks `analysis_queries.sql:220-225`, stop percentile "
+    "`:127`, quartile `:189`).",
+    oracle=f"""
+WITH monthly AS (
+  SELECT n.n_name AS nation,
+         CAST(month(o.o_orderdate) AS INT) AS order_month,
+         {N.sql_dsum(SQL_REVENUE)} AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE year(o.o_orderdate) = 1997
+  GROUP BY 1, 2
+)
+SELECT nation, order_month, revenue,
+  DENSE_RANK() OVER (PARTITION BY nation ORDER BY revenue DESC) AS within_nation_rank,
+  PERCENT_RANK() OVER (ORDER BY revenue DESC, nation, order_month) AS global_pct_rank,
+  NTILE(4) OVER (ORDER BY revenue, nation, order_month) AS revenue_quartile
+FROM monthly
+""",
+)
+def rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    monthly = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .filter(F.year("o_orderdate") == 1997)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+        )
+        .agg(N.dsum(REVENUE()).alias("revenue"))
+    )
+    return monthly.select(
+        "nation",
+        "order_month",
+        "revenue",
+        F.dense_rank()
+        .over(Window.partitionBy("nation").orderBy(F.col("revenue").desc()))
+        .alias("within_nation_rank"),
+        F.percent_rank()
+        .over(Window.orderBy(F.col("revenue").desc(), "nation", "order_month"))
+        .alias("global_pct_rank"),
+        F.ntile(4)
+        .over(Window.orderBy("revenue", "nation", "order_month"))
+        .alias("revenue_quartile"),
+    )
+
+
+@register(
+    "moving_avg_7day",
+    ops=("W9", "A3", "F5"),
+    doc="7-day moving average over daily revenue, DECIMAL-exact sliding "
+    "sums (ref 7-day MA `analysis_queries.sql:90-97`).",
+    oracle=f"""
+WITH daily AS ({_DAILY_REV})
+SELECT ship_date, daily_revenue, n_lineitems,
+  CAST(SUM(CAST(daily_revenue AS DECIMAL(18,4))) OVER w AS DOUBLE)
+    / COUNT(*) OVER w AS ma7_revenue,
+  CAST(SUM(n_lineitems) OVER w AS BIGINT) AS rolling_lineitems
+FROM daily
+WINDOW w AS (ORDER BY ship_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def moving_avg_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_revenue(spark, sf_dir)
+    w = Window.orderBy("ship_date").rowsBetween(-6, 0)
+    return daily.select(
+        "ship_date",
+        "daily_revenue",
+        "n_lineitems",
+        (
+            F.sum(F.col("daily_revenue").cast(N.DEC)).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("ma7_revenue"),
+        F.sum("n_lineitems").over(w).cast("long").alias("rolling_lineitems"),
+    )
+
+
+@register(
+    "monthly_trend_ma3",
+    ops=("W2", "W10", "A3", "F1"),
+    doc="Un-partitioned LAG (prior month) + 3-month moving average "
+    "(ref `analysis_queries.sql:152-153,184-187`).",
+    oracle=f"""
+WITH monthly AS (
+  SELECT CAST(year(l_shipdate) AS INT) AS y,
+         CAST(month(l_shipdate) AS INT) AS m,
+         {N.sql_dsum(SQL_REVENUE)} AS revenue
+  FROM lineitem
+  GROUP BY 1, 2
+)
+SELECT y, m, revenue,
+  LAG(revenue) OVER (ORDER BY y, m) AS prev_month_revenue,
+  CAST(SUM(CAST(revenue AS DECIMAL(18,4)))
+       OVER (ORDER BY y, m ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / COUNT(*) OVER (ORDER BY y, m ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    AS ma3_revenue
+FROM monthly
+""",
+)
+def monthly_trend_ma3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    monthly = l.groupBy(
+        F.year("l_shipdate").cast("int").alias("y"),
+        F.month("l_shipdate").cast("int").alias("m"),
+    ).agg(N.dsum(REVENUE()).alias("revenue"))
+    order_w = Window.orderBy("y", "m")
+    ma_w = order_w.rowsBetween(-2, 0)
+    return monthly.select(
+        "y",
+        "m",
+        "revenue",
+        F.lag("revenue").over(order_w).alias("prev_month_revenue"),
+        (
+            F.sum(F.col("revenue").cast(N.DEC)).over(ma_w).cast("double")
+            / F.count(F.lit(1)).over(ma_w)
+        ).alias("ma3_revenue"),
+    )
+
+
+@register(
+    "cumulative_share",
+    ops=("W11", "W12", "A3"),
+    doc="Running revenue share (cumulative SUM ÷ grand total OVER ()) "
+    "and vs-grand-mean comparison (ref `analysis_queries.sql:124-126,154`).",
+    oracle=f"""
+WITH per_cust AS (
+  SELECT o_custkey AS custkey, {N.sql_dsum("o_totalprice")} AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT custkey, revenue,
+  CAST(SUM(CAST(revenue AS DECIMAL(18,4)))
+       OVER (ORDER BY revenue DESC, custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / CAST(SUM(CAST(revenue AS DECIMAL(18,4))) OVER () AS DOUBLE) * 100.0
+    AS cumulative_pct,
+  CAST(SUM(CAST(revenue AS DECIMAL(18,4))) OVER () AS DOUBLE)
+    / COUNT(*) OVER () AS grand_mean_revenue,
+  revenue > CAST(SUM(CAST(revenue AS DECIMAL(18,4))) OVER () AS DOUBLE)
+    / COUNT(*) OVER () AS above_average
+FROM per_cust
+""",
+)
+def cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        N.dsum("o_totalprice").alias("revenue")
+    )
+    run_w = (
+        Window.orderBy(F.col("revenue").desc(), "custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    all_w = Window.partitionBy()
+    rev_dec = F.col("revenue").cast(N.DEC)
+    grand = F.sum(rev_dec).over(all_w).cast("double")
+    grand_mean = grand / F.count(F.lit(1)).over(all_w)
+    return per_cust.select(
+        "custkey",
+        "revenue",
+        (F.sum(rev_dec).over(run_w).cast("double") / grand * F.lit(100.0)).alias(
+            "cumulative_pct"
+        ),
+        grand_mean.alias("grand_mean_revenue"),
+        (F.col("revenue") > grand_mean).alias("above_average"),
+    )
+
+
+@register(
+    "train_test_split",
+    ops=("W5", "W13", "S9"),
+    doc="Deterministic time-ordered 80/20 split via global ROW_NUMBER vs "
+    "COUNT(*) OVER () (ref train/test views "
+    "`ml_feature_engineering.sql:468-519`).",
+    oracle="""
+SELECT o_orderkey,
+  CASE WHEN rn <= total * 0.8 THEN 'train' ELSE 'test' END AS split
+FROM (
+  SELECT o_orderkey,
+    ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS rn,
+    COUNT(*) OVER () AS total
+  FROM orders
+)
+""",
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    rn = F.row_number().over(Window.orderBy("o_orderdate", "o_orderkey"))
+    total = F.count(F.lit(1)).over(Window.partitionBy())
+    return o.select(
+        "o_orderkey",
+        F.when(rn <= total * 0.8, "train").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "one_row_frame_lag",
+    ops=("W14",),
+    doc="AVG over ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING ≡ LAG — the "
+    "reference's previous-delay feature (`ml_feature_engineering.sql:375-379`); "
+    "emits both spellings to prove equivalence.",
+    oracle="""
+SELECT event_id, user_id, value,
+  AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING) AS prev_value_frame,
+  LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value_lag
+FROM events
+""",
+)
+def one_row_frame_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.avg("value").over(w.rowsBetween(-1, -1)).alias("prev_value_frame"),
+        F.lag("value").over(w).alias("prev_value_lag"),
+    )
