@@ -1,1 +1,347 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Deduplication operators over `documents` / `embeddings` — the
+LLM-training-data surface (BASELINE.json north star): exact hash
+dedup, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine
+near-dup.
+
+Scale design notes (the point of each plan shape at 100 TB):
+  * exact dedup = hash-groupBy on a fingerprint → one shuffle keyed by
+    the hash, perfectly partitionable;
+  * n-gram Jaccard generates candidates through a shingle-equality
+    self-join (docs sharing ≥1 shingle), never an O(n²) cross join;
+  * MinHash banding buckets collapse the candidate space to
+    same-band-hash groups — the join is an equi-join on
+    (band_id, band_hash), AQE handles skewed buckets;
+  * SimHash blocks on the top bits so Hamming checks stay within
+    blocks;
+  * embedding near-dup keeps the quadratic check only as the verify
+    stage (here: all pairs, since the table is dimension-sized; the
+    LSH-bucketed scale path is operators/similarity.py).
+
+All hashing is md5-based and evaluated identically in Spark
+(`conv(substr(md5(x),1,k),16,10)`) and DuckDB
+(`CAST('0x'||substr(md5(x),1,k) AS BIGINT)`), verified bit-equal.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import vectors as V
+from .registry import register
+
+# --- shared fragments -------------------------------------------------------
+
+#: Normalized text (lowercase, whitespace collapsed).
+SQL_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+
+def _norm_col():
+    return F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+
+
+#: Word 3-gram shingles. Spark arrays are 0-based, DuckDB lists 1-based.
+SPARK_SHINGLES = (
+    "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+)
+SQL_SHINGLES = (
+    "[w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in generate_series(1, len(w)-2)]"
+)
+
+SQL_DOC_SHINGLES = f"""
+  SELECT doc_id, unnest(list_distinct({SQL_SHINGLES})) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)
+  WHERE len(w) >= 3
+"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select("doc_id", F.explode(F.array_distinct(F.expr(SPARK_SHINGLES))).alias("sh"))
+    )
+
+
+# MinHash parameters: 16 permutations h_i(x) = (a_i·x + b_i) mod p over
+# the md5-derived 32-bit shingle hash, banded 4×4 for LSH.
+_P = 2147483647
+_RNG = random.Random(20240813)
+MINHASH_A = [_RNG.randrange(1, _P) for _ in range(16)]
+MINHASH_B = [_RNG.randrange(0, _P) for _ in range(16)]
+N_BANDS, ROWS_PER_BAND = 4, 4
+
+SPARK_SHINGLE_HASH = "cast(conv(substr(md5(sh),1,8),16,10) as bigint) % 2147483647"
+SQL_SHINGLE_HASH = "CAST('0x' || substr(md5(sh),1,8) AS BIGINT) % 2147483647"
+
+
+@register(
+    "dedup_exact",
+    ops=("A1", "A3", "S4"),
+    doc="Exact dedup: hash-groupBy on the normalized-text MD5 "
+    "fingerprint, deterministic canonical pick (min doc_id) — one "
+    "shuffle keyed by the hash.",
+    oracle=f"""
+WITH fp AS (SELECT doc_id, md5({SQL_NORM}) AS fingerprint FROM documents)
+SELECT fingerprint,
+  MIN(doc_id) AS canonical_doc_id,
+  COUNT(*) AS n_copies,
+  COUNT(*) - 1 AS n_dropped
+FROM fp
+GROUP BY 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(_norm_col()).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        )
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    ops=("J1", "A1", "A9"),
+    doc="N-gram Jaccard near-dup: word-3-gram shingles, candidates from "
+    "a shingle-equality self-join (no cross join), exact "
+    "|∩|/(|A|+|B|−|∩|) ≥ 0.2.",
+    oracle=f"""
+WITH sh AS ({SQL_DOC_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+  CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.2
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", "n_inter", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, m_0..m_15): min over shingles of each permuted hash —
+    one groupBy with 16 MIN aggregates, no row explosion."""
+    sh = _doc_shingles(spark, sf_dir).withColumn("h", F.expr(SPARK_SHINGLE_HASH))
+    aggs = [
+        F.min(F.expr(f"(h * {MINHASH_A[i]}L + {MINHASH_B[i]}L) % {_P}L")).alias(f"m_{i}")
+        for i in range(16)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_SQL_MINHASH_SIG = f"""
+  SELECT doc_id,
+    {", ".join(f"MIN((h * {MINHASH_A[i]} + {MINHASH_B[i]}) % {_P}) AS m_{i}" for i in range(16))}
+  FROM (SELECT doc_id, {SQL_SHINGLE_HASH} AS h FROM ({SQL_DOC_SHINGLES}))
+  GROUP BY doc_id
+"""
+
+
+def _band_exprs() -> list[str]:
+    """band_j = md5 of the 4 signature components in band j (same text
+    in Spark SQL and DuckDB)."""
+    out = []
+    for j in range(N_BANDS):
+        cols = ", ".join(f"m_{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        out.append(f"md5(concat_ws(',', {cols}))")
+    return out
+
+
+@register(
+    "dedup_minhash_lsh",
+    ops=("J1", "A1", "W4"),
+    doc="MinHash+LSH near-dup: 16-permutation signatures, 4×4 banding, "
+    "candidate pairs from the band-hash equi-join, estimated Jaccard = "
+    "matching signature components / 16, threshold ≥ 0.5.",
+    oracle=f"""
+WITH sig AS ({_SQL_MINHASH_SIG}),
+bands AS (
+  SELECT doc_id, band_id, band_hash FROM (
+    SELECT doc_id,
+      unnest([{", ".join(str(j) for j in range(N_BANDS))}]) AS band_id,
+      unnest([{", ".join(_band_exprs())}]) AS band_hash
+    FROM sig
+  )
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+  ({" + ".join(f"CASE WHEN sa.m_{i} = sb.m_{i} THEN 1 ELSE 0 END" for i in range(16))}) AS sig_matches,
+  CAST({" + ".join(f"CASE WHEN sa.m_{i} = sb.m_{i} THEN 1 ELSE 0 END" for i in range(16))} AS DOUBLE) / 16.0 AS est_jaccard
+FROM cand c
+JOIN sig sa ON c.doc_a = sa.doc_id
+JOIN sig sb ON c.doc_b = sb.doc_id
+WHERE ({" + ".join(f"CASE WHEN sa.m_{i} = sb.m_{i} THEN 1 ELSE 0 END" for i in range(16))}) >= 8
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_signature(spark, sf_dir)
+    band_id = F.explode(
+        F.arrays_zip(
+            F.array(*[F.lit(j) for j in range(N_BANDS)]).alias("band_id"),
+            F.array(*[F.expr(e) for e in _band_exprs()]).alias("band_hash"),
+        )
+    )
+    bands = sig.select("doc_id", band_id.alias("z")).select(
+        "doc_id", F.col("z.band_id").alias("band_id"), F.col("z.band_hash").alias("band_hash")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m_{i}").alias(f"a_{i}") for i in range(16)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"m_{i}").alias(f"b_{i}") for i in range(16)])
+    matches = None
+    for i in range(16):
+        term = F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            matches.alias("sig_matches"),
+            (matches.cast("double") / 16.0).alias("est_jaccard"),
+        )
+        .filter(F.col("sig_matches") >= 8)
+    )
+
+
+@register(
+    "dedup_simhash",
+    ops=("A5", "J1"),
+    doc="SimHash near-dup: 32-bit md5-derived token hashes, per-bit "
+    "weight sums → 32-bit simhash; candidate pairs block on the top "
+    "8 bits; Hamming distance via bit_count(xor) ≤ 2.",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS t
+  FROM documents
+),
+th AS (SELECT doc_id, CAST('0x' || substr(md5(t),1,8) AS BIGINT) AS h FROM tok),
+bits AS (
+  SELECT doc_id, b.b AS b,
+         SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS w
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
+  GROUP BY 1, 2
+),
+sim AS (
+  SELECT doc_id,
+         SUM(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+  FROM bits GROUP BY 1
+),
+blocked AS (SELECT doc_id, simhash, simhash >> 24 AS block FROM sim)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM blocked a JOIN blocked b
+  ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))).alias("t"),
+    )
+    th = tok.select(
+        "doc_id", F.expr("cast(conv(substr(md5(t),1,8),16,10) as bigint)").alias("h")
+    )
+    bits = (
+        th.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)
+            ).alias("w")
+        )
+    )
+    sim = bits.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("w") > 0, F.expr("shiftleft(1L, b)")).otherwise(0)).alias(
+            "simhash"
+        )
+    )
+    blocked = sim.withColumn("block", F.expr("simhash >> 24"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    hamming = F.expr("cast(bit_count(a.simhash ^ b.simhash) as int)")
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 2)
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    ops=("J10", "A3"),
+    doc="Embedding near-dup: cosine ≥ 0.4 over all id-ordered pairs — "
+    "the exact verify stage; candidate pruning at scale is the LSH "
+    "plan in operators/similarity.py.",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  ROUND({V.sql_cosine("a.embedding", "b.embedding")}, 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {V.sql_cosine("a.embedding", "b.embedding")} >= 0.4
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = V.cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.4)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    )

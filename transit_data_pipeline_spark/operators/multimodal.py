@@ -1,1 +1,116 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Multimodal-column plumbing (BASELINE.json north star): treat
+image/audio/video payloads as opaque `binary` columns with typed
+metadata. The container has no media libraries, so the decode step is
+a clearly-marked deterministic fake behind the real Spark plumbing —
+schema, Arrow batching, partitioning and UDF signatures are genuine
+and tested; swap `_fake_decode` for a real decoder on a real cluster.
+
+`documents.text` is encoded to bytes to stand in for a media payload.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import table
+from .registry import register
+
+
+@register(
+    "multimodal_binary_meta",
+    ops=("P9", "A3", "F10"),
+    doc="Typed metadata over an opaque binary column: byte length, "
+    "SHA-256 content id, shard prefix, chunk count — all JVM-side "
+    "column expressions (no decode).",
+    oracle="""
+SELECT doc_id,
+  octet_length(encode(text)) AS n_bytes,
+  sha256(text) AS content_id,
+  lower(hex(encode(substring(text, 1, 4)))) AS shard_prefix,
+  (octet_length(encode(text)) + 255) // 256 AS n_chunks
+FROM documents
+""",
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("content_id"),
+        F.lower(F.hex(F.encode(F.substring("text", 1, 4), "UTF-8"))).alias(
+            "shard_prefix"
+        ),
+        F.expr("(length(encode(text, 'UTF-8')) + 255) div 256").alias("n_chunks"),
+    )
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for a real image/video probe.
+
+    STUB: the container ships no media codecs. On a real cluster,
+    replace with e.g. PIL.Image.open(io.BytesIO(payload)).size; the
+    surrounding Spark plumbing (Arrow batches, schema, partitioning)
+    is unchanged.
+    """
+    import hashlib
+
+    h = hashlib.md5(payload).digest()
+    width = 256 + h[0] * 4
+    height = 256 + h[1] * 4
+    n_frames = 1 + h[2] % 32
+    return width, height, n_frames
+
+
+def decode_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInPandas media probe: Arrow-batched, one Python worker per
+    partition — the 100 TB pattern for opaque-binary feature
+    extraction (never a row-at-a-time UDF)."""
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = pdf[payload_col].map(_fake_decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf[payload_col].map(len).astype("int64"),
+                    "width": dims.map(lambda t: t[0]).astype("int32"),
+                    "height": dims.map(lambda t: t[1]).astype("int32"),
+                    "n_frames": dims.map(lambda t: t[2]).astype("int32"),
+                    "decoder": "fake-md5-probe",
+                }
+            )
+
+    return df.mapInPandas(probe, schema=_DECODE_SCHEMA)
+
+
+@register(
+    "multimodal_decode_probe",
+    ops=("D6",),
+    doc="Arrow-batched mapInPandas decode probe over binary payloads "
+    "(deterministic fake decoder — see _fake_decode docstring). "
+    "Rows-only check: the decode is not SQL-expressible.",
+    oracle=None,
+    bench=False,
+)
+def multimodal_decode_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return decode_media(payloads)

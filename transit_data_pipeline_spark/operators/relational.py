@@ -210,17 +210,21 @@ def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "anti_join_orphans",
     ops=("J2",),
-    doc="Left-anti join quality audit: customers with no orders "
+    doc="Left-anti join quality audit: customers with no urgent orders "
     "(ref orphan-trips audit `load_gtfs_data.sql:96-101`).",
     oracle="""
 SELECT c_custkey, c_name
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
 """,
 )
 def anti_join_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -717,15 +721,15 @@ def risk_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type, COUNT(*) AS n_events
 FROM events
 WHERE make_timestamp(epoch_ns(ts) // 1000)
-      >= TIMESTAMP '2024-03-01 00:00:00' - INTERVAL 30 DAY
+      >= TIMESTAMP '2024-01-31 00:00:00' - INTERVAL 14 DAY
 GROUP BY 1
 """,
 )
 def retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
-    now = F.lit("2024-03-01 00:00:00").cast("timestamp")
+    now = F.lit("2024-01-31 00:00:00").cast("timestamp")
     return (
-        e.filter(F.col("event_time") >= now - F.expr("interval 30 days"))
+        e.filter(F.col("event_time") >= now - F.expr("interval 14 days"))
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )

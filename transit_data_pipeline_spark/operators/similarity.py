@@ -1,1 +1,179 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Similarity search over the `embeddings` table (BASELINE.json north
+star): brute-force cosine top-k as the exactness baseline, and a
+random-hyperplane LSH-bucketed variant as the 100 TB scale path.
+
+Scale notes: brute force is O(Q×N) — fine when Q (the query set) is
+small and broadcastable, which is how we plan it (queries broadcast,
+candidates partitioned). The LSH plan replaces the N side with an
+equi-join on bucket signature, so the shuffle is keyed by bucket and
+each task only scores its bucket's candidates. Ranking uses the
+ROUNDED cosine with an id tiebreaker so top-k sets are reproducible
+across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import vectors as V
+from .registry import register
+
+#: Number of query vectors (vec_id < N_QUERIES) used by the demo ops.
+N_QUERIES = 8
+TOP_K = 10
+
+#: Random-hyperplane LSH: 8 seeded 64-dim hyperplanes, embedded as
+#: literals in BOTH the Spark plan and the oracle SQL (repr() round-
+#: trips doubles exactly, so both engines parse identical values).
+_RNG = random.Random(7)
+HYPERPLANES = [
+    [_RNG.gauss(0.0, 1.0) for _ in range(64)] for _ in range(8)
+]
+
+
+def _bucket_col(vec: str):
+    """LSH bucket id: bit j = sign(vec · hyperplane_j)."""
+    acc = F.lit(0).cast("long")
+    for j, hp in enumerate(HYPERPLANES):
+        lits = F.array(*[F.lit(x) for x in hp])
+        d = V.dot(F.col(vec), lits)
+        acc = acc + F.when(d > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def _sql_bucket(vec: str) -> str:
+    terms = []
+    for j, hp in enumerate(HYPERPLANES):
+        arr = "[" + ", ".join(repr(x) for x in hp) + "]"
+        terms.append(
+            f"CASE WHEN {V.sql_dot(vec, arr)} > 0 THEN {1 << j} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "similarity_bruteforce_topk",
+    ops=("J10", "W4", "O1"),
+    doc="Brute-force cosine top-k: small broadcast query set × all "
+    "candidates, exact fold-based cosine, rank on rounded value with "
+    "id tiebreaker.",
+    oracle=f"""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({V.sql_cosine("q.embedding", "c.embedding")}, 6) AS cos_sim
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, neighbor_id, cos_sim,
+       rnk AS sim_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM pairs
+)
+WHERE rnk <= {TOP_K}
+""",
+)
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    cos = F.round(V.cosine(F.col("qe"), F.col("ce")), 6)
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= TOP_K)
+    )
+
+
+@register(
+    "similarity_lsh_ann",
+    ops=("J1", "W4", "A1"),
+    doc="LSH-bucketed approximate NN: 8 random-hyperplane sign bits → "
+    "bucket id; candidates restricted to the query's bucket (equi-join "
+    "keyed by bucket), cosine + top-5 within bucket.",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket AS bucket,
+         ROUND({V.sql_cosine("q.embedding", "c.embedding")}, 6) AS cos_sim
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, neighbor_id, bucket, cos_sim, rnk AS sim_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM pairs
+)
+WHERE rnk <= 5
+""",
+)
+def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", "embedding", _bucket_col("embedding").alias("bucket"))
+    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket"),
+    )
+    c = b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("bucket"),
+    )
+    cos = F.round(V.cosine(F.col("qe"), F.col("ce")), 6)
+    pairs = q.join(c, "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", "bucket", cos.alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= 5)
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    ops=("A3", "A8"),
+    doc="Vector-column profiling: L2 norms via exact folds, grouped "
+    "stats per label — the sanity gate before any ANN build.",
+    oracle=f"""
+SELECT label,
+  COUNT(*) AS n_vectors,
+  ROUND(MIN(SQRT({V.sql_dot("embedding", "embedding")})), 6) AS min_norm,
+  ROUND(MAX(SQRT({V.sql_dot("embedding", "embedding")})), 6) AS max_norm
+FROM embeddings
+GROUP BY 1
+""",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(V.dot(F.col("embedding"), F.col("embedding")))
+    return (
+        e.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+        )
+    )

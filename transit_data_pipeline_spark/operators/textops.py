@@ -1,1 +1,214 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Text-analysis operators over the `documents` table — the
+training-data-pipeline surface (BASELINE.json north star): token
+counting, quality scoring, language-ID heuristic, fingerprinting.
+
+All pure column expressions (split/filter/transform lambdas run inside
+codegen) — no Python UDFs, so these scale to 100 TB of documents with
+zero serialization overhead. Score formulas are pure arithmetic (no
+transcendentals) so Spark and the DuckDB oracle agree bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import numeric as N
+from .registry import register
+
+#: Stopword list for ratio features (tiny on purpose; a real pipeline
+#: would broadcast a dictionary — the plan shape is identical).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+#: Marker vocabularies for the n-gram/keyword language-ID heuristic.
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of"),
+    "es": ("el", "la", "los", "de"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "les", "et"),
+    "zh": ("de", "le", "shi", "bu"),
+}
+
+
+def _sql_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def tokens_col():
+    """Whitespace tokenization as a column expression."""
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@register(
+    "text_token_stats",
+    ops=("P1", "A3", "F10"),
+    doc="Token counting: whitespace tokens, distinct tokens, char "
+    "counts, mean token length — all codegen column expressions.",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, lang, text, {SQL_TOKENS} AS w FROM documents)
+SELECT doc_id, lang,
+  length(text) AS n_chars,
+  len(w) AS n_tokens,
+  len(list_distinct(w)) AS n_distinct_tokens,
+  CAST(length(replace(trim(text), ' ', '')) AS DOUBLE) / len(w) AS avg_token_len
+FROM tok
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = tokens_col()
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(w).alias("n_tokens").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct_tokens"),
+        (
+            F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit(""))).cast(
+                "double"
+            )
+            / F.size(w)
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality_score",
+    ops=("P5", "P7", "A3"),
+    doc="Document quality scoring: length/stopword/diversity components "
+    "combined with pure arithmetic (length-penalty, stopword ratio, "
+    "type-token ratio) — the LLM-data quality-filter pattern.",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+feat AS (
+  SELECT doc_id,
+    len(w) AS n_tokens,
+    CAST(len(list_filter(w, t -> t IN ({_sql_list(STOPWORDS)}))) AS DOUBLE)
+      / len(w) AS stopword_ratio,
+    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS type_token_ratio
+  FROM tok
+)
+SELECT doc_id, n_tokens, stopword_ratio, type_token_ratio,
+  LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.4
+    + LEAST(1.0, stopword_ratio * 4.0) * 0.2
+    + type_token_ratio * 0.4 AS quality_score,
+  (n_tokens >= 10 AND stopword_ratio > 0.0) AS keep
+FROM feat
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = tokens_col()
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    feat = d.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        (
+            F.size(F.expr(f"filter(split(trim(text), '\\\\s+'), t -> t IN ({stop_arr}))")).cast(
+                "double"
+            )
+            / F.size(w)
+        ).alias("stopword_ratio"),
+        (F.size(F.array_distinct(w)).cast("double") / F.size(w)).alias(
+            "type_token_ratio"
+        ),
+    )
+    nt = F.col("n_tokens").cast("double")
+    sr = F.col("stopword_ratio")
+    return feat.select(
+        "doc_id",
+        "n_tokens",
+        "stopword_ratio",
+        "type_token_ratio",
+        (
+            F.least(F.lit(1.0), nt / 50.0) * 0.4
+            + F.least(F.lit(1.0), sr * 4.0) * 0.2
+            + F.col("type_token_ratio") * 0.4
+        ).alias("quality_score"),
+        ((F.col("n_tokens") >= 10) & (sr > 0.0)).alias("keep"),
+    )
+
+
+@register(
+    "text_langid",
+    ops=("P5", "A3"),
+    doc="Keyword-marker language identification: score each candidate "
+    "language by marker-token hits, argmax with deterministic "
+    "preference order; compared against the declared lang column.",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, lang, {SQL_TOKENS} AS w FROM documents),
+scores AS (
+  SELECT doc_id, lang,
+    {", ".join(f"len(list_filter(w, t -> t IN ({_sql_list(m)}))) AS hits_{lg}" for lg, m in LANG_MARKERS.items())}
+  FROM tok
+)
+SELECT doc_id, lang AS declared_lang,
+  CASE
+    WHEN {" AND ".join(f"hits_{lg} = 0" for lg in LANG_MARKERS)} THEN 'und'
+    {" ".join(f"WHEN hits_{lg} >= GREATEST({', '.join('hits_' + o for o in LANG_MARKERS)}) THEN '{lg}'" for lg in LANG_MARKERS)}
+  END AS pred_lang,
+  {", ".join(f"hits_{lg}" for lg in LANG_MARKERS)}
+FROM scores
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    scores = d.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        *[
+            F.size(
+                F.expr(
+                    f"filter(split(trim(text), '\\\\s+'), t -> t IN ({_sql_list(m)}))"
+                )
+            )
+            .cast("long")
+            .alias(f"hits_{lg}")
+            for lg, m in LANG_MARKERS.items()
+        ],
+    )
+    langs = list(LANG_MARKERS)
+    all_zero = None
+    for lg in langs:
+        c = F.col(f"hits_{lg}") == 0
+        all_zero = c if all_zero is None else (all_zero & c)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pred = F.when(all_zero, "und")
+    for lg in langs:
+        pred = pred.when(F.col(f"hits_{lg}") >= best, lg)
+    return scores.select(
+        "doc_id",
+        "declared_lang",
+        pred.alias("pred_lang"),
+        *[f"hits_{lg}" for lg in langs],
+    )
+
+
+@register(
+    "text_fingerprint",
+    ops=("F10", "P9"),
+    doc="Document fingerprinting: whitespace-normalized lowercase MD5 "
+    "plus a 16-bit shard bucket — the partition key a 100 TB dedup "
+    "would shuffle on.",
+    oracle="""
+SELECT doc_id,
+  md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+  CAST(CAST('0x' || substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 4) AS BIGINT) AS INT) AS shard_bucket
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    fp = F.md5(norm)
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.expr(
+            "cast(cast(conv(substr(md5(lower(regexp_replace(trim(text), '\\\\s+', ' '))), 1, 4), 16, 10) as bigint) as int)"
+        ).alias("shard_bucket"),
+    )

@@ -51,14 +51,39 @@ def get_spark(app_name: str = "transit_data_pipeline_spark") -> SparkSession:
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
 
 
 def configure(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable confs to an externally created session."""
+    """Apply runtime-settable confs to an externally created session and
+    ship this package to Python workers (Pandas-UDF closures reference
+    it by module name; executors can't import it otherwise)."""
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - static conf on live session
             pass
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    if getattr(spark, "_tdps_pkg_shipped", False):
+        return
+    import pathlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"transit_data_pipeline_spark_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for p in sorted(pkg_dir.rglob("*.py")):
+            zf.write(p, arcname=str(pathlib.Path(pkg_dir.name) / p.relative_to(pkg_dir)))
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:  # pragma: no cover - e.g. Spark Connect sessions
+        pass
+    spark._tdps_pkg_shipped = True
