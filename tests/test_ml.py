@@ -1,0 +1,88 @@
+"""Feature engineering + SparkML pipeline tests (ref train/predict)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def feature_frames(spark, tmp_path_factory):
+    from transit_data_pipeline_spark.gtfs import features, ingest, synth
+
+    out = str(tmp_path_factory.mktemp("gtfs_ml"))
+    synth.generate(out, seed=42)
+    staging = ingest.read_staging(spark, out)
+    op = ingest.build_operational(staging)
+    as_of = op["delay_events"].agg(
+        F.date_format(F.max(F.to_date("actual_arrival")), "yyyy-MM-dd")
+    ).first()[0]
+    feats = features.build_features(op, as_of).cache()
+    return op, feats
+
+
+def test_feature_table_shape(feature_frames):
+    op, feats = feature_frames
+    assert feats.count() > 0
+    # wide frame: base + interactions + 11 historical aggregates
+    assert len(feats.columns) >= 30
+    # COALESCE(...,0) semantics: no nulls in historical aggregates
+    for c in [c for c in feats.columns if c.startswith("avg_delay_")]:
+        assert feats.filter(F.col(c).isNull()).count() == 0, c
+
+
+def test_split_deterministic(feature_frames):
+    from transit_data_pipeline_spark.gtfs.features import train_test_views
+
+    _, feats = feature_frames
+    tr1, te1 = train_test_views(feats)
+    tr2, te2 = train_test_views(feats)
+    n, ntr, nte = feats.count(), tr1.count(), te1.count()
+    assert ntr + nte == n
+    assert abs(ntr - 0.8 * n) <= 1  # 80/20
+    assert tr1.select("feature_id").subtract(tr2.select("feature_id")).count() == 0
+    # time-ordered: max train date <= min test date boundary-ish
+    assert (
+        tr1.agg(F.max("event_date")).first()[0]
+        <= te1.agg(F.max("event_date")).first()[0]
+    )
+
+
+def test_train_evaluate_predict(feature_frames):
+    from transit_data_pipeline_spark.gtfs import ml
+    from transit_data_pipeline_spark.gtfs.features import train_test_views
+
+    _, feats = feature_frames
+    train_df, test_df = train_test_views(feats)
+    model = ml.train(train_df, max_depth=4, max_iter=10)
+    metrics = ml.evaluate(model, test_df)
+    assert set(metrics) == {"rmse", "mae", "r2", "acc_5min", "acc_10min"}
+    assert metrics["mae"] > 0
+    assert 0 <= metrics["acc_10min"] <= 1
+
+    preds = ml.with_risk_level(model.transform(test_df.na.fill(0, subset=list(ml.NUMERIC))))
+    levels = {r["risk_level"] for r in preds.select("risk_level").distinct().collect()}
+    assert levels <= {"Low", "Medium", "High", "Severe"}
+
+    best, worst = ml.best_worst_predictions(preds)
+    b = best.agg(F.max("abs_error")).first()[0]
+    w = worst.agg(F.min("abs_error")).first()[0]
+    assert b <= w
+
+
+def test_model_roundtrip(feature_frames, tmp_path, spark):
+    from pyspark.ml import PipelineModel
+
+    from transit_data_pipeline_spark.gtfs import ml
+    from transit_data_pipeline_spark.gtfs.features import train_test_views
+
+    _, feats = feature_frames
+    train_df, test_df = train_test_views(feats)
+    model = ml.train(train_df, max_depth=3, max_iter=5)
+    path = str(tmp_path / "model")
+    model.write().overwrite().save(path)
+    loaded = PipelineModel.load(path)
+    test_in = test_df.na.fill(0, subset=list(ml.NUMERIC))
+    a = model.transform(test_in).agg(F.sum("prediction")).first()[0]
+    b = loaded.transform(test_in).agg(F.sum("prediction")).first()[0]
+    assert a == b
