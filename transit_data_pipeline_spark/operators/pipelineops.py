@@ -1,0 +1,171 @@
+"""Pipeline-shaped operators completing the SURVEY §2 inventory:
+mixed inner+left feature joins (J5), chained aggregate join-update
+(J8), multi-key validation joins (J11), dynamic day-column resolution
+(J12), and deterministic hash-ordered sampling (the portable,
+cluster-reproducible replacement for ORDER BY RANDOM(), O2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import numeric as N
+from .registry import register
+
+SQL_EVENT_TIME = "make_timestamp(epoch_ns(ts) // 1000)"
+
+
+@register(
+    "feature_join_update",
+    ops=("J5", "J8", "P6", "A3"),
+    doc="The reference's UPDATE...FROM feature build "
+    "(`ml_feature_engineering.sql:387-453`): three decorrelated "
+    "aggregate groups chained as left joins + COALESCE(...,0) — one "
+    "immutable plan, no mutation.",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id, {N.sql_davg("value")} AS user_avg_value FROM events GROUP BY 1
+), per_type AS (
+  SELECT event_type, {N.sql_davg("value")} AS type_avg_value FROM events GROUP BY 1
+), per_hour AS (
+  SELECT hour({SQL_EVENT_TIME}) AS h, {N.sql_davg("value")} AS hour_avg_value
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.user_id, e.event_type, e.value,
+  COALESCE(u.user_avg_value, 0.0) AS user_avg_value,
+  COALESCE(t.type_avg_value, 0.0) AS type_avg_value,
+  COALESCE(h.hour_avg_value, 0.0) AS hour_avg_value
+FROM events e
+LEFT JOIN per_user u ON e.user_id = u.user_id
+LEFT JOIN per_type t ON e.event_type = t.event_type
+LEFT JOIN per_hour h ON hour({SQL_EVENT_TIME}) = h.h
+""",
+)
+def feature_join_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(N.davg("value").alias("user_avg_value"))
+    per_type = e.groupBy("event_type").agg(N.davg("value").alias("type_avg_value"))
+    per_hour = e.groupBy(F.hour("event_time").alias("h")).agg(
+        N.davg("value").alias("hour_avg_value")
+    )
+    return (
+        e.withColumn("h", F.hour("event_time"))
+        .join(F.broadcast(per_user), "user_id", "left")
+        .join(F.broadcast(per_type), "event_type", "left")
+        .join(F.broadcast(per_hour), "h", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.coalesce("user_avg_value", F.lit(0.0)).alias("user_avg_value"),
+            F.coalesce("type_avg_value", F.lit(0.0)).alias("type_avg_value"),
+            F.coalesce("hour_avg_value", F.lit(0.0)).alias("hour_avg_value"),
+        )
+    )
+
+
+@register(
+    "multikey_validation_join",
+    ops=("J11", "A3", "A9"),
+    doc="Prediction-vs-actual style 3-key equi-join "
+    "(ref `ml_pipeline_dag.py:369-372`): shipped-1996 lineitems "
+    "validated against the full table on (orderkey, partkey, suppkey).",
+    oracle=f"""
+WITH shipped AS (
+  SELECT l_orderkey, l_partkey, l_suppkey,
+         {N.sql_dsum("l_quantity")} AS shipped_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2, 3
+), totals AS (
+  SELECT l_orderkey, l_partkey, l_suppkey,
+         {N.sql_dsum("l_quantity")} AS total_qty
+  FROM lineitem
+  GROUP BY 1, 2, 3
+)
+SELECT s.l_orderkey, s.l_partkey, s.l_suppkey, s.shipped_qty, t.total_qty,
+       s.shipped_qty / t.total_qty AS shipped_ratio
+FROM shipped s
+JOIN totals t ON s.l_orderkey = t.l_orderkey
+             AND s.l_partkey = t.l_partkey
+             AND s.l_suppkey = t.l_suppkey
+""",
+)
+def multikey_validation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    keys = ["l_orderkey", "l_partkey", "l_suppkey"]
+    shipped = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(*keys)
+        .agg(N.dsum("l_quantity").alias("shipped_qty"))
+    )
+    totals = l.groupBy(*keys).agg(N.dsum("l_quantity").alias("total_qty"))
+    return shipped.join(totals, keys).select(
+        *keys,
+        "shipped_qty",
+        "total_qty",
+        (F.col("shipped_qty") / F.col("total_qty")).alias("shipped_ratio"),
+    )
+
+
+@register(
+    "dynamic_day_column",
+    ops=("J12", "A5", "P5"),
+    doc="Calendar service-day resolution (ref dynamic boolean column "
+    "`generate_synthetic_data.py:84-90`): pivot users to per-DOW "
+    "activity booleans, then filter on the day picked in Python — the "
+    "column name is data-driven, the plan still static.",
+    oracle=f"""
+WITH act AS (
+  SELECT user_id,
+    SUM(CASE WHEN dayofweek({SQL_EVENT_TIME}) = 1 THEN 1 ELSE 0 END) > 0 AS monday,
+    SUM(CASE WHEN dayofweek({SQL_EVENT_TIME}) = 6 THEN 1 ELSE 0 END) > 0 AS friday,
+    SUM(CASE WHEN dayofweek({SQL_EVENT_TIME}) IN (0, 6) THEN 1 ELSE 0 END) > 0 AS weekend_pg,
+    COUNT(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT user_id, monday, friday, weekend_pg, n_events
+FROM act WHERE monday
+""",
+)
+def dynamic_day_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    pg_dow = F.dayofweek("event_time") - 1  # PG convention 0=Sunday
+    act = e.groupBy("user_id").agg(
+        (F.sum(F.when(pg_dow == 1, 1).otherwise(0)) > 0).alias("monday"),
+        (F.sum(F.when(pg_dow == 6, 1).otherwise(0)) > 0).alias("friday"),
+        (F.sum(F.when(pg_dow.isin(0, 6), 1).otherwise(0)) > 0).alias("weekend_pg"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    target_day = "monday"  # chosen in Python, as the reference does
+    return act.filter(F.col(target_day))
+
+
+@register(
+    "deterministic_sample",
+    ops=("O2", "F12"),
+    doc="Training-set sampling: the reference's ORDER BY RANDOM() LIMIT "
+    "(`train_delay_model.py:123-124`) made reproducible — order by a "
+    "keyed hash (md5 of a seeded key), identical on any cluster, any "
+    "partitioning, any engine.",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY md5('seed42:' || CAST(o_orderkey AS VARCHAR)), o_orderkey
+LIMIT 100
+""",
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    h = F.md5(F.concat(F.lit("seed42:"), F.col("o_orderkey").cast("string")))
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(h, "o_orderkey")
+        .limit(100)
+    )

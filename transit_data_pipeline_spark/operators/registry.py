@@ -28,6 +28,7 @@ _MODULES = (
     "transit_data_pipeline_spark.operators.relational",
     "transit_data_pipeline_spark.operators.windows",
     "transit_data_pipeline_spark.operators.events",
+    "transit_data_pipeline_spark.operators.pipelineops",
     "transit_data_pipeline_spark.operators.textops",
     "transit_data_pipeline_spark.operators.dedup",
     "transit_data_pipeline_spark.operators.similarity",
