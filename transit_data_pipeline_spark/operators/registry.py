@@ -29,6 +29,8 @@ _MODULES = (
     "transit_data_pipeline_spark.operators.windows",
     "transit_data_pipeline_spark.operators.events",
     "transit_data_pipeline_spark.operators.pipelineops",
+    "transit_data_pipeline_spark.operators.sources",
+    "transit_data_pipeline_spark.operators.mlops",
     "transit_data_pipeline_spark.operators.textops",
     "transit_data_pipeline_spark.operators.dedup",
     "transit_data_pipeline_spark.operators.similarity",

@@ -1,0 +1,343 @@
+"""Source/sink and scalar-function operators completing SURVEY §2:
+CSV source+sink roundtrip (S1/S7), SQL-over-views (S2), append sinks
+(S3/S5/S6), declared-schema bootstrap (S8), materialized-view refresh
+(D2/S10 refresh path), the GTFS time parser as a registry query
+(D1/F2/F11), TRIM + padded day names (F9/F14), and LIMIT-without-ORDER
+sampling (O5).
+
+Sinks write under the system temp dir (never the read-only testdata),
+namespaced per sf_dir so concurrent runs at different scale factors
+don't collide. Every sink demo reads its own output back so the oracle
+checks the full write→read path, not just the transform.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import table
+from ..functions import numeric as N
+from ..gtfs import schemas as GS
+from ..gtfs.ingest import gtfs_time_to_seconds
+from .registry import register
+
+
+def _scratch(sf_dir: str, tag: str) -> str:
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"tdps_{tag}_{h}")
+
+
+@register(
+    "csv_roundtrip",
+    ops=("S1", "S7"),
+    doc="CSV sink then CSV source with a declared schema and NULL AS '' "
+    "(ref COPY `load_gtfs_data.sql:2-84`, to_csv `predict_delays.py:186`): "
+    "nation written to CSV and read back must equal the parquet original.",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch(sf_dir, "csv")
+    nation = table(spark, sf_dir, "nation")
+    # coalesce(1): dimension-sized sink, one file like the reference's
+    # single-CSV export; big tables would keep their partitioning.
+    nation.coalesce(1).write.mode("overwrite").csv(out, header=True, nullValue="")
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return spark.read.csv(out, header=True, schema=schema, nullValue="")
+
+
+@register(
+    "append_sink_roundtrip",
+    ops=("S3", "S5", "S6"),
+    doc="INSERT-SELECT bulk append (`load_gtfs_data.sql:119-239`) plus "
+    "batched row insert (`generate_synthetic_data.py:337,360`) and the "
+    "row-at-a-time prediction sink (`predict_delays.py:428-441`) — all "
+    "three become append-mode writes; read back and aggregated.",
+    oracle=f"""
+WITH sunk AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT * FROM (VALUES
+    (CAST(-1 AS BIGINT), CAST(1.5 AS DOUBLE)),
+    (CAST(-2 AS BIGINT), CAST(2.5 AS DOUBLE)),
+    (CAST(-3 AS BIGINT), CAST(3.5 AS DOUBLE))
+  ) AS t(o_orderkey, o_totalprice)
+)
+SELECT COUNT(*) AS n_rows, {N.sql_dsum("o_totalprice")} AS total_price,
+       MIN(o_orderkey) AS min_key
+FROM sunk
+""",
+)
+def append_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch(sf_dir, "append")
+    urgent = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_totalprice")
+    )
+    urgent.write.mode("overwrite").parquet(out)  # S3: bulk INSERT-SELECT
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    batch = spark.createDataFrame(
+        [(-1, 1.5), (-2, 2.5), (-3, 3.5)], schema
+    )  # S5/S6: row batches become one distributed append, never per-row
+    batch.write.mode("append").parquet(out)
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        N.dsum("o_totalprice").alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+    )
+
+
+#: One ANSI-SQL text that both Spark SQL and DuckDB execute verbatim —
+#: the S2 "push a SQL string at the engine" path (ref pd.read_sql sites
+#: `train_delay_model.py:127`, `streamlit_dashboard.py:29`).
+_SEGMENT_SQL = f"""
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       {N.sql_dsum("o.o_totalprice")} AS segment_revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register(
+    "sql_over_views",
+    ops=("S2", "S9"),
+    doc="SQL-string entry path: temp views registered, one ANSI query "
+    "text executed verbatim by BOTH Spark SQL and the DuckDB oracle.",
+    oracle=_SEGMENT_SQL,
+)
+def sql_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_SEGMENT_SQL)
+
+
+#: The declared-schema registry (S8). The oracle literal is generated
+#: from the same StructTypes, so code and oracle cannot drift.
+_GTFS_SCHEMAS: dict[str, T.StructType] = {
+    "stops": GS.STOPS_RAW,
+    "routes": GS.ROUTES_RAW,
+    "trips": GS.TRIPS_RAW,
+    "stop_times": GS.STOP_TIMES_RAW,
+    "calendar": GS.CALENDAR_RAW,
+    "weather": GS.WEATHER,
+    "delay_events": GS.DELAY_EVENTS,
+}
+
+
+def _schema_rows() -> list[tuple[str, int, int, int]]:
+    rows = []
+    for name in sorted(_GTFS_SCHEMAS):
+        st = _GTFS_SCHEMAS[name]
+        n_str = sum(isinstance(f.dataType, T.StringType) for f in st.fields)
+        n_num = sum(
+            isinstance(f.dataType, (T.IntegerType, T.LongType, T.DoubleType, T.DecimalType))
+            for f in st.fields
+        )
+        rows.append((name, len(st.fields), n_str, n_num))
+    return rows
+
+
+_SCHEMA_VALUES = ",\n  ".join(
+    f"('{n}', {a}, {b}, {c})" for n, a, b, c in _schema_rows()
+)
+
+
+@register(
+    "schema_bootstrap",
+    ops=("S8",),
+    doc="Fixed-DDL registry (ref CREATE TABLE ×18 `create_schema.sql:8-176`): "
+    "every table has a declared StructType; this reports the registry "
+    "shape and proves empty-table bootstrap off each schema works.",
+    oracle=f"""
+SELECT * FROM (VALUES
+  {_SCHEMA_VALUES}
+) AS t(table_name, n_columns, n_string_cols, n_numeric_cols)
+""",
+)
+def schema_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = []
+    for name, n_cols, n_str, n_num in _schema_rows():
+        empty = spark.createDataFrame([], _GTFS_SCHEMAS[name])  # bootstrap
+        assert empty.schema == _GTFS_SCHEMAS[name]
+        rows.append((name, n_cols, n_str, n_num))
+    schema = T.StructType(
+        [
+            T.StructField("table_name", T.StringType()),
+            T.StructField("n_columns", T.IntegerType()),
+            T.StructField("n_string_cols", T.IntegerType()),
+            T.StructField("n_numeric_cols", T.IntegerType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "mv_refresh",
+    ops=("D2", "S10"),
+    doc="refresh_all_views() (`performance_optimization.sql:83-91`): the "
+    "three 'materialized views' recomputed and overwritten as parquet, "
+    "then read back and inventoried — refresh is a rerun, not mutation.",
+    oracle="""
+SELECT 'daily_orders' AS view_name,
+       (SELECT COUNT(DISTINCT o_orderdate) FROM orders) AS n_rows
+UNION ALL
+SELECT 'monthly_revenue',
+       (SELECT COUNT(DISTINCT date_trunc('month', o_orderdate)) FROM orders)
+UNION ALL
+SELECT 'priority_summary',
+       (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+""",
+)
+def mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    views = {
+        "daily_orders": o.groupBy("o_orderdate").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            N.dsum("o_totalprice").alias("revenue"),
+        ),
+        "monthly_revenue": o.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month")
+        ).agg(N.dsum("o_totalprice").alias("revenue")),
+        "priority_summary": o.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders")
+        ),
+    }
+    rows = []
+    for name, df in views.items():
+        out = os.path.join(_scratch(sf_dir, "mv"), name)
+        df.write.mode("overwrite").parquet(out)
+        rows.append((name, spark.read.parquet(out).count()))
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("view_name", T.StringType()),
+                T.StructField("n_rows", T.LongType()),
+            ]
+        ),
+    )
+
+
+@register(
+    "gtfs_time_parse",
+    ops=("D1", "F2", "F11"),
+    doc="The plpgsql GTFS time parser (`create_schema.sql:199-221`) as a "
+    "pure column expression: 'HH:MM:SS' with HH ≥ 24 → integer seconds, "
+    "NULL on malformed; service hour/day-roll via integer arithmetic "
+    "(the make_interval / EXTRACT(EPOCH) replacement), all codegen-able.",
+    oracle="""
+WITH built AS (
+  SELECT o_orderkey,
+         o_orderkey % 172800 AS secs,
+         CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch_s,
+    CASE WHEN o_orderkey % 13 = 0
+         THEN 'bad:' || CAST(o_orderkey % 172800 AS VARCHAR)
+         ELSE lpad(CAST((o_orderkey % 172800) // 3600 AS VARCHAR), 2, '0')
+              || ':' || lpad(CAST(((o_orderkey % 172800) % 3600) // 60 AS VARCHAR), 2, '0')
+              || ':' || lpad(CAST((o_orderkey % 172800) % 60 AS VARCHAR), 2, '0')
+    END AS time_str
+  FROM orders
+), parsed AS (
+  SELECT o_orderkey, time_str, order_epoch_s,
+    CASE WHEN regexp_matches(time_str, '^[0-9]+:[0-5][0-9]:[0-5][0-9]$')
+         THEN CAST(string_split(time_str, ':')[1] AS INTEGER) * 3600
+            + CAST(string_split(time_str, ':')[2] AS INTEGER) * 60
+            + CAST(string_split(time_str, ':')[3] AS INTEGER)
+    END AS parsed_seconds
+  FROM built
+)
+SELECT o_orderkey, time_str, parsed_seconds, order_epoch_s,
+       (parsed_seconds // 3600) % 24 AS service_hour,
+       parsed_seconds // 86400 AS day_roll
+FROM parsed
+""",
+)
+def gtfs_time_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    built = o.select(
+        "o_orderkey",
+        # Build 'HH:MM:SS' (HH up to 47) from integer arithmetic; every
+        # 13th key malformed to exercise the NULL-on-bad-input branch.
+        F.expr(
+            """CASE WHEN o_orderkey % 13 = 0
+               THEN concat('bad:', cast(o_orderkey % 172800 AS string))
+               ELSE concat(
+                 lpad(cast((o_orderkey % 172800) div 3600 AS string), 2, '0'), ':',
+                 lpad(cast(((o_orderkey % 172800) % 3600) div 60 AS string), 2, '0'), ':',
+                 lpad(cast((o_orderkey % 172800) % 60 AS string), 2, '0'))
+               END"""
+        ).alias("time_str"),
+        F.unix_timestamp("o_orderdate").alias("order_epoch_s"),  # F2
+    )
+    parsed = built.withColumn("parsed_seconds", gtfs_time_to_seconds(F.col("time_str")))
+    return parsed.select(
+        "o_orderkey",
+        "time_str",
+        "parsed_seconds",
+        "order_epoch_s",
+        (F.expr("parsed_seconds div 3600") % 24).alias("service_hour"),
+        F.expr("parsed_seconds div 86400").alias("day_roll"),
+    )
+
+
+@register(
+    "day_name_trim",
+    ops=("F9", "F14"),
+    doc="TO_CHAR('Day') blank-padding + TRIM (`fact_dim_tables.sql:170`, "
+    "`analysis_queries.sql:176`) and the strftime('%A') day-name pick "
+    "(`generate_synthetic_data.py:83`): pad day names to 9 chars, TRIM "
+    "back, flag the Python-chosen target day.",
+    oracle=f"""
+SELECT TRIM(rpad(dayname(o_orderdate), 9, ' ')) AS day_name,
+       TRIM(rpad(dayname(o_orderdate), 9, ' ')) = 'Monday' AS is_target_day,
+       COUNT(*) AS n_orders,
+       {N.sql_dsum("o_totalprice")} AS revenue
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def day_name_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    padded = F.rpad(F.date_format("o_orderdate", "EEEE"), 9, " ")
+    day = F.trim(padded)
+    target_day = "Monday"  # chosen driver-side, as the reference does
+    return o.groupBy(
+        day.alias("day_name"),
+        (day == target_day).alias("is_target_day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        N.dsum("o_totalprice").alias("revenue"),
+    )
+
+
+@register(
+    "limit_without_order",
+    ops=("O5",),
+    doc="LIMIT without ORDER BY (`predict_delays.py:129,222`): which rows "
+    "arrive is plan-dependent, only the count is defined — so the query "
+    "exposes exactly the deterministic part (the count).",
+    oracle="SELECT LEAST(1000, (SELECT COUNT(*) FROM orders)) AS n_rows",
+)
+def limit_without_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.limit(1000).agg(F.count(F.lit(1)).alias("n_rows"))
