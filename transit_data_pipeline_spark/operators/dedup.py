@@ -325,9 +325,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_cosine",
     ops=("J10", "A3"),
-    doc="Embedding near-dup: cosine ≥ 0.4 over all id-ordered pairs — "
-    "the exact verify stage; candidate pruning at scale is the LSH "
-    "plan in operators/similarity.py.",
+    doc="Embedding near-dup: cosine ≥ 0.4 over all id-ordered pairs, "
+    "computed as BLAS screen → exact verify. Phase 1 block-multiplies "
+    "each Arrow batch of vectors against the broadcast matrix and keeps "
+    "pairs above threshold−1e-6 (the float-summation-order error bound "
+    "is ~1e-13, so no true pair can be lost); phase 2 recomputes the "
+    "sequential-fold cosine on only those candidates, so results are "
+    "bitwise identical to the naive all-pairs plan. At larger scale the "
+    "broadcast side becomes a chunk grid (same screen kernel per chunk "
+    "pair); candidate generation stays O(n²/B) matmul flops instead of "
+    "O(n²·d) interpreted expression evals.",
     oracle=f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
   ROUND({V.sql_cosine("a.embedding", "b.embedding")}, 6) AS cos_sim
@@ -336,12 +343,38 @@ WHERE {V.sql_cosine("a.embedding", "b.embedding")} >= 0.4
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    side = e.collect()  # broadcast side: one matrix, like a dim table
+    ids_b = np.array([r.vec_id for r in side], dtype=np.int64)
+    mat_b = np.array([r.embedding for r in side], dtype=np.float64)
+    norm_b = np.sqrt((mat_b * mat_b).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids_b, mat_b, norm_b))
+
+    def screen(batches):
+        b_ids, b_mat, b_norm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
+            sims = (a_mat @ b_mat.T) / np.outer(a_norm, b_norm)
+            ia, ib = np.nonzero(sims >= 0.4 - 1e-6)
+            a_ids = pdf["vec_id"].to_numpy()[ia]
+            paired = a_ids < b_ids[ib]
+            yield pd.DataFrame(
+                {"vec_a": a_ids[paired], "vec_b": b_ids[ib][paired]}
+            )
+
+    cand = e.mapInPandas(screen, "vec_a long, vec_b long")
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = V.cosine(F.col("ea"), F.col("eb"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .filter(cos >= 0.4)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
     )
