@@ -31,6 +31,7 @@ _MODULES = (
     "transit_data_pipeline_spark.operators.pipelineops",
     "transit_data_pipeline_spark.operators.sources",
     "transit_data_pipeline_spark.operators.mlops",
+    "transit_data_pipeline_spark.operators.streamingops",
     "transit_data_pipeline_spark.operators.textops",
     "transit_data_pipeline_spark.operators.dedup",
     "transit_data_pipeline_spark.operators.similarity",

@@ -1,0 +1,165 @@
+"""Structured Streaming operators in the correctness gate (SURVEY §2.9).
+
+The reference's incremental pipeline is cron + high-water-mark polling
+(`airflow/dags/ml_pipeline_dag.py:105-128`); Spark-first it is a
+file-source stream + windowed aggregation + foreachBatch sink, with
+checkpointing replacing the high-water mark. These queries run the
+REAL streaming engine (availableNow trigger drains the source, then
+the query stops), so their results equal the batch equivalent and can
+be oracle-checked exactly — not a batch simulation of streaming.
+
+Scale notes: the file source lists incrementally (maxFilesPerTrigger
+bounds a micro-batch), windowed-agg state is bounded by the watermark,
+and the foreachBatch parquet append is partitioned by event date —
+the same layout the batch warehouse writes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import numeric as N
+from .registry import register
+
+SQL_EVENT_TIME = "make_timestamp(epoch_ns(ts) // 1000)"
+
+#: Raw events schema with TIMESTAMP(NANOS) read as LONG (see
+#: ``catalog.table``); streams declare schemas explicitly.
+_EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source lists a DIRECTORY; the driver table is a
+    # single parquet file, so stage a symlink dir (testdata is
+    # read-only — nothing is copied).
+    src_dir = _scratch(sf_dir, "src")
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    stream = spark.readStream.schema(_EVENTS_RAW).parquet(src_dir)
+    return stream.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _scratch(sf_dir: str, tag: str) -> str:
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"tdps_stream_{tag}_{h}")
+
+
+@register(
+    "streaming_hourly_rollup",
+    ops=("A1", "A3", "F5"),
+    doc="Tumbling 1-hour windowed aggregate over a parquet file-source "
+    "stream, availableNow trigger, complete-mode memory sink — the "
+    "streaming twin of the hourly aggregate fact "
+    "(`fact_dim_tables.sql:372-380`). Drained-stream results equal the "
+    "batch GROUP BY exactly.",
+    oracle=f"""
+SELECT date_trunc('hour', {SQL_EVENT_TIME}) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {N.sql_dsum("value")} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _event_stream(spark, sf_dir)
+        .groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            N.dsum("value").alias("total_value"),
+        )
+    )
+    name = "tdps_stream_rollup"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
+    "streaming_feature_append",
+    ops=("S3", "F5", "P9"),
+    doc="foreachBatch incremental append (ref `update_features` "
+    "`ml_pipeline_dag.py:129-283`): the stream drains into a "
+    "date-partitioned parquet feature sink via checkpointed micro-"
+    "batches (the high-water mark is the checkpoint), then the sink is "
+    "read back and summarized — write→read round trip, exact oracle.",
+    oracle=f"""
+WITH feats AS (
+  SELECT event_id, user_id, event_type,
+         CAST(date_trunc('day', {SQL_EVENT_TIME}) AS TIMESTAMP) AS event_date,
+         hour({SQL_EVENT_TIME}) AS hour_of_day,
+         value
+  FROM events
+)
+SELECT event_date, COUNT(*) AS n_rows,
+       COUNT(DISTINCT user_id) AS n_users,
+       {N.sql_dsum("value")} AS total_value
+FROM feats
+GROUP BY event_date
+""",
+)
+def streaming_feature_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sink = _scratch(sf_dir, "feat_sink")
+    ckpt = _scratch(sf_dir, "feat_ckpt")
+    # Fresh run each call: deterministic result, idempotent re-runs.
+    for d in (sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        feats = batch.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.to_date(F.date_trunc("day", "event_time")).alias("event_date"),
+            F.hour("event_time").alias("hour_of_day"),
+            "value",
+        )
+        feats.write.mode("append").partitionBy("event_date").parquet(sink)
+
+    q = (
+        _event_stream(spark, sf_dir)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(sink)
+    # The partition column round-trips as DATE; the oracle speaks
+    # timestamps (like every date column in the driver tables).
+    return back.groupBy(F.col("event_date").cast("timestamp").alias("event_date")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        N.dsum("value").alias("total_value"),
+    )
