@@ -163,3 +163,90 @@ def streaming_feature_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         N.dsum("value").alias("total_value"),
     )
+
+
+@register(
+    "streaming_stateful_sessions",
+    ops=("W3", "A11"),
+    doc="Custom stateful streaming operator: gap-based sessionization "
+    "(30-min inactivity) via applyInPandasWithState, one open-session "
+    "state row per user. A session is EMITTED when a later event "
+    "closes it; end-of-stream leaves each user's last session open — "
+    "so the oracle is the batch sessionization minus every user's "
+    "final session, which makes the stateful path exactly checkable. "
+    "State is per-key and O(1); at scale the key space shards across "
+    "executors and a watermark timeout would bound idle state.",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+    CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > 1800000000000
+         OR LAG(epoch_ns(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+), sessions AS (
+  SELECT user_id, event_id, ts_ns,
+    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_seq
+  FROM flagged
+), per_sess AS (
+  SELECT user_id, CAST(session_seq AS INT) AS session_seq,
+    COUNT(*) AS n_events,
+    (MAX(ts_ns) - MIN(ts_ns)) // 1000000000 AS duration_sec,
+    MAX(CAST(session_seq AS INT)) OVER (PARTITION BY user_id) AS last_seq
+  FROM sessions
+  GROUP BY user_id, session_seq
+)
+SELECT user_id, session_seq, n_events, duration_sec
+FROM per_sess WHERE session_seq < last_seq
+""",
+)
+def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ns = 1800 * 10**9
+
+    def track(key, pdfs, state: GroupState):
+        events = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        if state.exists:
+            seq, start_ns, last_ns, n = state.get
+        else:
+            seq, start_ns, last_ns, n = 0, None, None, 0
+        closed: list[tuple[int, int, int, int]] = []
+        uid = key[0]
+        for ts_ns in events["ts"].to_numpy():
+            ts_ns = int(ts_ns)
+            if last_ns is None:
+                seq, start_ns, last_ns, n = seq + 1, ts_ns, ts_ns, 1
+            elif ts_ns - last_ns > gap_ns:
+                closed.append((uid, seq, n, (last_ns - start_ns) // 10**9))
+                seq, start_ns, last_ns, n = seq + 1, ts_ns, ts_ns, 1
+            else:
+                last_ns, n = ts_ns, n + 1
+        state.update((int(seq), int(start_ns), int(last_ns), int(n)))
+        yield pd.DataFrame(
+            closed, columns=["user_id", "session_seq", "n_events", "duration_sec"]
+        )
+
+    sessions = (
+        _event_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType="user_id long, session_seq int, n_events long, duration_sec long",
+            stateStructType="seq int, start_ns long, last_ns long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = "tdps_stream_sessions"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
