@@ -169,3 +169,43 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(h, "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "salted_skew_agg",
+    ops=("A3", "A9"),
+    doc="Skew-mitigating two-phase aggregation: the grouping key is "
+    "salted (key, hash mod 16), partial aggregates computed per salted "
+    "key, then combined per real key — a hot key's rows spread over 16 "
+    "tasks instead of one straggler. Partials stay in exact DECIMAL "
+    "until the final combine, so the result is bitwise identical to "
+    "the one-phase plan (and to the oracle) on any partitioning. AQE "
+    "skew handling covers joins; this is the agg-side equivalent for "
+    "known-hot keys.",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       {N.sql_dsum("l_quantity")} AS sum_qty,
+       ({N.sql_dsum("l_extendedprice")} / COUNT(l_extendedprice)) AS avg_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    salt = F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(16))
+    partial = (
+        l.withColumn("salt", salt)
+        .groupBy("l_returnflag", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast(N.DEC)).alias("qty_dec"),
+            F.sum(F.col("l_extendedprice").cast(N.DEC)).alias("price_dec"),
+            F.count("l_extendedprice").alias("n_price"),
+        )
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("n").alias("n_rows"),
+        F.sum("qty_dec").cast("double").alias("sum_qty"),
+        (F.sum("price_dec").cast("double") / F.sum("n_price")).alias("avg_price"),
+    )

@@ -177,3 +177,94 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("norm"), 6).alias("max_norm"),
         )
     )
+
+
+#: IVF coarse quantizer: 16 deterministic centroid vectors (a fixed
+#: id-range sample — at scale these come from a k-means fit persisted
+#: like any dimension table) and 2 probed clusters per query.
+_IVF_CENT_LO, _IVF_CENT_HI = 100, 115
+_IVF_NPROBE = 2
+
+
+@register(
+    "similarity_ivf_ann",
+    ops=("J3", "W4", "O1"),
+    doc="IVF approximate NN, the scale path beside LSH: every vector is "
+    "assigned to its nearest coarse centroid (argmax cosine over a "
+    "broadcastable centroid set), each query probes its top-2 "
+    "centroids, and scoring touches only the probed inverted lists — "
+    "the shuffle is keyed by cluster id, so candidate work scales with "
+    "list size, not corpus size. Centroids here are a deterministic "
+    "id-range sample so the whole index build is oracle-checkable.",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cemb
+  FROM embeddings WHERE vec_id BETWEEN {_IVF_CENT_LO} AND {_IVF_CENT_HI}
+), scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY ROUND({V.sql_cosine("e.embedding", "c.cemb")}, 6) DESC, c.centroid_id
+    ) AS crank
+  FROM embeddings e CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id, embedding, centroid_id FROM scored WHERE crank = 1
+), probes AS (
+  SELECT vec_id AS query_id, embedding AS qe, centroid_id
+  FROM scored WHERE vec_id < {N_QUERIES} AND crank <= {_IVF_NPROBE}
+), pairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND({V.sql_cosine("p.qe", "a.embedding")}, 6) AS cos_sim
+  FROM probes p JOIN assign a ON p.centroid_id = a.centroid_id
+  WHERE p.query_id <> a.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rnk AS sim_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM pairs
+)
+WHERE rnk <= 5
+""",
+)
+def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    cent = e.filter(
+        F.col("vec_id").between(_IVF_CENT_LO, _IVF_CENT_HI)
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cemb"))
+    ccos = F.round(V.cosine(F.col("embedding"), F.col("cemb")), 6)
+    cw = Window.partitionBy("vec_id").orderBy(
+        ccos.desc(), F.col("centroid_id")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("crank", F.row_number().over(cw))
+    )
+    assign = scored.filter(F.col("crank") == 1).select(
+        F.col("vec_id"), F.col("embedding"), F.col("centroid_id")
+    )
+    probes = scored.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("crank") <= _IVF_NPROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("centroid_id"),
+    )
+    cos = F.round(V.cosine(F.col("qe"), F.col("embedding")), 6)
+    pairs = (
+        F.broadcast(probes)
+        .join(assign, "centroid_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= 5)
+    )
