@@ -341,3 +341,57 @@ def day_name_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 def limit_without_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     return o.limit(1000).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
+    "bucketed_colocated_join",
+    ops=("J1", "A3"),
+    doc="Bucketed fact-fact join: orders and lineitem written once as "
+    "tables bucketed 8 ways on the join key, then joined — the scan "
+    "output partitioning already satisfies the join requirement, so "
+    "the join runs shuffle-free (SortMergeJoin with zero Exchange). "
+    "This is the co-location strategy for repeated big-big joins at "
+    "100 TB where re-shuffling the fact table per query dominates; "
+    "broadcast handles dims, bucketing handles fact-fact.",
+    oracle=f"""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_items,
+       {N.sql_dsum("l.l_extendedprice")} AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wh = _scratch(sf_dir, "bucketwh")
+    names = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+    for name, key in names.items():
+        tbl = f"tdps_{name}_bucketed"
+        path = os.path.join(wh, name)
+        # Build once per sf_dir; later calls reuse the bucketed layout
+        # (the whole point: pay the shuffle once, join shuffle-free
+        # forever after). External table: bucketing metadata lives in
+        # the catalog, data at an explicit path.
+        if not spark.catalog.tableExists(tbl) or not os.path.isdir(path):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            (
+                table(spark, sf_dir, name)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", path)
+                .format("parquet")
+                .mode("overwrite")
+                .saveAsTable(tbl)
+            )
+    o = spark.table("tdps_orders_bucketed")
+    l = spark.table("tdps_lineitem_bucketed")
+    # MERGE hint: at test scale Catalyst would broadcast (hiding the
+    # point); a 100 TB fact-fact join is sort-merge, and with matched
+    # bucketing the SMJ needs NO Exchange on either side.
+    return (
+        o.hint("merge").join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            N.dsum("l_extendedprice").alias("revenue"),
+        )
+    )
