@@ -1,0 +1,97 @@
+"""Physical-plan regression tests: the scale properties we designed
+for (pushdown, broadcast, co-location, no nested-loop blowups) must
+stay in the plan, not just in docstrings. A correctness-preserving
+edit that regresses the plan shape fails here."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from transit_data_pipeline_spark.operators.registry import all_specs
+
+SPECS = all_specs()
+
+
+def _plan(spark, sf_dir, name: str, execute: bool = False) -> str:
+    df = SPECS[name].fn(spark, sf_dir)
+    if execute:  # AQE finalizes (and codegen annotates) only on run;
+        # collect() drives THIS QueryExecution (a sink write would
+        # execute a clone and leave this plan un-finalized)
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """Predicates must reach the parquet scan (PushedFilters), not run
+    post-scan only."""
+    plan = _plan(spark, sf_dir, "filter_project_cast")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), f"no pushed filters in:\n{plan}"
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """A narrow projection must narrow ReadSchema — scanning all of
+    lineitem for a 2-column query is wrong at any scale."""
+    plan = _plan(spark, sf_dir, "topk_orders")
+    read = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    # orders has 6 columns; the query needs 4 — the scan must not read
+    # the unused ones.
+    assert "o_orderstatus" not in read and "o_orderdate" not in read
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    """Dimension joins must be broadcast hash joins — a shuffled join
+    against a 25-row dim is a 100 TB anti-pattern."""
+    plan = _plan(spark, sf_dir, "star_join_region_rollup")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """The bucketed fact-fact join: SortMergeJoin with no Exchange on
+    either join input (the only Exchange allowed is the final agg's)."""
+    plan = _plan(spark, sf_dir, "bucketed_colocated_join")
+    assert "SortMergeJoin" in plan
+    smj_subtree = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in smj_subtree, (
+        "join inputs re-shuffled despite bucketing:\n" + plan
+    )
+
+
+def test_embedding_cosine_has_no_nested_loop(spark, sf_dir):
+    """The near-dup plan must be screen+verify (equi-joins only), never
+    the O(n²) BroadcastNestedLoopJoin it once was."""
+    plan = _plan(spark, sf_dir, "dedup_embedding_cosine")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_candidates_use_equi_join(spark, sf_dir):
+    """Shingle candidate generation must be a hash-joinable equi-join."""
+    plan = _plan(spark, sf_dir, "dedup_ngram_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_whole_stage_codegen_covers_core_query(spark, sf_dir):
+    """The flagship query should run inside whole-stage codegen spans
+    (no interpreted row-at-a-time hot path)."""
+    plan = _plan(spark, sf_dir, "perf_ranking_trends", execute=True)
+    assert "isFinalPlan=true" in plan
+    # codegen stages appear as `*(n) Operator` in the final plan text
+    assert re.search(r"\*\(\d+\)", plan), plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["perf_ranking_trends", "feature_join_update", "star_join_region_rollup"],
+)
+def test_no_python_udfs_in_relational_paths(spark, sf_dir, name):
+    """Relational/warehouse queries must stay JVM-side: no BatchEvalPython
+    (row-at-a-time Python) and no ArrowEvalPython in these plans."""
+    plan = _plan(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
