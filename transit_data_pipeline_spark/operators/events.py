@@ -185,3 +185,54 @@ def sessionization_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.expr("(max(ts_ns) - min(ts_ns)) div 1000000000").alias("duration_sec"),
     )
+
+
+@register(
+    "asof_join_prior_purchase",
+    ops=("J7", "W3"),
+    doc="True as-of join (the continuous generalization of the "
+    "reference's hourly-bucket weather lookup, "
+    "`ml_feature_engineering.sql:192-213`): each click is matched to "
+    "the user's most recent purchase at-or-before it. Spark has no "
+    "ASOF JOIN operator; the scalable composition is union the two "
+    "sides, one window per user ordered by time, and carry the last "
+    "non-null purchase forward — one shuffle on user_id, no range "
+    "join, no per-row subquery. Oracle uses DuckDB's native ASOF JOIN.",
+    oracle="""
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_ts_us,
+       p.value AS last_purchase_value,
+       epoch_us(p.ts) AS purchase_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+)
+def asof_join_prior_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    # Purchases sort before clicks at equal ts so "at-or-before"
+    # includes same-instant purchases (ASOF >= semantics).
+    order_flag = F.when(F.col("event_type") == "purchase", 0).otherwise(1)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", order_flag.alias("flag"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pval = F.when(F.col("event_type") == "purchase", F.col("value"))
+    pts_us = F.when(F.col("event_type") == "purchase", F.expr("ts div 1000"))
+    carried = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.last(pval, ignorenulls=True).over(w).alias("last_purchase_value"),
+        F.last(pts_us, ignorenulls=True).over(w).alias("purchase_ts_us"),
+    )
+    return carried.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000").alias("click_ts_us"),
+        "last_purchase_value",
+        "purchase_ts_us",
+    )
