@@ -209,3 +209,70 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qty_dec").cast("double").alias("sum_qty"),
         (F.sum("price_dec").cast("double") / F.sum("n_price")).alias("avg_price"),
     )
+
+
+@register(
+    "range_join_price_bands",
+    ops=("P5", "A3", "J10"),
+    doc="Range join, discretized: joining rows to interval bands via "
+    "BETWEEN is a theta join (a nested-loop at scale); when the bands "
+    "tile the space, map each row straight to its band key — the range "
+    "join becomes a pure projection + aggregation with no join at all. "
+    "The oracle proves equivalence by running the literal BETWEEN join.",
+    oracle=f"""
+WITH bands(band_id, lo, hi) AS (VALUES
+  (0, 0.0, 20000.0), (1, 20000.0, 40000.0), (2, 40000.0, 60000.0),
+  (3, 60000.0, 80000.0), (4, 80000.0, 1e12)
+)
+SELECT b.band_id, b.lo AS band_lo,
+       COUNT(*) AS n_items,
+       {N.sql_dsum("l.l_extendedprice")} AS band_revenue
+FROM lineitem l
+JOIN bands b ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+GROUP BY b.band_id, b.lo
+""",
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    band = F.least(F.floor(F.col("l_extendedprice") / 20000).cast("int"), F.lit(4))
+    return (
+        l.withColumn("band_id", band)
+        .groupBy("band_id", (F.col("band_id") * 20000.0).alias("band_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            N.dsum("l_extendedprice").alias("band_revenue"),
+        )
+    )
+
+
+@register(
+    "rollup_multi_granularity",
+    ops=("A3", "A1", "F1"),
+    doc="Hypertable-style continuous aggregate: one pass produces the "
+    "(year, month), (year), and grand-total granularities via ROLLUP — "
+    "partial aggregates are shared across levels instead of three "
+    "separate scans (the reference materializes each granularity as "
+    "its own summary table, `fact_dim_tables.sql:116-150`).",
+    oracle=f"""
+SELECT year(o_orderdate) AS order_year,
+       month(o_orderdate) AS order_month,
+       COUNT(*) AS n_orders,
+       {N.sql_dsum("o_totalprice")} AS revenue
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+""",
+)
+def rollup_multi_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            "o_totalprice",
+        )
+        .rollup("order_year", "order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            N.dsum("o_totalprice").alias("revenue"),
+        )
+    )
