@@ -158,13 +158,17 @@ def ml_gbt_cv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
 
     l = table(spark, sf_dir, "lineitem")
-    feats = l.select(
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    feats = l.join(
+        F.broadcast(p), l.l_partkey == p.p_partkey
+    ).select(
         "l_orderkey",
         "l_linenumber",
         "l_quantity",
         "l_discount",
         "l_tax",
         "l_returnflag",
+        "p_retailprice",  # the dominant price driver — feature join
         F.month("l_shipdate").alias("ship_month"),
         (F.dayofweek("l_shipdate") - 1).alias("ship_dow"),
         "l_extendedprice",
@@ -189,6 +193,7 @@ def ml_gbt_cv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "l_quantity",
                     "l_discount",
                     "l_tax",
+                    "p_retailprice",
                     "ship_month",
                     "ship_dow",
                 ],
