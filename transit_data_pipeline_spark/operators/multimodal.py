@@ -101,16 +101,64 @@ def decode_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(probe, schema=_DECODE_SCHEMA)
 
 
+#: DuckDB spelling of _fake_decode's digest bytes: byte i of
+#: md5(text) == hex pair at position 2i+1 (md5(VARCHAR) hashes the
+#: UTF-8 bytes, same as the Python side's md5 of the encoded payload).
+def _sql_md5_byte(i: int) -> str:
+    return f"CAST(concat('0x', substr(md5(text), {2 * i + 1}, 2)) AS INTEGER)"
+
+
 @register(
     "multimodal_decode_probe",
     ops=("D6",),
-    doc="Arrow-batched mapInPandas decode probe over binary payloads "
-    "(deterministic fake decoder — see _fake_decode docstring). "
-    "Rows-only check: the decode is not SQL-expressible.",
-    oracle=None,
-    bench=False,
+    doc="Arrow-batched mapInPandas decode probe over binary payloads. "
+    "The decoder is a deterministic md5-derived fake (see _fake_decode "
+    "— the container ships no codecs), which makes even the Python "
+    "decode path exactly oracle-checkable; the Spark plumbing (Arrow "
+    "batches, schema, partitioning) is exactly what a real PIL/ffmpeg "
+    "probe would use.",
+    oracle=f"""
+SELECT doc_id,
+  octet_length(encode(text)) AS n_bytes,
+  256 + {_sql_md5_byte(0)} * 4 AS width,
+  256 + {_sql_md5_byte(1)} * 4 AS height,
+  1 + {_sql_md5_byte(2)} % 32 AS n_frames,
+  'fake-md5-probe' AS decoder
+FROM documents
+""",
 )
 def multimodal_decode_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     return decode_media(payloads)
+
+
+@register(
+    "multimodal_frame_sample",
+    ops=("F7", "P5"),
+    doc="Frame sampling over decoded media: up to 4 evenly-spaced frame "
+    "indices per payload, emitted row-per-frame (explode/sequence — "
+    "the lateral expansion a video pipeline feeds to per-frame feature "
+    "extraction). Frame counts come from the decode probe.",
+    oracle=f"""
+WITH probed AS (
+  SELECT doc_id, 1 + {_sql_md5_byte(2)} % 32 AS n_frames FROM documents
+)
+SELECT doc_id, n_frames,
+       UNNEST(generate_series(0, n_frames - 1, GREATEST(1, (n_frames + 3) // 4)))
+         AS frame_index
+FROM probed
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    probed = decode_media(payloads).select("doc_id", "n_frames")
+    step = F.greatest(F.lit(1), F.expr("(n_frames + 3) div 4"))
+    return probed.select(
+        "doc_id",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, step)
+        ).alias("frame_index"),
+    )
