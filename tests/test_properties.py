@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) for the engine's foundational
+invariants:
+
+* the GTFS time parser accepts exactly the reference grammar
+  ('H+:MM:SS', hours unbounded, NULL on anything else —
+  `create_schema.sql:199-221`);
+* the decimal-exact aggregates are partition-order independent — the
+  same numbers give bitwise-identical sums on any partitioning, which
+  is the premise of the whole oracle gate (and of AQE being free to
+  re-partition at 100 TB).
+
+Each example set is evaluated in ONE Spark job (batched into a single
+DataFrame), so the suite stays fast.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from transit_data_pipeline_spark.functions import numeric as N
+from transit_data_pipeline_spark.gtfs.ingest import gtfs_time_to_seconds
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 99),  # GTFS hours routinely exceed 24
+            st.integers(0, 59),
+            st.integers(0, 59),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_time_parser_roundtrip(spark, triples):
+    rows = [(f"{h:02d}:{m:02d}:{s:02d}", h * 3600 + m * 60 + s) for h, m, s in triples]
+    df = spark.createDataFrame(rows, "t string, expected int")
+    got = df.select(
+        (gtfs_time_to_seconds(F.col("t")) == F.col("expected")).alias("ok")
+    ).collect()
+    assert all(r.ok for r in got)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.one_of(
+            st.just("25:0:00"),  # minutes not 2-digit
+            st.just("12:60:00"),  # minutes out of range
+            st.just("12:00:61"),  # seconds out of range
+            st.just("::"),
+            st.just("12:34"),  # missing seconds
+            st.just("abc"),
+            st.just("12:34:56:78"),
+            st.text(max_size=12).filter(
+                lambda t: not __import__("re").fullmatch(r"\d+:[0-5]\d:[0-5]\d", t)
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_time_parser_rejects_malformed(spark, bad):
+    df = spark.createDataFrame([(b,) for b in bad], "t string")
+    got = df.select(gtfs_time_to_seconds(F.col("t")).alias("v")).collect()
+    assert all(r.v is None for r in got)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e9,
+            max_value=1e9,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=2,
+        max_size=200,
+    )
+)
+def test_dsum_partition_order_independent(spark, values):
+    """Same multiset of doubles → bitwise-identical dsum/davg on 1
+    partition, 8 partitions, and reversed input order."""
+    results = []
+    for vals in (values, list(reversed(values))):
+        for parts in (1, 8):
+            df = spark.createDataFrame(
+                [(v,) for v in vals], "x double"
+            ).repartition(parts)
+            row = df.agg(
+                N.dsum("x").alias("s"), N.davg("x").alias("a")
+            ).first()
+            results.append((row.s.hex(), row.a.hex()))
+    assert len(set(results)) == 1, results
