@@ -367,12 +367,25 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, key in names.items():
         tbl = f"tdps_{name}_bucketed"
         path = os.path.join(wh, name)
-        # Build once per sf_dir; later calls reuse the bucketed layout
-        # (the whole point: pay the shuffle once, join shuffle-free
-        # forever after). External table: bucketing metadata lives in
-        # the catalog, data at an explicit path.
-        if not spark.catalog.tableExists(tbl) or not os.path.isdir(path):
-            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        if spark.catalog.tableExists(tbl) and os.path.isdir(path):
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        if os.path.isdir(path):
+            # Files already bucketed by an earlier session (bucket ids
+            # are in the file names): re-register the metadata only —
+            # the data shuffle was paid exactly once.
+            cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in spark.read.parquet(path).schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {tbl} ({cols}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS "
+                f"LOCATION '{path}'"
+            )
+        else:
+            # First build for this sf_dir: pay the bucketing shuffle
+            # once; every later join on the key is shuffle-free.
             (
                 table(spark, sf_dir, name)
                 .write.bucketBy(8, key)
