@@ -95,3 +95,10 @@ def test_no_python_udfs_in_relational_paths(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """The quarter-filtered dim must prune the partitioned fact scan at
+    runtime (PartitionFilters carries a dynamicpruning expression)."""
+    plan = _plan(spark, sf_dir, "dpp_partitioned_fact_join")
+    assert "dynamicpruning" in plan.lower(), plan
