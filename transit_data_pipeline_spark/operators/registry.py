@@ -32,6 +32,7 @@ _MODULES = (
     "transit_data_pipeline_spark.operators.sources",
     "transit_data_pipeline_spark.operators.mlops",
     "transit_data_pipeline_spark.operators.streamingops",
+    "transit_data_pipeline_spark.operators.sketches",
     "transit_data_pipeline_spark.operators.textops",
     "transit_data_pipeline_spark.operators.dedup",
     "transit_data_pipeline_spark.operators.similarity",
