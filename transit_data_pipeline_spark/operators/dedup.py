@@ -131,6 +131,15 @@ WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.2
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale note: the shingle equi-join costs Σ_sh df² — inherent to
+    # EXACT pairwise Jaccard on duplicate-heavy corpora (every true
+    # near-dup pair must surface; a ×8-duplicated probe corpus has
+    # quadratically many true pairs, so no exact plan escapes it).
+    # Prefix filtering was measured and rejected: at t=0.2 the prefix
+    # is ~80% of each doc's shingles, so it pruned <2× while adding
+    # three shuffles. The 100 TB path is dedup_minhash_lsh (stays
+    # near-linear on the same probe); this operator is the exact
+    # verifier you run on LSH candidates or bounded corpora.
     sh = _doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
