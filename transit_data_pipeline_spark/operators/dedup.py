@@ -377,7 +377,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"vec_a": a_ids[paired], "vec_b": b_ids[ib][paired]}
             )
 
-    cand = e.mapInPandas(screen, "vec_a long, vec_b long")
+    # A single parquet file arrives as one input split; spread the
+    # screen across the cluster (each task multiplies its slice
+    # against the broadcast matrix).
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    cand = e.repartition(n_parts).mapInPandas(screen, "vec_a long, vec_b long")
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = V.cosine(F.col("ea"), F.col("eb"))
