@@ -35,9 +35,20 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     """Read one driver table. Parquet scan → columnar vectorized read
     with predicate pushdown + column pruning for free downstream.
+
+    ``spread=True`` adds a round-robin repartition to default
+    parallelism. The driver tables are single-row-group parquet files,
+    and a row group cannot be split — so scan-side work is one task no
+    matter the cluster size. For CPU-heavy map-side operators (md5
+    shingling, regex scoring, vector folds) the one-time shuffle buys
+    full-cluster parallelism. Leave False for scan→aggregate queries,
+    where the map side is cheap and the shuffle would dominate; on a
+    real multi-row-group layout this flag is a no-op conceptually.
 
     ``events`` is stored with TIMESTAMP(NANOS) which Spark's parquet
     reader rejects; we read nanos as LONG (``ts`` stays raw nanoseconds)
@@ -49,10 +60,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        return df.withColumn(
-            "event_time", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df = df.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if spread:
+        df = df.repartition(max(spark.sparkContext.defaultParallelism, 8))
+    return df
 
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

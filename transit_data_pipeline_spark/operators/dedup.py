@@ -59,7 +59,7 @@ SQL_DOC_SHINGLES = f"""
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     return (
         d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
         .filter(F.size("w") >= 3)
@@ -96,7 +96,7 @@ GROUP BY 1
 """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     return (
         d.select("doc_id", F.md5(_norm_col()).alias("fingerprint"))
         .groupBy("fingerprint")
@@ -295,7 +295,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
 """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     tok = d.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))).alias("t"),

@@ -79,7 +79,7 @@ WHERE rnk <= {TOP_K}
 """,
 )
 def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings", spread=True)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -126,7 +126,7 @@ WHERE rnk <= 5
 """,
 )
 def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings", spread=True)
     b = e.select("vec_id", "embedding", _bucket_col("embedding").alias("bucket"))
     q = b.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -166,7 +166,7 @@ GROUP BY 1
 """,
 )
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings", spread=True)
     norm = F.sqrt(V.dot(F.col("embedding"), F.col("embedding")))
     return (
         e.select("label", norm.alias("norm"))
@@ -228,7 +228,7 @@ WHERE rnk <= 5
 """,
 )
 def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings", spread=True)
     cent = e.filter(
         F.col("vec_id").between(_IVF_CENT_LO, _IVF_CENT_HI)
     ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cemb"))

@@ -59,7 +59,7 @@ FROM tok
 """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     w = tokens_col()
     return d.select(
         "doc_id",
@@ -101,7 +101,7 @@ FROM feat
 """,
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     w = tokens_col()
     stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
     feat = d.select(
@@ -156,7 +156,7 @@ FROM scores
 """,
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     scores = d.select(
         "doc_id",
         F.col("lang").alias("declared_lang"),
@@ -202,7 +202,7 @@ FROM documents
 """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     fp = F.md5(norm)
     return d.select(
