@@ -60,7 +60,7 @@ def build_features(
     hour = (F.col("scheduled_arrival") / 3600).cast("int") % 24
     dow = F.col("day_of_week")  # Python convention 0=Monday
     is_weekend = dow.isin(5, 6)  # ML-layer convention (ref :170)
-    is_rush = hour.isin(7, 8, 9, 16, 17, 18)
+    is_rush = hour.isin(7, 8, 9, 17, 18, 19)
     severity = F.coalesce(sev_map[F.col("weather_condition")], F.lit(1))
 
     base = (

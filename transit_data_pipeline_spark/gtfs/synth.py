@@ -191,7 +191,7 @@ def generate(out_dir: str, seed: int = 42, n_routes: int = 8, trips_per_route: i
                 if sched is None:
                     continue
                 hour = (sched // 3600) % 24
-                rush = hour in (7, 8, 9, 16, 17, 18)
+                rush = hour in (7, 8, 9, 17, 18, 19)
                 ts_hour = datetime.combine(day, datetime.min.time()) + timedelta(hours=hour)
                 cond = weather_by_hour.get(ts_hour, "Clear")
                 p_mult, m_amp = WEATHER_EFFECTS[cond]

@@ -86,13 +86,16 @@ def build_dim_time(spark: SparkSession) -> DataFrame:
         (h * 100 + m).alias("time_key"),
         h.alias("hour"),
         m.alias("minute"),
-        F.when(h < 6, "Night")
-        .when(h < 10, "Morning Rush")
-        .when(h < 16, "Midday")
-        .when(h < 19, "Evening Rush")
-        .otherwise("Evening")
+        F.when(h.between(5, 11), "Morning")
+        .when(h.between(12, 16), "Afternoon")
+        .when(h.between(17, 20), "Evening")
+        .otherwise("Night")
         .alias("time_of_day"),
-        (h.isin(7, 8, 9, 16, 17, 18)).alias("is_rush_hour"),
+        (h.between(7, 9) | h.between(17, 19)).alias("is_rush_hour"),
+        F.when(h.between(7, 9), "Morning Rush")
+        .when(h.between(17, 19), "Evening Rush")
+        .otherwise("Off Peak")
+        .alias("rush_hour_period"),
     )
 
 

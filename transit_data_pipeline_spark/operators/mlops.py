@@ -71,7 +71,7 @@ WITH grid AS (
                + 5.0 * SIN(2 * pi() * (hour - 9) / 24.0), 4) AS temperature_c,
     {_uniform_sql("cell_key", _H1)} AS u1,
     {_uniform_sql("cell_key", _H2)} AS u2,
-    CASE WHEN hour IN (7, 8, 9, 16, 17, 18) THEN 1.8 ELSE 1.0 END AS rush_mult,
+    CASE WHEN hour IN (7, 8, 9, 17, 18, 19) THEN 1.8 ELSE 1.0 END AS rush_mult,
     CASE WHEN day_index = 0 THEN 0.7 ELSE 1.0 END AS holiday_mult
   FROM grid
 ), cond AS (
@@ -111,7 +111,7 @@ def synthetic_weather_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("temperature_c"),
         _uniform_col(F.col("cell_key"), _H1).alias("u1"),
         _uniform_col(F.col("cell_key"), _H2).alias("u2"),
-        F.when(F.col("hour").isin(7, 8, 9, 16, 17, 18), 1.8).otherwise(1.0).alias("rush_mult"),
+        F.when(F.col("hour").isin(7, 8, 9, 17, 18, 19), 1.8).otherwise(1.0).alias("rush_mult"),
         F.when(F.col("day_index") == 0, 0.7).otherwise(1.0).alias("holiday_mult"),
     )
     model = drawn.withColumn("condition", F.expr(_COND_CASE)).withColumn(

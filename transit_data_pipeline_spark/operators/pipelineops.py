@@ -125,7 +125,7 @@ def multikey_validation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH act AS (
   SELECT user_id,
     SUM(CASE WHEN dayofweek({SQL_EVENT_TIME}) = 1 THEN 1 ELSE 0 END) > 0 AS monday,
-    SUM(CASE WHEN dayofweek({SQL_EVENT_TIME}) = 6 THEN 1 ELSE 0 END) > 0 AS friday,
+    SUM(CASE WHEN dayofweek({SQL_EVENT_TIME}) = 5 THEN 1 ELSE 0 END) > 0 AS friday,
     SUM(CASE WHEN dayofweek({SQL_EVENT_TIME}) IN (0, 6) THEN 1 ELSE 0 END) > 0 AS weekend_pg,
     COUNT(*) AS n_events
   FROM events GROUP BY 1
@@ -139,7 +139,7 @@ def dynamic_day_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     pg_dow = F.dayofweek("event_time") - 1  # PG convention 0=Sunday
     act = e.groupBy("user_id").agg(
         (F.sum(F.when(pg_dow == 1, 1).otherwise(0)) > 0).alias("monday"),
-        (F.sum(F.when(pg_dow == 6, 1).otherwise(0)) > 0).alias("friday"),
+        (F.sum(F.when(pg_dow == 5, 1).otherwise(0)) > 0).alias("friday"),
         (F.sum(F.when(pg_dow.isin(0, 6), 1).otherwise(0)) > 0).alias("weekend_pg"),
         F.count(F.lit(1)).alias("n_events"),
     )
