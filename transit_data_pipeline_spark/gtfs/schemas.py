@@ -104,12 +104,12 @@ DELAY_EVENTS = _s(
 #: The 8 seeded weather conditions (ref `generate_synthetic_data.py:24-27`,
 #: must match dim_weather seeds `fact_dim_tables.sql:300-308`).
 WEATHER_CONDITIONS = (
-    "Clear",
-    "Cloudy",
-    "Rain",
-    "Heavy Rain",
-    "Snow",
-    "Fog",
-    "Windy",
-    "Thunderstorm",
+    "clear",
+    "partly_cloudy",
+    "cloudy",
+    "rainy",
+    "heavy_rain",
+    "snow",
+    "fog",
+    "windy",
 )

@@ -28,14 +28,14 @@ from .schemas import WEATHER_CONDITIONS
 #: condition → (delay-prob multiplier, magnitude amplifier)
 #: (ref `generate_synthetic_data.py:203-217`)
 WEATHER_EFFECTS = {
-    "Clear": (1.0, 1.0),
-    "Cloudy": (1.1, 1.0),
-    "Rain": (1.5, 1.2),
-    "Heavy Rain": (2.0, 1.5),
-    "Snow": (2.5, 1.8),
-    "Fog": (1.8, 1.3),
-    "Windy": (1.3, 1.1),
-    "Thunderstorm": (2.2, 1.6),
+    "clear": (1.0, 1.0),
+    "partly_cloudy": (1.1, 1.1),
+    "cloudy": (1.2, 1.2),
+    "rainy": (1.5, 1.4),
+    "heavy_rain": (2.0, 1.8),
+    "snow": (2.5, 2.0),
+    "fog": (1.8, 1.5),
+    "windy": (1.3, 1.2),
 }
 
 START_DATE = date(2025, 6, 2)  # a Monday
@@ -146,10 +146,11 @@ def generate(out_dir: str, seed: int = 42, n_routes: int = 8, trips_per_route: i
         day_frac = (ts.timetuple().tm_yday / 365.0) * 2 * math.pi
         hour_frac = (ts.hour / 24.0) * 2 * math.pi
         temp = 15 + 10 * math.sin(day_frac) + 5 * math.sin(hour_frac - math.pi / 2) + rng.gauss(0, 2)
-        precip = {"Rain": 2.5, "Heavy Rain": 8.0, "Snow": 3.0, "Thunderstorm": 10.0}.get(cond, 0.0)
+        precip = {"rainy": 3.0, "heavy_rain": 10.0, "snow": 5.0, "fog": 0.25}.get(cond, 0.0)
         precip = precip * (0.5 + rng.random()) if precip else 0.0
         wind = 20 + rng.gauss(0, 4) if cond == "Windy" else 5 + rng.gauss(0, 2)
-        vis = {"Fog": 0.8, "Heavy Rain": 2.0, "Snow": 1.5, "Thunderstorm": 2.5}.get(cond, 10.0)
+        vis = {"clear": 10.0, "partly_cloudy": 9.0, "cloudy": 8.0, "rainy": 5.0,
+               "heavy_rain": 3.0, "snow": 4.0, "fog": 1.0, "windy": 7.0}.get(cond, 8.0)
         weather_rows.append(
             {
                 "recorded_at": ts,
@@ -193,7 +194,7 @@ def generate(out_dir: str, seed: int = 42, n_routes: int = 8, trips_per_route: i
                 hour = (sched // 3600) % 24
                 rush = hour in (7, 8, 9, 17, 18, 19)
                 ts_hour = datetime.combine(day, datetime.min.time()) + timedelta(hours=hour)
-                cond = weather_by_hour.get(ts_hour, "Clear")
+                cond = weather_by_hour.get(ts_hour, "clear")
                 p_mult, m_amp = WEATHER_EFFECTS[cond]
                 p = 0.15 * (1.8 if rush else 1.0) * p_mult * (0.7 if is_holiday else 1.0)
                 if rng.random() >= min(p, 0.8):
@@ -205,7 +206,10 @@ def generate(out_dir: str, seed: int = 42, n_routes: int = 8, trips_per_route: i
                     mins = rng.randint(6, 15)
                 else:
                     mins = rng.randint(16, 45)
-                mins = max(1, min(120, int(mins * m_amp * (1.5 if rush and rng.random() < 0.5 else 1.0))))
+                # magnitude rush-amp uses the narrower peak hours
+                # (ref `generate_synthetic_data.py:240-241`)
+                amp_rush = hour in (8, 9, 17, 18)
+                mins = max(1, min(120, int(mins * m_amp * (rng.uniform(1.0, 1.5) if amp_rush else 1.0))))
                 actual = datetime.combine(day, datetime.min.time()) + timedelta(
                     seconds=sched + mins * 60
                 )

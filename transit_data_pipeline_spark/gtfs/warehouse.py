@@ -25,17 +25,17 @@ from pyspark.sql import functions as F
 
 from .schemas import WEATHER_CONDITIONS
 
-#: condition → (severity 1-5, delay multiplier) — dim_weather seed rows
-#: (ref `fact_dim_tables.sql:299-308`).
+#: condition → (severity_level, impact_category) — dim_weather seed
+#: rows, values verbatim from `fact_dim_tables.sql:299-308`.
 WEATHER_SEVERITY = {
-    "Clear": (1, 1.0),
-    "Cloudy": (1, 1.0),
-    "Windy": (2, 1.1),
-    "Rain": (3, 1.2),
-    "Fog": (3, 1.3),
-    "Heavy Rain": (4, 1.5),
-    "Thunderstorm": (5, 1.6),
-    "Snow": (5, 1.8),
+    "clear": (1, "Low Impact"),
+    "partly_cloudy": (1, "Low Impact"),
+    "cloudy": (1, "Low Impact"),
+    "rainy": (2, "Medium Impact"),
+    "heavy_rain": (3, "High Impact"),
+    "snow": (3, "High Impact"),
+    "fog": (2, "Medium Impact"),
+    "windy": (2, "Medium Impact"),
 }
 
 
@@ -192,7 +192,7 @@ def build_dim_weather(spark: SparkSession) -> DataFrame:
         for i, c in enumerate(WEATHER_CONDITIONS)
     ]
     return spark.createDataFrame(
-        rows, "weather_key int, weather_condition string, severity int, delay_multiplier double"
+        rows, "weather_key int, weather_condition string, severity int, impact_category string"
     )
 
 
