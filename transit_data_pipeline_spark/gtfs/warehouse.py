@@ -56,23 +56,37 @@ def build_dim_date(delay_events: DataFrame) -> DataFrame:
     d = F.col("full_date")
     pg_dow = (F.dayofweek(d) - 1).cast("int")  # PG: 0=Sunday
     month = F.month(d)
-    return days.select(
-        _date_key(d).alias("date_key"),
-        d.alias("full_date"),
-        F.year(d).cast("int").alias("year"),
-        F.quarter(d).cast("int").alias("quarter"),
-        month.cast("int").alias("month"),
-        F.date_format(d, "MMMM").alias("month_name"),
-        F.weekofyear(d).cast("int").alias("week_of_year"),
-        F.dayofmonth(d).cast("int").alias("day_of_month"),
-        pg_dow.alias("day_of_week"),
-        F.date_format(d, "EEEE").alias("day_name"),
-        pg_dow.isin(0, 6).alias("is_weekend"),
-        F.when(month.isin(12, 1, 2), "Winter")
-        .when(month.isin(3, 4, 5), "Spring")
-        .when(month.isin(6, 7, 8), "Summer")
-        .otherwise("Fall")
-        .alias("season"),
+    # Holiday flag via the reference's semi-join update (J9,
+    # `fact_dim_tables.sql:186-192`): date_key IN (SELECT ... WHERE
+    # is_holiday) — as a broadcast left join + null test, no mutation.
+    holidays = (
+        delay_events.filter(F.col("is_holiday"))
+        .select(_date_key(F.to_date("actual_arrival")).alias("date_key"))
+        .distinct()
+        .withColumn("hflag", F.lit(True))
+    )
+    return (
+        days.select(
+            _date_key(d).alias("date_key"),
+            d.alias("full_date"),
+            F.year(d).cast("int").alias("year"),
+            F.quarter(d).cast("int").alias("quarter"),
+            month.cast("int").alias("month"),
+            F.date_format(d, "MMMM").alias("month_name"),
+            F.weekofyear(d).cast("int").alias("week_of_year"),
+            F.dayofmonth(d).cast("int").alias("day_of_month"),
+            pg_dow.alias("day_of_week"),
+            F.date_format(d, "EEEE").alias("day_name"),
+            pg_dow.isin(0, 6).alias("is_weekend"),
+            F.when(month.isin(12, 1, 2), "Winter")
+            .when(month.isin(3, 4, 5), "Spring")
+            .when(month.isin(6, 7, 8), "Summer")
+            .otherwise("Fall")
+            .alias("season"),
+        )
+        .join(F.broadcast(holidays), "date_key", "left")
+        .withColumn("is_holiday", F.coalesce("hflag", F.lit(False)))
+        .drop("hflag")
     )
 
 
