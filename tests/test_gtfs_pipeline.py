@@ -124,3 +124,42 @@ def test_materialized_views(pipeline, tmp_path, spark):
     warehouse.refresh_materialized_views(wh, out)
     mv = spark.read.parquet(f"{out}/mv_route_performance")
     assert mv.count() > 0 and "median_delay" in mv.columns
+
+
+def test_dashboard_queries(spark, pipeline):
+    """Every dashboard widget query runs and respects its contract:
+    date filtering, top-k size, per-group aggregates (ref
+    `streamlit_dashboard.py` entry path)."""
+    from transit_data_pipeline_spark.gtfs import dashboard as dash
+
+    _, operational, wh = pipeline
+    ev = operational["delay_events"]
+    lo, hi = ev.agg(
+        F.date_format(F.min(F.to_date("actual_arrival")), "yyyy-MM-dd"),
+        F.date_format(F.max(F.to_date("actual_arrival")), "yyyy-MM-dd"),
+    ).first()
+
+    routes = dash.route_options(wh["dim_route"]).collect()
+    assert len(routes) == len({r.route_id for r in routes})  # distinct
+
+    kpi = dash.kpi_metrics(ev, lo, hi).first()
+    assert kpi.total_delays == ev.count()  # full range covers all rows
+    assert kpi.high_risk_delays == ev.filter(F.col("delay_minutes") > 20).count()
+
+    trend = dash.daily_trend(ev, lo, hi)
+    assert trend.agg(F.sum("delay_count")).first()[0] == ev.count()
+
+    top = dash.top_routes(ev, operational["trips"], lo, hi, k=5).collect()
+    assert len(top) <= 5
+    counts = [r.delay_count for r in top]
+    assert counts == sorted(counts, reverse=True)
+
+    hours = dash.hourly_pattern(ev, lo, hi).select("hour").collect()
+    assert all(0 <= r.hour <= 23 for r in hours)
+
+    weather = dash.weather_impact(ev, lo, hi).collect()
+    avgs = [r.avg_delay for r in weather]
+    assert avgs == sorted(avgs, reverse=True)
+
+    # narrow range filters rows out
+    assert dash.kpi_metrics(ev, lo, lo).first().total_delays <= kpi.total_delays
