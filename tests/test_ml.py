@@ -86,3 +86,41 @@ def test_model_roundtrip(feature_frames, tmp_path, spark):
     a = model.transform(test_in).agg(F.sum("prediction")).first()[0]
     b = loaded.transform(test_in).agg(F.sum("prediction")).first()[0]
     assert a == b
+
+
+def test_future_prediction(spark, feature_frames, tmp_path):
+    """Future-mode end-to-end (ref `predict_delays.py:196-376`): frame
+    built from calendar day-columns, model scores it unmodified, risk
+    levels attach, alert gate and metrics sink work."""
+    from transit_data_pipeline_spark.gtfs import ml, predict
+
+    operational, features = feature_frames
+    train_df, _ = __import__(
+        "transit_data_pipeline_spark.gtfs.features", fromlist=["train_test_views"]
+    ).train_test_views(features)
+    model = ml.train(train_df, max_iter=3, max_depth=3)
+
+    # a date inside the synth calendar horizon (synth starts 2025-06-02)
+    frame = predict.build_future_frame(operational, "2025-06-09", max_trips=20)
+    n = frame.count()
+    assert n > 0
+    assert set(ml.NUMERIC) <= set(frame.columns)
+    assert frame.select("weather_condition").distinct().first()[0] == "clear"
+
+    preds = predict.predict_for_date(model, frame, k=50)
+    rows = preds.collect()
+    assert 0 < len(rows) <= 50
+    assert {r.risk_level for r in rows} <= {"Low", "Medium", "High", "Severe"}
+    # worst-first ordering
+    vals = [r.prediction for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+    alert = predict.high_risk_alert(preds)
+    assert set(alert) == {"n_high_risk_trips", "alert"}
+
+    sink = str(tmp_path / "model_metrics")
+    predict.save_model_metrics(
+        spark, {"rmse": 1.0, "mae": 0.5}, "v1", "2025-06-08T00:00:00", sink
+    )
+    back = spark.read.parquet(sink)
+    assert back.count() == 1 and back.first().model_version == "v1"
