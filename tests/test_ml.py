@@ -124,3 +124,23 @@ def test_future_prediction(spark, feature_frames, tmp_path):
     )
     back = spark.read.parquet(sink)
     assert back.count() == 1 and back.first().model_version == "v1"
+
+
+def test_monitor_predictions(spark):
+    """Accuracy floor gate (ref `ml_pipeline_dag.py:386-388`)."""
+    from transit_data_pipeline_spark.gtfs.predict import monitor_predictions
+
+    preds = spark.createDataFrame(
+        [("t1", "s1", "2025-06-09", 5.0), ("t2", "s1", "2025-06-09", 30.0)],
+        "trip_id string, stop_id string, event_date string, prediction double",
+    )
+    actuals = spark.createDataFrame(
+        [("t1", "s1", "2025-06-09", 7.0), ("t2", "s1", "2025-06-09", 2.0)],
+        "trip_id string, stop_id string, event_date string, delay_minutes double",
+    )
+    out = monitor_predictions(preds, actuals)
+    assert out["n_matched"] == 2
+    assert out["acc_10min"] == 0.5 and out["alert"] is True
+
+    ok = monitor_predictions(preds.limit(1), actuals)
+    assert ok["n_matched"] == 1 and ok["alert"] is False

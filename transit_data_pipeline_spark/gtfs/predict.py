@@ -161,3 +161,26 @@ def save_model_metrics(
     )
     df.write.mode("append").parquet(out_dir)
     return df
+
+
+def monitor_predictions(
+    predictions: DataFrame, actuals: DataFrame, accuracy_floor: float = 0.75
+) -> dict:
+    """The DAG's monitoring task (ref `ml_pipeline_dag.py:363-394`):
+    3-key join of stored predictions to observed delays (J11), MAE and
+    ±10-minute accuracy, alert when accuracy drops below the floor."""
+    joined = predictions.join(actuals, ["trip_id", "stop_id", "event_date"])
+    row = joined.agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.avg(F.abs(F.col("prediction") - F.col("delay_minutes"))).alias("mae"),
+        F.avg(
+            (F.abs(F.col("prediction") - F.col("delay_minutes")) <= 10.0).cast("double")
+        ).alias("acc_10min"),
+    ).first()
+    n = row.n_matched or 0
+    return {
+        "n_matched": n,
+        "mae": float(row.mae) if n else None,
+        "acc_10min": float(row.acc_10min) if n else None,
+        "alert": bool(n and row.acc_10min < accuracy_floor),
+    }
