@@ -68,7 +68,9 @@ SELECT * FROM ranked WHERE revenue_rank <= 5
 """,
 )
 def perf_ranking_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lineitem = table(spark, sf_dir, "lineitem")
+    # spread: the single-row-group fixture scan otherwise serializes
+    # the join+partial-agg map side (measured ~15% win at sf0.1 and ×8)
+    lineitem = table(spark, sf_dir, "lineitem", spread=True)
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
     nation = dim(spark, sf_dir, "nation")
