@@ -144,3 +144,21 @@ def test_monitor_predictions(spark):
 
     ok = monitor_predictions(preds.limit(1), actuals)
     assert ok["n_matched"] == 1 and ok["alert"] is False
+
+
+def test_retrain_weekly(spark, feature_frames):
+    """Weekly retrain: recency window + deterministic cap, model fits."""
+    from transit_data_pipeline_spark.gtfs.predict import retrain_weekly
+
+    _, features = feature_frames
+    as_of = features.agg(
+        __import__("pyspark.sql.functions", fromlist=["F"]).date_format(
+            __import__("pyspark.sql.functions", fromlist=["F"]).max("event_date"),
+            "yyyy-MM-dd",
+        )
+    ).first()[0]
+    model = retrain_weekly(features, as_of, sample_cap=500, max_iter=2, max_depth=2)
+    preds = model.transform(
+        features.na.fill(0).limit(20)
+    )
+    assert preds.filter(preds.prediction.isNotNull()).count() == 20

@@ -184,3 +184,25 @@ def monitor_predictions(
         "acc_10min": float(row.acc_10min) if n else None,
         "alert": bool(n and row.acc_10min < accuracy_floor),
     }
+
+
+def retrain_weekly(
+    features: DataFrame,
+    as_of_date: str,
+    window_days: int = 60,
+    sample_cap: int = 50_000,
+    **train_kwargs,
+):
+    """The weekly retrain task (ref `ml_pipeline_dag.py:527-599`):
+    last-N-days features, capped at ``sample_cap`` rows via the
+    deterministic keyed-hash order (the reference's ORDER BY RANDOM()
+    LIMIT 50000 at `:536-540`, made reproducible), then a fresh fit."""
+    from .ml import train
+
+    as_of = F.lit(as_of_date).cast("date")
+    recent = features.filter(
+        F.col("event_date") >= F.date_sub(as_of, window_days)
+    )
+    h = F.md5(F.concat(F.lit("retrain:"), F.col("feature_id").cast("string")))
+    capped = recent.orderBy(h, "feature_id").limit(sample_cap)
+    return train(capped, **train_kwargs)
