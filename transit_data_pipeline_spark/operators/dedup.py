@@ -391,3 +391,53 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.4)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
     )
+
+
+@register(
+    "dedup_levenshtein",
+    ops=("J1", "P5"),
+    doc="Edit-distance near-dup: candidates blocked on (prefix, length "
+    "bucket) — an equi-join, no cross join — then exact Levenshtein "
+    "over the normalized 64-char head, threshold ≤ 8. Blocking is the "
+    "declared contract (as in every scalable edit-distance dedup): "
+    "pairs differing in their first 4 characters are out of scope.",
+    oracle=f"""
+WITH heads AS (
+  SELECT doc_id,
+         substr({SQL_NORM}, 1, 64) AS head,
+         substr({SQL_NORM}, 1, 4) AS block,
+         length({SQL_NORM}) // 32 AS len_bucket
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.head, b.head) AS edit_distance
+FROM heads a
+JOIN heads b ON a.block = b.block AND a.len_bucket = b.len_bucket
+            AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= 8
+""",
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    heads = d.select(
+        "doc_id",
+        F.substring(_norm_col(), 1, 64).alias("head"),
+        F.substring(_norm_col(), 1, 4).alias("block"),
+        (F.length(_norm_col()).cast("long") / F.lit(32)).cast("long").alias("len_bucket"),
+    )
+    a, b = heads.alias("a"), heads.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 8)
+    )

@@ -276,3 +276,57 @@ def rollup_multi_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             N.dsum("o_totalprice").alias("revenue"),
         )
     )
+
+
+@register(
+    "cube_priority_status",
+    ops=("A3", "A1"),
+    doc="CUBE over (priority, status): all four grouping combinations "
+    "from one pass with shared partials — with ROLLUP "
+    "(rollup_multi_granularity) this completes the multi-granularity "
+    "aggregate family.",
+    oracle=f"""
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       {N.sql_dsum("o_totalprice")} AS revenue
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""",
+)
+def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        N.dsum("o_totalprice").alias("revenue"),
+    )
+
+
+@register(
+    "pivot_status_matrix",
+    ops=("A5", "P1"),
+    doc="Pivot: order counts per priority × status as a wide matrix. "
+    "Spark's pivot() compiles to conditional aggregation — the oracle "
+    "spells that compilation out, which is also the portable ANSI "
+    "form. Pivot values are declared, so no extra distinct pass runs.",
+    oracle="""
+SELECT o_orderpriority,
+  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_F,
+  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_O,
+  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_P
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])  # declared values: one pass
+        .count()
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+    )
