@@ -735,3 +735,70 @@ def retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "set_ops_suite",
+    ops=("U1",),
+    doc="Set operations beyond the reference's UNION ALL: customers "
+    "with urgent orders INTERSECT customers with high-priority orders, "
+    "and EXCEPT for urgent-only — distinct-set semantics on both "
+    "engines. Spark plans these as aggregated semi/anti joins.",
+    oracle="""
+WITH urgent AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+), high AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+)
+SELECT 'both' AS segment, COUNT(*) AS n_customers
+FROM (SELECT o_custkey FROM urgent INTERSECT SELECT o_custkey FROM high)
+UNION ALL
+SELECT 'urgent_only', COUNT(*)
+FROM (SELECT o_custkey FROM urgent EXCEPT SELECT o_custkey FROM high)
+""",
+)
+def set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey").distinct()
+    both = urgent.intersect(high).agg(F.count(F.lit(1)).alias("n_customers")).select(
+        F.lit("both").alias("segment"), "n_customers"
+    )
+    only = urgent.exceptAll(high).agg(F.count(F.lit(1)).alias("n_customers")).select(
+        F.lit("urgent_only").alias("segment"), "n_customers"
+    )
+    return both.unionByName(only)
+
+
+@register(
+    "window_value_suite",
+    ops=("W1", "W12"),
+    doc="Window value functions with explicit frames: first_value over "
+    "the default frame, last_value over the FULL partition (the "
+    "classic trap — the default frame ends at CURRENT ROW, so "
+    "last_value needs UNBOUNDED FOLLOWING), and nth_value(2).",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+  first_value(o_totalprice) OVER w AS first_price,
+  last_value(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+  nth_value(o_totalprice, 2) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def window_value_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(base).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+    )
