@@ -330,3 +330,60 @@ def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
         F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
     )
+
+
+@register(
+    "stratified_sample",
+    ops=("O2", "F12", "A9"),
+    doc="Stratified sampling (sampleBy semantics, deterministic): each "
+    "priority stratum keeps a different fraction, membership decided "
+    "by a keyed md5 uniform instead of an RNG — reproducible on any "
+    "partitioning and any engine, no driver-side state. Returns "
+    "per-stratum kept/total counts so the realized rates are visible.",
+    oracle="""
+WITH draw AS (
+  SELECT o_orderpriority,
+    CAST(concat('0x', substr(md5('strat:' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+      / 1152921504606846976.0 AS u
+  FROM orders
+), rates(o_orderpriority, frac) AS (VALUES
+  ('1-URGENT', 0.5), ('2-HIGH', 0.25), ('3-MEDIUM', 0.1),
+  ('4-NOT SPECIFIED', 0.05), ('5-LOW', 0.01)
+)
+SELECT d.o_orderpriority,
+       COUNT(*) AS n_total,
+       COUNT(CASE WHEN d.u < r.frac THEN 1 END) AS n_kept
+FROM draw d JOIN rates r ON d.o_orderpriority = r.o_orderpriority
+GROUP BY d.o_orderpriority
+""",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("strat:"), F.col("o_orderkey").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(float(16**15))
+    )
+    rates = F.create_map(
+        F.lit("1-URGENT"), F.lit(0.5),
+        F.lit("2-HIGH"), F.lit(0.25),
+        F.lit("3-MEDIUM"), F.lit(0.1),
+        F.lit("4-NOT SPECIFIED"), F.lit(0.05),
+        F.lit("5-LOW"), F.lit(0.01),
+    )
+    return (
+        o.select("o_orderpriority", u.alias("u"))
+        .withColumn("frac", rates[F.col("o_orderpriority")])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("u") < F.col("frac"), 1)).alias("n_kept"),
+        )
+    )
