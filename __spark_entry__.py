@@ -22,6 +22,45 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from transit_data_pipeline_spark.operators.registry import all_specs  # noqa: E402
 from transit_data_pipeline_spark.session import configure  # noqa: E402
 
+#: Queries with a fully green row in CORRECTNESS_r01.json. The driver
+#: verifies queries in dict order under a bounded budget (r1 stopped at
+#: 50 of 77), so queries that still need a green row — the red
+#: `conditional_aggregates` row, everything never checked in r1, and
+#: anything newly registered — are emitted FIRST; the already-green set
+#: follows. This rotation gives every registered query a driver-checked
+#: row across rounds.
+_R1_GREEN = frozenset(
+    {
+        "perf_ranking_trends", "filter_project_cast", "case_coalesce_bounding",
+        "distinct_projection", "anti_join_orphans", "semi_join_per_nation",
+        "star_join_region_rollup", "cross_join_grid", "exact_percentiles",
+        "stddev_by_group", "two_level_agg_having", "global_stats",
+        "topk_orders", "union_all_counts", "dedup_first_wins",
+        "date_parts_smart_keys", "dim_date_series", "risk_binning",
+        "retention_filter", "set_ops_suite", "window_value_suite",
+        "lag_cascade", "rank_suite", "moving_avg_7day", "monthly_trend_ma3",
+        "cumulative_share", "train_test_split", "one_row_frame_lag",
+        "hourly_event_rollup", "hourly_bucket_lookup", "json_props_extract",
+        "sessionization_gap30m", "asof_join_prior_purchase",
+        "feature_join_update", "multikey_validation_join",
+        "dynamic_day_column", "deterministic_sample", "salted_skew_agg",
+        "range_join_price_bands", "rollup_multi_granularity",
+        "cube_priority_status", "pivot_status_matrix", "stratified_sample",
+        "csv_roundtrip", "append_sink_roundtrip", "sql_over_views",
+        "schema_bootstrap", "mv_refresh", "gtfs_time_parse",
+    }
+)
+
+
+def _ordered_specs():
+    specs = all_specs()
+    need_row = [n for n in specs if n not in _R1_GREEN]
+    # Oracle-backed queries yield the strong (hash-checked) rows; the
+    # rows-only ones (e.g. the GBT cross-validation run, which is also
+    # the slowest query in the registry) go behind them.
+    need_row.sort(key=lambda n: specs[n].oracle is None)
+    return {n: specs[n] for n in (*need_row, *(n for n in specs if n in _R1_GREEN))}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -40,13 +79,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: wrap(spec.fn) for name, spec in all_specs().items()}
+    return {name: wrap(spec.fn) for name, spec in _ordered_specs().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twin SQL for each query (omitted → rows-only check)."""
     return {
         name: spec.oracle
-        for name, spec in all_specs().items()
+        for name, spec in _ordered_specs().items()
         if spec.oracle is not None
     }

@@ -6,6 +6,13 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
 Timing excludes driver-side result transfer: each query is executed
 with the noop sink so the full plan (scan → shuffle → agg/window)
 runs, mirroring cluster-side cost.
+
+Output contract: the driver keeps only the LAST 2000 characters of
+stdout and parses the final JSON object from it, so the summary line
+is (a) printed last and (b) size-bounded — the per-query dict keeps
+the slowest queries first and drops fastest entries until the line
+fits. The complete per-query timing table (plus delta vs the round-1
+recording) is written to BENCH_FULL.json instead.
 """
 
 from __future__ import annotations
@@ -16,7 +23,11 @@ import re
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+#: Hard budget for the printed summary line (driver tail is 2000).
+MAX_LINE = 1900
 
 
 def main() -> None:
@@ -49,17 +60,50 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+
+    # Full table + per-query delta vs the recovered round-1 timings.
+    prev_path = os.path.join(REPO, "bench_r01_partial.json")
+    prev = json.load(open(prev_path)) if os.path.exists(prev_path) else {}
+    delta = {
+        n: round(timings[n] - prev[n], 3) for n in timings if n in prev
+    }
+    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+        json.dump(
             {
                 "metric": "query_suite_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
-            }
+                "n_queries": len(timings),
+                "queries": timings,
+                "delta_vs_r01": dict(
+                    sorted(delta.items(), key=lambda kv: kv[1], reverse=True)
+                ),
+            },
+            f,
+            indent=1,
         )
-    )
+
+    # Size-bounded summary: keep slowest queries, drop fastest until
+    # the line fits the driver's stdout tail.
+    by_cost = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
+    keep = dict(by_cost)
+    while len(keep) > 1:
+        line = json.dumps(
+            {
+                "metric": "query_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": dict(sorted(keep.items())),
+                "sf": sf,
+                "n_queries": len(timings),
+            },
+            separators=(",", ":"),
+        )
+        if len(line) <= MAX_LINE:
+            break
+        keep.pop(by_cost[len(keep) - 1][0])
+    print(line)
 
 
 if __name__ == "__main__":

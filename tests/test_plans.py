@@ -69,6 +69,20 @@ def test_embedding_cosine_has_no_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_no_driver_collect_in_operator_modules():
+    """No operator may materialize a table on the driver: `.collect()`
+    anywhere in the operator surface is a driver-OOM at cluster scale.
+    (tests/ and plan-inspection helpers may collect; operators may not.)"""
+    import pathlib
+
+    import transit_data_pipeline_spark.operators as ops
+
+    for path in pathlib.Path(ops.__file__).parent.glob("*.py"):
+        src = path.read_text()
+        assert ".collect()" not in src, f"driver collect in {path.name}"
+        assert ".toPandas()" not in src, f"driver toPandas in {path.name}"
+
+
 def test_ngram_candidates_use_equi_join(spark, sf_dir):
     """Shingle candidate generation must be a hash-joinable equi-join."""
     plan = _plan(spark, sf_dir, "dedup_ngram_jaccard")

@@ -49,11 +49,19 @@ def davg(col: str | Column) -> Column:
 def dstddev(col: str | Column) -> Column:
     """Deterministic sample stddev from exact sufficient statistics:
     sqrt((sum(x²) − sum(x)²/n) / (n−1)). NULL when n < 2 (matches
-    PG/Spark STDDEV_SAMP)."""
+    PG/Spark STDDEV_SAMP).
+
+    The square is computed IN DECIMAL (dec(x)·dec(x), exact) rather
+    than squaring the double and then rounding to decimal: a double
+    square frequently terminates exactly at the rounding digit, and
+    engines disagree on tie rounding (Spark rounds the shortest
+    decimal repr half-up; DuckDB rounds the exact binary expansion),
+    so the double→decimal path is not cross-engine deterministic."""
     c = _c(col)
     n = F.count(c).cast("double")
-    s = F.sum(c.cast(DEC)).cast("double")
-    s2 = F.sum((c * c).cast(DEC2)).cast("double")
+    cd = c.cast(DEC)
+    s = F.sum(cd).cast("double")
+    s2 = F.sum(cd * cd).cast("double")
     var = (s2 - (s * s) / n) / (n - F.lit(1.0))
     # Guard tiny negative values from the final double subtraction.
     return F.when(n >= 2, F.sqrt(F.greatest(var, F.lit(0.0))))
@@ -75,10 +83,21 @@ def sql_davg(expr: str) -> str:
 
 
 def sql_dstddev(expr: str) -> str:
-    """DuckDB spelling of :func:`dstddev`."""
+    """DuckDB spelling of :func:`dstddev` (square in decimal, exact).
+
+    One operand is widened to DECIMAL(19,4): DuckDB's 18×18 multiply
+    takes an int64 fast path that overflows for 1e9-unit values, while
+    width 19 forces int128. The product stays DECIMAL(37,8) — the same
+    exact type Spark produces for dec(18,4)·dec(18,4)."""
     n = f"CAST(COUNT({expr}) AS DOUBLE)"
     s = sql_dsum(expr)
-    s2 = f"CAST(SUM(CAST((({expr}) * ({expr})) AS DECIMAL(28,6))) AS DOUBLE)"
+    dec = f"CAST(({expr}) AS DECIMAL(18,4))"
+    dec_w = f"CAST(({expr}) AS DECIMAL(19,4))"
+    # VARCHAR round-trip: DuckDB's int128-decimal→double cast double-
+    # rounds (int128→double, then scale), off by 1 ulp from the
+    # correctly-rounded conversion Spark/Java produce; strtod on the
+    # decimal string is correctly rounded.
+    s2 = f"CAST(CAST(SUM({dec_w} * {dec}) AS VARCHAR) AS DOUBLE)"
     return (
         f"(CASE WHEN COUNT({expr}) >= 2 THEN "
         f"SQRT(GREATEST(({s2} - ({s} * {s}) / {n}) / ({n} - 1.0), 0.0)) END)"

@@ -335,15 +335,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_cosine",
     ops=("J10", "A3"),
     doc="Embedding near-dup: cosine ≥ 0.4 over all id-ordered pairs, "
-    "computed as BLAS screen → exact verify. Phase 1 block-multiplies "
-    "each Arrow batch of vectors against the broadcast matrix and keeps "
-    "pairs above threshold−1e-6 (the float-summation-order error bound "
-    "is ~1e-13, so no true pair can be lost); phase 2 recomputes the "
-    "sequential-fold cosine on only those candidates, so results are "
-    "bitwise identical to the naive all-pairs plan. At larger scale the "
-    "broadcast side becomes a chunk grid (same screen kernel per chunk "
-    "pair); candidate generation stays O(n²/B) matmul flops instead of "
-    "O(n²·d) interpreted expression evals.",
+    "computed as a chunk-grid BLAS screen → exact verify. Vectors are "
+    "hashed into B blocks; the B(B+1)/2 block-pair grid is a tiny "
+    "literal frame, each vector ships to the B grid groups touching "
+    "its block (n·B shuffled rows — no driver collect, no broadcast "
+    "of the corpus), and each group runs one matmul over its pair of "
+    "blocks, keeping pairs above threshold−1e-6 (the float-summation-"
+    "order error bound is ~1e-13, so no true pair can be lost). Phase "
+    "2 recomputes the sequential-fold cosine on only those candidates, "
+    "so results are bitwise identical to the naive all-pairs plan. At "
+    "cluster scale B = ceil(n/rows_per_block) bounds per-task memory; "
+    "total work stays O(n²/B·B)=O(n²) matmul flops but distributed "
+    "over B² tasks with no single-node materialization.",
     oracle=f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
   ROUND({V.sql_cosine("a.embedding", "b.embedding")}, 6) AS cos_sim
@@ -356,32 +359,51 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    side = e.collect()  # broadcast side: one matrix, like a dim table
-    ids_b = np.array([r.vec_id for r in side], dtype=np.int64)
-    mat_b = np.array([r.embedding for r in side], dtype=np.float64)
-    norm_b = np.sqrt((mat_b * mat_b).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids_b, mat_b, norm_b))
+    # Chunk grid: B blocks → B(B+1)/2 block-pair tasks. At test scale
+    # B=8 gives 36 groups (≈ one per core); on a cluster pick
+    # B = ceil(n / rows_per_block) so two blocks of vectors fit in one
+    # task's memory.
+    B = 8
+    blocked = e.withColumn("blk", (F.col("vec_id") % B).cast("int"))
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(B) for j in range(B) if i <= j], "ba int, bb int"
+    )
+    lo = blocked.join(F.broadcast(grid), blocked.blk == grid.ba).select(
+        "ba", "bb", F.lit(0).alias("side"), "vec_id", "embedding"
+    )
+    hi = blocked.join(
+        F.broadcast(grid), (blocked.blk == grid.bb) & (grid.ba != grid.bb)
+    ).select("ba", "bb", F.lit(1).alias("side"), "vec_id", "embedding")
 
-    def screen(batches):
-        b_ids, b_mat, b_norm = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            a_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
-            sims = (a_mat @ b_mat.T) / np.outer(a_norm, b_norm)
-            ia, ib = np.nonzero(sims >= 0.4 - 1e-6)
-            a_ids = pdf["vec_id"].to_numpy()[ia]
-            paired = a_ids < b_ids[ib]
-            yield pd.DataFrame(
-                {"vec_a": a_ids[paired], "vec_b": b_ids[ib][paired]}
-            )
+    def screen(pdf: pd.DataFrame) -> pd.DataFrame:
+        diag = pdf["ba"].iat[0] == pdf["bb"].iat[0]
+        a = pdf if diag else pdf[pdf["side"] == 0]
+        b = pdf if diag else pdf[pdf["side"] == 1]
+        if not len(a) or not len(b):
+            return pd.DataFrame({"vec_a": [], "vec_b": []}, dtype="int64")
+        a_ids = a["vec_id"].to_numpy()
+        b_ids = b["vec_id"].to_numpy()
+        a_mat = np.array(list(a["embedding"]), dtype=np.float64)
+        b_mat = np.array(list(b["embedding"]), dtype=np.float64)
+        a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
+        b_norm = np.sqrt((b_mat * b_mat).sum(axis=1))
+        sims = (a_mat @ b_mat.T) / np.outer(a_norm, b_norm)
+        ia, ib = np.nonzero(sims >= 0.4 - 1e-6)
+        x, y = a_ids[ia], b_ids[ib]
+        if diag:
+            keep = x < y  # each unordered pair appears in both orders
+            return pd.DataFrame({"vec_a": x[keep], "vec_b": y[keep]})
+        # Cross-block: blocks are disjoint, each unordered pair appears
+        # exactly once — normalize to id order.
+        return pd.DataFrame(
+            {"vec_a": np.minimum(x, y), "vec_b": np.maximum(x, y)}
+        )
 
-    # A single parquet file arrives as one input split; spread the
-    # screen across the cluster (each task multiplies its slice
-    # against the broadcast matrix).
-    n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    cand = e.repartition(n_parts).mapInPandas(screen, "vec_a long, vec_b long")
+    cand = (
+        lo.unionByName(hi)
+        .groupBy("ba", "bb")
+        .applyInPandas(screen, "vec_a long, vec_b long")
+    )
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = V.cosine(F.col("ea"), F.col("eb"))

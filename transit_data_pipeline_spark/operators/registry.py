@@ -26,6 +26,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: Operator modules loaded by :func:`all_specs`.
 _MODULES = (
     "transit_data_pipeline_spark.operators.relational",
+    "transit_data_pipeline_spark.operators.analysisq",
     "transit_data_pipeline_spark.operators.windows",
     "transit_data_pipeline_spark.operators.events",
     "transit_data_pipeline_spark.operators.pipelineops",
