@@ -162,3 +162,62 @@ def test_retrain_weekly(spark, feature_frames):
         features.na.fill(0).limit(20)
     )
     assert preds.filter(preds.prediction.isNotNull()).count() == 20
+
+
+def test_daily_pipeline_chain(spark, feature_frames, tmp_path):
+    """The composed daily DAG chain (ref `ml_pipeline_dag.py:522`):
+    quality >> features >> predict >> monitor >> alert >> cleanup in
+    one call, from a PERSISTED model artifact, idempotent on re-run."""
+    from transit_data_pipeline_spark.gtfs import ml, pipeline
+    from transit_data_pipeline_spark.gtfs.features import train_test_views
+
+    operational, features = feature_frames
+    train_df, _ = train_test_views(features)
+    model = ml.train(train_df, max_depth=3, max_iter=3)
+    model_path = str(tmp_path / "artifact")
+    ml.save_model(model, model_path, version="v2", trained_at="2025-06-29T00:00:00")
+    loaded, meta = ml.load_model(model_path)
+    assert meta["model_version"] == "v2"
+    assert meta["numeric"] == list(ml.NUMERIC)
+
+    as_of = operational["delay_events"].agg(
+        F.date_format(F.max(F.to_date("actual_arrival")), "yyyy-MM-dd")
+    ).first()[0]
+    out_dir = str(tmp_path / "stores")
+    result = pipeline.run_daily_pipeline(
+        spark, operational, as_of, model_path, out_dir, max_trips=20
+    )
+    assert result["status"] == "ok"
+    assert all(result["quality"].values())
+    assert result["predictions"]["model_version"] == "v2"
+    assert set(result["monitor"]) == {"n_matched", "mae", "acc_10min", "alert"}
+    assert set(result["alert"]) == {"n_high_risk_trips", "alert"}
+
+    preds = spark.read.parquet(result["predictions"]["store"])
+    n_first = preds.count()
+    assert n_first > 0
+
+    # Idempotent re-run: same date overwrites its partition, not appends.
+    result2 = pipeline.run_daily_pipeline(
+        spark, operational, as_of, model_path, out_dir, max_trips=20
+    )
+    assert result2["status"] == "ok"
+    assert spark.read.parquet(result["predictions"]["store"]).count() == n_first
+
+    # Retention: a partition older than the window is dropped.
+    import os
+
+    old_dir = os.path.join(result["predictions"]["store"], "prediction_date=2024-01-01")
+    # re-read: the re-run overwrote the partition, `preds` has a stale file list
+    one = (
+        spark.read.parquet(result["predictions"]["store"])
+        .drop("prediction_date")
+        .limit(1)
+        .collect()
+    )
+    spark.createDataFrame(one).write.mode("overwrite").parquet(old_dir)
+    swept = pipeline.cleanup_old_predictions(
+        spark, result["predictions"]["store"], as_of, retention_days=30
+    )
+    assert swept["n_partitions_dropped"] == 1
+    assert not os.path.isdir(old_dir)

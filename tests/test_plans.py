@@ -69,6 +69,24 @@ def test_embedding_cosine_has_no_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_no_forced_broadcast_of_unbounded_frames():
+    """`F.broadcast(...)` may hint only genuinely bounded dimensions.
+    Trip-keyed frames (trips, dim_trip, max_seq, per-trip aggregates)
+    grow with the network — forcing them broadcast is a 100 TB
+    anti-pattern (the r1 verdict's dashboard finding); AQE decides."""
+    import pathlib
+    import re
+
+    import transit_data_pipeline_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    for path in sorted(root.rglob("*.py")):
+        for hint in re.findall(r"F\.broadcast\(\s*([^)]*)", path.read_text()):
+            assert "trip" not in hint.lower(), (
+                f"forced broadcast of trip-keyed frame in {path.name}: {hint!r}"
+            )
+
+
 def test_no_driver_collect_in_operator_modules():
     """No operator may materialize a table on the driver: `.collect()`
     anywhere in the operator surface is a driver-OOM at cluster scale.

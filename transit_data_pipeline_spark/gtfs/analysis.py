@@ -171,7 +171,9 @@ def q7_delay_cascade(wh: Wh) -> DataFrame:
     trend labels (ref `analysis_queries.sql:252-283`)."""
     seq = (
         wh["fact_delay_events"]
-        .join(F.broadcast(wh["dim_trip"].select("trip_key", "trip_id")), "trip_key")
+        # dim_trip is NOT bounded (one row per trip) — no broadcast
+        # hint; AQE decides from runtime sizes.
+        .join(wh["dim_trip"].select("trip_key", "trip_id"), "trip_key")
         .join(F.broadcast(wh["dim_stop"].select("stop_key", "stop_name")), "stop_key")
     )
     w = Window.partitionBy("trip_id", "date_key").orderBy("stop_sequence")
@@ -223,8 +225,15 @@ def q8_weather_impact(wh: Wh) -> DataFrame:
 def q9_recent_vs_historical(wh: Wh, as_of_date_key: int) -> DataFrame:
     """Recent-7-day vs historical split in one pass via conditional AVG,
     DESC NULLS LAST ordering (ref `analysis_queries.sql:330-368`).
-    'now' is the parameterized as_of date key (SURVEY §7 determinism)."""
-    recent = F.col("date_key") > as_of_date_key - 7  # date_key YYYYMMDD within month
+    'now' is the parameterized as_of date key (SURVEY §7 determinism).
+    The recency predicate converts the YYYYMMDD key to a real DATE and
+    uses date_sub — integer key arithmetic breaks across month
+    boundaries (e.g. as_of 20250803 − 7 = 20250796)."""
+    as_of = F.to_date(F.lit(str(as_of_date_key)), "yyyyMMdd")
+    recent = (
+        F.to_date(F.col("date_key").cast("string"), "yyyyMMdd")
+        > F.date_sub(as_of, 7)
+    )
     return (
         wh["fact_delay_events"]
         .join(F.broadcast(wh["dim_route"].select("route_key", "route_id")), "route_key")

@@ -55,10 +55,12 @@ def top_routes(
     delay_events: DataFrame, trips: DataFrame, start_date: str, end_date: str, k: int = 10
 ) -> DataFrame:
     """Top-k routes by delay count (ref `:205-217`), route resolved via
-    the trips join; deterministic tiebreak on route_id."""
+    the trips join; deterministic tiebreak on route_id. trips is NOT
+    broadcast-hinted: it is not a bounded dimension (it grows with
+    network size), so join strategy is left to Catalyst/AQE."""
     return (
         _in_range(delay_events, start_date, end_date)
-        .join(F.broadcast(trips.select("trip_id", "route_id")), "trip_id")
+        .join(trips.select("trip_id", "route_id"), "trip_id")
         .groupBy("route_id")
         .agg(
             F.count(F.lit(1)).alias("delay_count"),

@@ -67,7 +67,9 @@ def build_features(
         e.join(trips, "trip_id")
         .join(F.broadcast(routes), "route_id")
         .join(st, ["trip_id", "stop_id"], "left")
-        .join(F.broadcast(max_seq), "trip_id", "left")
+        # max_seq is trip-keyed (unbounded at network scale) — no
+        # broadcast hint; AQE picks the strategy from runtime sizes.
+        .join(max_seq, "trip_id", "left")
         .select(
             F.col("id").alias("feature_id"),
             "trip_id",
@@ -116,7 +118,10 @@ def build_features(
     out = base
     for src, keys, days, name in hist_specs:
         agg = _hist(src, keys, days, as_of, name)
-        out = out.join(F.broadcast(agg), keys, "left").withColumn(
+        # Some aggregates are keyed by unbounded domains (trip_id,
+        # route×stop): leave broadcast-vs-shuffle to AQE's runtime
+        # size estimates rather than forcing a hint.
+        out = out.join(agg, keys, "left").withColumn(
             name, F.coalesce(F.col(name), F.lit(0.0))  # ref COALESCE(...,0) :387-453
         )
     return out

@@ -79,6 +79,41 @@ def train(train_df: DataFrame, **kwargs) -> PipelineModel:
     return build_pipeline(**kwargs).fit(df)
 
 
+def save_model(model: PipelineModel, path: str, version: str = "v1",
+               trained_at: str = "") -> None:
+    """Persist the fitted pipeline + metadata. The reference pickles
+    model + encoders + scaler + feature list in one artifact
+    (`train_delay_model.py:436-465`); a PipelineModel already bundles
+    the indexers/assembler/scaler/regressor stages, so the artifact is
+    the saved pipeline plus a JSON metadata sidecar."""
+    import json
+    import os
+
+    model.write().overwrite().save(os.path.join(path, "pipeline"))
+    meta = {
+        "model_version": version,
+        "trained_at": trained_at,  # parameterized — never wall-clock
+        "label": LABEL,
+        "categorical": list(CATEGORICAL),
+        "numeric": list(NUMERIC),
+    }
+    with open(os.path.join(path, "metadata.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+
+
+def load_model(path: str) -> tuple[PipelineModel, dict]:
+    """Reload a persisted artifact: (PipelineModel, metadata). The
+    daily-predict path runs from this, as the reference's
+    predict_delays.py loads its pickle (`predict_delays.py:60-74`)."""
+    import json
+    import os
+
+    model = PipelineModel.load(os.path.join(path, "pipeline"))
+    with open(os.path.join(path, "metadata.json")) as f:
+        meta = json.load(f)
+    return model, meta
+
+
 def tolerance_accuracy(predictions: DataFrame, tolerance_min: float = 10.0) -> float:
     """Fraction of predictions within ±tolerance minutes (ref
     `train_delay_model.py:400-416` / acceptance `:584`)."""

@@ -74,7 +74,9 @@ def build_future_frame(
     frame = (
         trips.join(st, "trip_id")
         .join(F.broadcast(routes), "route_id")
-        .join(F.broadcast(max_seq), "trip_id", "left")
+        # max_seq is trip-keyed (unbounded) — no forced broadcast;
+        # AQE sees the post-cap sizes at runtime.
+        .join(max_seq, "trip_id", "left")
         .join(hist, ["route_id", "stop_id"], "left")
         .select(
             "trip_id",

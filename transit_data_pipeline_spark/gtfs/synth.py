@@ -6,8 +6,9 @@ seeded computation (ref `generate_synthetic_data.py`):
     6–48 h, condition-driven precip/wind/visibility (`:127-191`);
   * delay probability: base 15%, ×1.8 rush hour, ×weather multiplier,
     ×0.7 holiday, capped at 80% (`:195-219`);
-  * delay magnitude: 60% 1–5 min / 25% 6–15 / 15% 16–45, weather
-    amplifier, clamp [1,120] (`:222-243`).
+  * delay magnitude: two sequential draws — 60% 1–5 min, else 85%
+    6–15 / 15% 16–45 (effective 60/34/6) — weather amplifier, clamp
+    [1,120] (`:222-243`).
 
 Everything is driver-side numpy (fixtures are small); the *pipeline*
 that consumes them is pure Spark. Writes CSV (to exercise the S1
@@ -143,14 +144,25 @@ def generate(out_dir: str, seed: int = 42, n_routes: int = 8, trips_per_route: i
             cond = rng.choice(WEATHER_CONDITIONS)
             run_left = rng.randint(6, 48)
         run_left -= 1
-        day_frac = (ts.timetuple().tm_yday / 365.0) * 2 * math.pi
-        hour_frac = (ts.hour / 24.0) * 2 * math.pi
-        temp = 15 + 10 * math.sin(day_frac) + 5 * math.sin(hour_frac - math.pi / 2) + rng.gauss(0, 2)
-        precip = {"rainy": 3.0, "heavy_rain": 10.0, "snow": 5.0, "fog": 0.25}.get(cond, 0.0)
-        precip = precip * (0.5 + rng.random()) if precip else 0.0
-        wind = 20 + rng.gauss(0, 4) if cond == "Windy" else 5 + rng.gauss(0, 2)
+        # seasonal 15+15·sin(2π(doy−80)/365) + diurnal 8·sin(2π(h−6)/24)
+        # (ref `generate_synthetic_data.py:146-152`)
+        doy = ts.timetuple().tm_yday
+        temp = (
+            15
+            + 15 * math.sin(2 * math.pi * (doy - 80) / 365)
+            + 8 * math.sin(2 * math.pi * (ts.hour - 6) / 24)
+            + rng.gauss(0, 2)
+        )
+        precip = {
+            "rainy": rng.uniform(1, 5),
+            "heavy_rain": rng.uniform(5, 15),
+            "snow": rng.uniform(2, 8),
+            "fog": rng.uniform(0, 0.5),
+        }.get(cond, 0.0)
+        wind = (20 if cond == "windy" else 5) + rng.gauss(0, 5)
         vis = {"clear": 10.0, "partly_cloudy": 9.0, "cloudy": 8.0, "rainy": 5.0,
                "heavy_rain": 3.0, "snow": 4.0, "fog": 1.0, "windy": 7.0}.get(cond, 8.0)
+        vis = vis + rng.gauss(0, 1)
         weather_rows.append(
             {
                 "recorded_at": ts,
@@ -199,10 +211,12 @@ def generate(out_dir: str, seed: int = 42, n_routes: int = 8, trips_per_route: i
                 p = 0.15 * (1.8 if rush else 1.0) * p_mult * (0.7 if is_holiday else 1.0)
                 if rng.random() >= min(p, 0.8):
                     continue
-                bucket = rng.random()
-                if bucket < 0.60:
+                # Two independent draws, as the reference draws them:
+                # effective split 60% / 34% / 6% (0.4×0.85 / 0.4×0.15),
+                # ref `generate_synthetic_data.py:223-230`.
+                if rng.random() < 0.60:
                     mins = rng.randint(1, 5)
-                elif bucket < 0.85:
+                elif rng.random() < 0.85:
                     mins = rng.randint(6, 15)
                 else:
                     mins = rng.randint(16, 45)

@@ -226,7 +226,9 @@ def build_fact(
     cat = F.col("delay_minutes")
     return (
         e.join(F.broadcast(dim_stop.select("stop_key", "stop_id")), "stop_id")
-        .join(F.broadcast(dim_trip.select("trip_key", "trip_id", "route_id")), "trip_id")
+        # dim_trip grows with the network (one row per trip) — no
+        # forced broadcast; AQE decides from runtime sizes.
+        .join(dim_trip.select("trip_key", "trip_id", "route_id"), "trip_id")
         .join(F.broadcast(dim_route.select("route_key", "route_id")), "route_id")
         .join(
             F.broadcast(dim_weather.select("weather_key", "weather_condition", "severity")),
