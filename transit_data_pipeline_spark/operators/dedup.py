@@ -264,6 +264,88 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_lsh_verified",
+    ops=("J1", "A1", "A9"),
+    doc="The composed 100 TB near-dup plan: MinHash-LSH banding "
+    "generates candidate pairs (near-linear — band-hash equi-join), "
+    "then EXACT Jaccard is computed on candidates only (shingle "
+    "equi-join restricted to the candidate set), threshold ≥ 0.5. "
+    "This replaces the quadratic full-pairwise dedup_ngram_jaccard "
+    "for unbounded corpora: the exact verify touches Σ|cand| pairs "
+    "instead of Σdf². The oracle is the FULL exact pairwise Jaccard — "
+    "a green row certifies the banding lost no true pair at this "
+    "threshold (banding recall for j≥0.85 pairs is ≥94.8% per pair "
+    "a-priori and exact dups are always caught; SCALING.md records "
+    "the measured candidate-set growth).",
+    oracle=f"""
+WITH sh AS ({SQL_DOC_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+  CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+""",
+)
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Phase 1: LSH candidates (same banding as dedup_minhash_lsh).
+    sig = _minhash_signature(spark, sf_dir)
+    zipped = F.explode(
+        F.arrays_zip(
+            F.array(*[F.lit(j) for j in range(N_BANDS)]).alias("band_id"),
+            F.array(*[F.expr(e) for e in _band_exprs()]).alias("band_hash"),
+        )
+    )
+    bands = sig.select("doc_id", zipped.alias("z")).select(
+        "doc_id", F.col("z.band_id").alias("band_id"), F.col("z.band_hash").alias("band_hash")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Phase 2: exact Jaccard on candidates only. The shingle join is
+    # keyed by (doc, shingle) — restricted to candidate docs, so cost
+    # is Σ_cand(|A|+|B|), not Σ_sh df².
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(
+            sh_b,
+            (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@register(
     "dedup_simhash",
     ops=("A5", "J1"),
     doc="SimHash near-dup: 32-bit md5-derived token hashes, per-bit "
