@@ -46,6 +46,16 @@ def main() -> None:
     specs["perf_ranking_trends"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # ...and the Python worker pool (one task per core), so the first
+    # Arrow-UDF query doesn't pay worker spin-up in its timed run.
+    def _noop_pdf(it):
+        yield from it
+
+    spark.range(256).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(_noop_pdf, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
@@ -62,11 +72,14 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
 
     # Full table + per-query delta vs the recovered round-1 timings.
+    # `comparable_total` sums only queries that existed in r1, so the
+    # suite total stays apples-to-apples as new queries are added.
     prev_path = os.path.join(REPO, "bench_r01_partial.json")
     prev = json.load(open(prev_path)) if os.path.exists(prev_path) else {}
     delta = {
         n: round(timings[n] - prev[n], 3) for n in timings if n in prev
     }
+    comparable = round(sum(timings[n] for n in timings if n in prev), 3)
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
         json.dump(
             {
@@ -75,6 +88,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                "comparable_total_vs_r01": comparable,
                 "queries": timings,
                 "delta_vs_r01": dict(
                     sorted(delta.items(), key=lambda kv: kv[1], reverse=True)
@@ -97,6 +111,7 @@ def main() -> None:
                 "queries": dict(sorted(keep.items())),
                 "sf": sf,
                 "n_queries": len(timings),
+                "comparable_total_vs_r01": comparable,
             },
             separators=(",", ":"),
         )

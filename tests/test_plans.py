@@ -69,6 +69,37 @@ def test_embedding_cosine_has_no_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_analysis_daily_ma7_prunes_scan(spark, sf_dir):
+    """q2's daily MA7 must scan only (o_orderdate, o_totalprice)."""
+    plan = _plan(spark, sf_dir, "analysis_daily_trend_ma7")
+    read = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "o_orderdate" in read and "o_totalprice" in read
+    assert "o_orderpriority" not in read and "o_custkey" not in read
+
+
+def test_analysis_hotspot_joins_broadcast_dims(spark, sf_dir):
+    """q6's star join must broadcast nation and part, with no
+    SortMergeJoin for the dim sides."""
+    plan = _plan(spark, sf_dir, "analysis_route_stop_hotspots")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lsh_verified_has_no_cartesian(spark, sf_dir):
+    """The composed LSH→exact-verify plan must stay equi-join-only."""
+    plan = _plan(spark, sf_dir, "dedup_lsh_verified")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_assignment_is_aggregate_not_window(spark, sf_dir):
+    """Centroid assignment must be a partial-aggregating argmax
+    (max_by), not a corpus-wide window sort: the plan has a
+    HashAggregate with partial_max_by and exactly one Window
+    (the N_QUERIES-bounded probe/top-k side)."""
+    plan = _plan(spark, sf_dir, "similarity_ivf_ann")
+    assert "max_by" in plan
+
+
 def test_no_forced_broadcast_of_unbounded_frames():
     """`F.broadcast(...)` may hint only genuinely bounded dimensions.
     Trip-keyed frames (trips, dim_trip, max_seq, per-trip aggregates)

@@ -27,8 +27,6 @@ from pyspark.sql import functions as F
 #: term; Spark widens the sum to DECIMAL(28,4) (no overflow up to 1e13
 #: rows of 1e14-scale values — fine at 100 TB).
 DEC = "decimal(18,4)"
-#: For squared terms (variance sufficient statistics).
-DEC2 = "decimal(28,6)"
 
 
 def _c(col: str | Column) -> Column:

@@ -233,22 +233,34 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").between(_IVF_CENT_LO, _IVF_CENT_HI)
     ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cemb"))
     ccos = F.round(V.cosine(F.col("embedding"), F.col("cemb")), 6)
-    cw = Window.partitionBy("vec_id").orderBy(
-        ccos.desc(), F.col("centroid_id")
-    )
-    scored = (
+    # Nearest-centroid assignment as a partial-aggregating argmax:
+    # max_by collapses each vector's 16 candidate rows map-side before
+    # the shuffle (the r1-flagged n×16 window sort shuffled them all);
+    # tiebreak (cos DESC, centroid_id ASC) via the (cos, -id) struct.
+    assign = (
         e.crossJoin(F.broadcast(cent))
+        .groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),  # constant per vec_id
+            F.max_by(
+                "centroid_id",
+                F.struct(ccos.alias("c"), (-F.col("centroid_id")).alias("t")),
+            ).alias("centroid_id"),
+        )
+    )
+    # Top-nprobe centroids are needed only for the query subset — the
+    # window runs over N_QUERIES×16 rows, not the corpus.
+    cw = Window.partitionBy("vec_id").orderBy(ccos.desc(), F.col("centroid_id"))
+    probes = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cent))
         .withColumn("crank", F.row_number().over(cw))
-    )
-    assign = scored.filter(F.col("crank") == 1).select(
-        F.col("vec_id"), F.col("embedding"), F.col("centroid_id")
-    )
-    probes = scored.filter(
-        (F.col("vec_id") < N_QUERIES) & (F.col("crank") <= _IVF_NPROBE)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("centroid_id"),
+        .filter(F.col("crank") <= _IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("centroid_id"),
+        )
     )
     cos = F.round(V.cosine(F.col("qe"), F.col("embedding")), 6)
     pairs = (
