@@ -545,3 +545,88 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_distance") <= 8)
     )
+
+
+@register(
+    "dedup_components",
+    ops=("J1", "A1", "A11"),
+    doc="Near-dup cluster resolution: the verified pair graph "
+    "(exact Jaccard ≥ 0.5 on LSH candidates, dedup_lsh_verified) is "
+    "collapsed into connected components by deterministic min-label "
+    "propagation — every doc gets the component's minimum doc_id as "
+    "its canonical, plus the component size. Labels only decrease, so "
+    "the total-label sum is a monotone convergence metric (one scalar "
+    "per iteration, no driver data transfer); near-dup clusters have "
+    "tiny diameters, so iterations ≈ 2-3. At 100 TB the same loop is "
+    "the standard DataFrame connected-components pattern (large-star/"
+    "small-star for adversarial graphs). Oracle: recursive-CTE "
+    "reachability → MIN label per node.",
+    oracle=f"""
+WITH RECURSIVE sh AS ({SQL_DOC_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT doc_id AS a, doc_id AS b FROM documents
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+comp AS (
+  SELECT a AS doc_id, MIN(b) AS canonical_doc_id FROM reach GROUP BY a
+),
+csizes AS (
+  SELECT canonical_doc_id, COUNT(*) AS component_size FROM comp GROUP BY 1
+)
+SELECT c.doc_id, c.canonical_doc_id, s.component_size
+FROM comp c JOIN csizes s ON c.canonical_doc_id = s.canonical_doc_id
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_lsh_verified(spark, sf_dir).select("doc_a", "doc_b")
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.cache()
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("comp")).cache()
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    for _ in range(20):  # diameter bound; near-dup clusters converge in 2-3
+        neigh = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "comp")
+        )
+        labels = (
+            labels.unionByName(neigh)
+            .groupBy("doc_id")
+            .agg(F.min("comp").alias("comp"))
+        ).cache()
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    csizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("component_size"))
+    return (
+        labels.join(csizes, "comp")
+        .select(
+            "doc_id",
+            F.col("comp").alias("canonical_doc_id"),
+            "component_size",
+        )
+    )

@@ -250,3 +250,65 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "streaming_dedup",
+    ops=("S4", "A1", "A2"),
+    doc="Streaming deduplication: the source dir stages TWO links to "
+    "the events file, so every event arrives twice; watermarked "
+    "dropDuplicates on event_id keeps exactly the first arrival "
+    "(state per id, expired by the 2h watermark — bounded at any "
+    "scale), micro-batches append to a parquet sink, and the read-"
+    "back summary must equal the batch aggregate over the SINGLE "
+    "copy — the oracle certifies the stream dropped every duplicate.",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {N.sql_dsum("value")} AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = _scratch(sf_dir, "dup_src")
+    sink = _scratch(sf_dir, "dup_sink")
+    ckpt = _scratch(sf_dir, "dup_ckpt")
+    for d in (sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    for copy in ("a", "b"):
+        link = os.path.join(src, f"events_{copy}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+
+    stream = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .parquet(src)
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("event_time", "2 hours")
+        .dropDuplicates(["event_id"])
+    )
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        batch.select("event_id", "user_id", "event_type", "value").write.mode(
+            "append"
+        ).parquet(sink)
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            N.dsum("value").alias("total_value"),
+        )
+    )
