@@ -162,3 +162,56 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, step)
         ).alias("frame_index"),
     )
+
+
+@register(
+    "multimodal_resize_features",
+    ops=("P5", "P8", "F8"),
+    doc="Resize planning + feature extraction over decoded media: "
+    "aspect-preserving fit into 224×224 (scale = min(224/w, 224/h) "
+    "capped at 1, floor'd target dims — the exact integer/double math "
+    "a real resize kernel is handed), plus per-channel mean features "
+    "from the digest bytes (deterministic fake standing in for real "
+    "pixel statistics; the column shapes and Arrow plumbing are what "
+    "a real extractor produces). Everything downstream of the decode "
+    "probe is JVM-side column math.",
+    oracle=f"""
+WITH probed AS (
+  SELECT doc_id,
+    256 + {_sql_md5_byte(0)} * 4 AS width,
+    256 + {_sql_md5_byte(1)} * 4 AS height,
+    {_sql_md5_byte(3)} AS b3, {_sql_md5_byte(4)} AS b4, {_sql_md5_byte(5)} AS b5
+  FROM documents
+)
+SELECT doc_id, width, height,
+  LEAST(1.0, LEAST(224.0 / width, 224.0 / height)) AS scale,
+  GREATEST(1, CAST(FLOOR(width * LEAST(1.0, LEAST(224.0 / width, 224.0 / height))) AS INT)) AS target_width,
+  GREATEST(1, CAST(FLOOR(height * LEAST(1.0, LEAST(224.0 / width, 224.0 / height))) AS INT)) AS target_height,
+  b3 / 255.0 AS mean_r, b4 / 255.0 AS mean_g, b5 / 255.0 AS mean_b
+FROM probed
+""",
+)
+def multimodal_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    probed = decode_media(payloads).select("doc_id", "width", "height")
+    digest = d.select(
+        "doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("digest")
+    )
+    byte = lambda i: F.conv(F.substring("digest", 2 * i + 1, 2), 16, 10).cast("int")  # noqa: E731
+    w, h = F.col("width").cast("double"), F.col("height").cast("double")
+    scale = F.least(F.lit(1.0), F.least(F.lit(224.0) / w, F.lit(224.0) / h))
+    return (
+        probed.join(digest, "doc_id")
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            scale.alias("scale"),
+            F.greatest(F.lit(1), F.floor(w * scale).cast("int")).alias("target_width"),
+            F.greatest(F.lit(1), F.floor(h * scale).cast("int")).alias("target_height"),
+            (byte(3) / F.lit(255.0)).alias("mean_r"),
+            (byte(4) / F.lit(255.0)).alias("mean_g"),
+            (byte(5) / F.lit(255.0)).alias("mean_b"),
+        )
+    )
