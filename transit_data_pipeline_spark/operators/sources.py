@@ -461,3 +461,38 @@ def dpp_partitioned_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             N.dsum("o_totalprice").alias("revenue"),
         )
     )
+
+
+@register(
+    "jsonl_roundtrip",
+    ops=("S1", "S7", "P9"),
+    doc="JSONL sink then JSONL source with a declared schema (the "
+    "interchange format of LLM training-data pipelines): documents "
+    "written as line-delimited JSON, read back with an explicit "
+    "schema (never inference in a production path), and summarized — "
+    "newline/quote escaping must round-trip every payload byte.",
+    oracle=f"""
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+  COUNT(DISTINCT doc_id) AS n_distinct_ids
+FROM documents
+GROUP BY 1
+""",
+)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch(sf_dir, "jsonl")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.countDistinct("doc_id").alias("n_distinct_ids"),
+    )

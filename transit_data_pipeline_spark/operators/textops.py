@@ -212,3 +212,43 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(cast(conv(substr(md5(lower(regexp_replace(trim(text), '\\\\s+', ' '))), 1, 4), 16, 10) as bigint) as int)"
         ).alias("shard_bucket"),
     )
+
+
+#: GPT-2-style pre-tokenizer approximation: contractions, letter runs,
+#: digit runs, punctuation runs, whitespace runs. Same pattern text in
+#: Java regex (Spark) and RE2 (DuckDB).
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+#: SQL string literal spelling (single quotes doubled).
+_SQL_BPE = BPE_PATTERN.replace("'", "''")
+
+
+@register(
+    "text_bpe_token_count",
+    ops=("A3", "P8", "F10"),
+    doc="BPE-ish token counting: a GPT-2-style pre-tokenizer regex "
+    "(contraction suffixes, letter/digit/punctuation runs) counts the "
+    "segments a byte-pair encoder would start from — the standard "
+    "fast token-budget estimator for training-data pipelines. Pure "
+    "codegen column expressions; compared against whitespace tokens "
+    "and chars-per-token.",
+    oracle=f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{_SQL_BPE}')) AS n_bpe_tokens,
+  len({SQL_TOKENS}) AS n_ws_tokens,
+  CAST(length(text) AS DOUBLE)
+    / NULLIF(len(regexp_extract_all(text, '{_SQL_BPE}')), 0) AS chars_per_token
+FROM documents
+""",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    n_bpe = F.size(F.expr(f"regexp_extract_all(text, \"{BPE_PATTERN}\", 0)"))
+    return d.select(
+        "doc_id",
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        F.size(tokens_col()).cast("long").alias("n_ws_tokens"),
+        (
+            F.length("text").cast("double")
+            / F.nullif(n_bpe.cast("long"), F.lit(0))
+        ).alias("chars_per_token"),
+    )
