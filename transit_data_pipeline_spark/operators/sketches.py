@@ -89,3 +89,81 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(kth, "o_orderpriority").select(
         "o_orderpriority", "exact_distinct", est.alias("kmv_estimate")
     )
+
+
+_CM_DEPTH, _CM_WIDTH = 4, 256
+
+
+@register(
+    "sketch_countmin_freq",
+    ops=("A1", "J10"),
+    doc="Count-Min frequency sketch over the event stream: depth×width "
+    "= 4×256 counters, bucket = keyed md5 hash per row; the count "
+    "table is one groupBy over (row, bucket) — mergeable partials, "
+    "state independent of key cardinality, the standard heavy-hitter "
+    "estimator at stream scale. Point estimates (min over rows) are "
+    "emitted beside the exact counts so the overestimate is visible; "
+    "deterministic hashing keeps the sketch itself oracle-checkable.",
+    oracle=f"""
+WITH rows_ AS (SELECT unnest(generate_series(0, {_CM_DEPTH - 1})) AS r),
+bucketed AS (
+  SELECT r.r,
+    CAST(concat('0x', substr(md5(concat(e.event_type, ':', CAST(r.r AS VARCHAR))), 1, 8)) AS BIGINT)
+      % {_CM_WIDTH} AS bucket,
+    COUNT(*) AS c
+  FROM events e CROSS JOIN rows_ r
+  GROUP BY 1, 2
+),
+keys_ AS (SELECT DISTINCT event_type FROM events),
+key_buckets AS (
+  SELECT k.event_type, r.r,
+    CAST(concat('0x', substr(md5(concat(k.event_type, ':', CAST(r.r AS VARCHAR))), 1, 8)) AS BIGINT)
+      % {_CM_WIDTH} AS bucket
+  FROM keys_ k CROSS JOIN rows_ r
+),
+est AS (
+  SELECT kb.event_type, MIN(b.c) AS cm_estimate
+  FROM key_buckets kb JOIN bucketed b ON kb.r = b.r AND kb.bucket = b.bucket
+  GROUP BY 1
+),
+exact AS (SELECT event_type, COUNT(*) AS exact_count FROM events GROUP BY 1)
+SELECT e.event_type, e.exact_count, s.cm_estimate,
+  s.cm_estimate >= e.exact_count AS never_underestimates
+FROM exact e JOIN est s ON e.event_type = s.event_type
+""",
+)
+def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    rows = spark.range(_CM_DEPTH).select(F.col("id").cast("int").alias("r"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("event_type"), F.col("r"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CM_WIDTH
+    )
+    bucketed = (
+        e.select("event_type")
+        .crossJoin(F.broadcast(rows))
+        .groupBy("r", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    keys = e.select("event_type").distinct()
+    key_buckets = keys.crossJoin(F.broadcast(rows)).select(
+        "event_type", "r", bucket.alias("bucket")
+    )
+    est = (
+        key_buckets.join(bucketed, ["r", "bucket"])
+        .groupBy("event_type")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    exact = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_count"))
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "exact_count",
+        "cm_estimate",
+        (F.col("cm_estimate") >= F.col("exact_count")).alias("never_underestimates"),
+    )
