@@ -280,3 +280,81 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("sim_rank", F.row_number().over(w))
         .filter(F.col("sim_rank") <= 5)
     )
+
+
+#: Evaluation cut for the recall metric.
+_K_EVAL = 5
+
+
+def _spec_sql(name: str) -> str:
+    from .registry import _REGISTRY
+
+    return _REGISTRY[name].oracle
+
+
+@register(
+    "similarity_ivf_recall",
+    ops=("A1", "A9", "J1"),
+    doc="ANN quality measurement: recall@5 of the IVF index against "
+    "the exact brute-force top-5, per query — the metric an embedding "
+    "pipeline tracks when it trades exactness for the inverted-list "
+    "plan. Both sides (index AND ground truth AND the comparison) run "
+    "inside the engine; at 100 TB the brute-force side is computed on "
+    "a sampled query set exactly like this one.",
+    oracle=f"""
+WITH bf AS (
+  SELECT query_id, neighbor_id FROM ({_spec_sql("similarity_bruteforce_topk")})
+  WHERE sim_rank <= {_K_EVAL}
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM ({_spec_sql("similarity_ivf_ann")})
+  WHERE sim_rank <= {_K_EVAL}
+),
+bfc AS (SELECT query_id, COUNT(*) AS n_bf FROM bf GROUP BY 1),
+ivfc AS (SELECT query_id, COUNT(*) AS n_ivf FROM ivf GROUP BY 1),
+ov AS (
+  SELECT bf.query_id, COUNT(*) AS n_overlap
+  FROM bf JOIN ivf ON bf.query_id = ivf.query_id
+                  AND bf.neighbor_id = ivf.neighbor_id
+  GROUP BY 1
+)
+SELECT bfc.query_id, bfc.n_bf,
+  COALESCE(ivfc.n_ivf, 0) AS n_ivf,
+  COALESCE(ov.n_overlap, 0) AS n_overlap,
+  COALESCE(ov.n_overlap, 0) / {float(_K_EVAL)!r} AS recall_at_5
+FROM bfc
+LEFT JOIN ivfc ON bfc.query_id = ivfc.query_id
+LEFT JOIN ov ON bfc.query_id = ov.query_id
+""",
+)
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = (
+        similarity_bruteforce_topk(spark, sf_dir)
+        .filter(F.col("sim_rank") <= _K_EVAL)
+        .select("query_id", "neighbor_id")
+    )
+    ivf = (
+        similarity_ivf_ann(spark, sf_dir)
+        .filter(F.col("sim_rank") <= _K_EVAL)
+        .select("query_id", "neighbor_id")
+    )
+    bfc = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_bf"))
+    ivfc = ivf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ivf"))
+    ov = (
+        bf.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        bfc.join(ivfc, "query_id", "left")
+        .join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            "n_bf",
+            F.coalesce("n_ivf", F.lit(0)).alias("n_ivf"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) / F.lit(float(_K_EVAL))).alias(
+                "recall_at_5"
+            ),
+        )
+    )
