@@ -358,3 +358,66 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    ops=("P9", "A3", "P8"),
+    doc="Scalar int8 quantization of embeddings — the storage/transfer "
+    "compression step of a vector pipeline: per-vector [min,max] "
+    "range, scale=(max-min)/255, q=floor((x-min)/scale) clamped to "
+    "[0,255] (floor, not round — round-half ties are not cross-engine "
+    "deterministic), midpoint dequantization, and the per-vector mean "
+    "absolute reconstruction error as the quality measure. All "
+    "sequential folds over doubles — bitwise equal to the oracle; "
+    "4× smaller payloads at equal plan shape.",
+    oracle="""
+WITH ranges AS (
+  SELECT vec_id, embedding,
+    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)), (a, x) -> LEAST(a, x)) AS vmin,
+    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)), (a, x) -> GREATEST(a, x)) AS vmax
+  FROM embeddings
+), scaled AS (
+  SELECT vec_id, embedding, vmin, vmax,
+    (vmax - vmin) / 255.0 AS scale
+  FROM ranges
+)
+SELECT vec_id, vmin, vmax, scale,
+  list_reduce(
+    list_transform(generate_series(1, len(embedding)),
+      i -> ABS(CAST(embedding[i] AS DOUBLE)
+               - (vmin + (LEAST(255.0, GREATEST(0.0,
+                    FLOOR((CAST(embedding[i] AS DOUBLE) - vmin) / scale)))
+                  + 0.5) * scale))),
+    (acc, x) -> acc + x) / len(embedding) AS mean_abs_err
+FROM scaled
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings", spread=True)
+    vd = V.as_double(F.col("embedding"))
+    vmin = F.aggregate(vd, F.lit(float("inf")), lambda a, x: F.least(a, x))
+    vmax = F.aggregate(vd, F.lit(float("-inf")), lambda a, x: F.greatest(a, x))
+    ranged = e.select("vec_id", "embedding", vmin.alias("vmin"), vmax.alias("vmax"))
+    scale = (F.col("vmax") - F.col("vmin")) / F.lit(255.0)
+    scaled = ranged.withColumn("scale", scale)
+
+    def abs_err(x):
+        xd = x.cast("double")
+        q = F.least(
+            F.lit(255.0),
+            F.greatest(F.lit(0.0), F.floor((xd - F.col("vmin")) / F.col("scale"))),
+        )
+        return F.abs(xd - (F.col("vmin") + (q + F.lit(0.5)) * F.col("scale")))
+
+    mae = (
+        F.aggregate(
+            F.transform(F.col("embedding"), abs_err),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.size("embedding")
+    )
+    return scaled.select(
+        "vec_id", "vmin", "vmax", "scale", mae.alias("mean_abs_err")
+    )
