@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -495,4 +496,63 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("text")).cast("long").alias("total_chars"),
         F.countDistinct("doc_id").alias("n_distinct_ids"),
+    )
+
+
+@register(
+    "mv_incremental_refresh",
+    ops=("S10", "D2", "S3"),
+    doc="Incremental materialized-view maintenance — the 100 TB "
+    "refresh: the monthly-revenue MV is partitioned by month; a "
+    "simulated late-arriving batch (the last month's orders) dirties "
+    "exactly one partition, and the refresh recomputes ONLY dirty "
+    "partitions (dynamic per-partition overwrite) instead of the full "
+    "rebuild `mv_refresh` performs. The read-back result must equal "
+    "the full recomputation over all orders — certifying the "
+    "incremental path converges to the batch answer.",
+    oracle=f"""
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+       COUNT(*) AS n_orders,
+       {N.sql_dsum("o_totalprice")} AS revenue
+FROM orders
+GROUP BY 1
+""",
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    mv_dir = _scratch(sf_dir, "mv_inc")
+    shutil.rmtree(mv_dir, ignore_errors=True)
+
+    split_point = o.agg(F.max(F.date_trunc("month", "o_orderdate"))).first()[0]
+
+    def build(df):
+        return (
+            df.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                N.dsum("o_totalprice").alias("revenue"),
+            )
+            .withColumn("part", F.date_format("month", "yyyy-MM"))
+        )
+
+    # Initial load: everything before the final month.
+    base = o.filter(F.date_trunc("month", "o_orderdate") < F.lit(split_point))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    build(base).write.mode("overwrite").partitionBy("part").parquet(mv_dir)
+
+    # Late batch arrives → exactly the dirty partitions are recomputed
+    # from source and overwritten in place. Dirty months are resolved
+    # by a semi-join (a tiny broadcastable frame), never a driver
+    # materialization.
+    om = o.withColumn("m", F.date_trunc("month", "o_orderdate"))
+    dirty_months = (
+        om.filter(F.col("m") >= F.lit(split_point)).select("m").distinct()
+    )
+    refresh = om.join(dirty_months, "m", "semi").drop("m")
+    build(refresh).write.mode("overwrite").partitionBy("part").parquet(mv_dir)
+
+    return (
+        spark.read.option("basePath", mv_dir)
+        .parquet(mv_dir)
+        .select("month", "n_orders", "revenue")
     )
