@@ -537,19 +537,23 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Initial load: everything before the final month.
     base = o.filter(F.date_trunc("month", "o_orderdate") < F.lit(split_point))
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    build(base).write.mode("overwrite").partitionBy("part").parquet(mv_dir)
+    try:
+        build(base).write.mode("overwrite").partitionBy("part").parquet(mv_dir)
 
-    # Late batch arrives → exactly the dirty partitions are recomputed
-    # from source and overwritten in place. Dirty months are resolved
-    # by a semi-join (a tiny broadcastable frame), never a driver
-    # materialization.
-    om = o.withColumn("m", F.date_trunc("month", "o_orderdate"))
-    dirty_months = (
-        om.filter(F.col("m") >= F.lit(split_point)).select("m").distinct()
-    )
-    refresh = om.join(dirty_months, "m", "semi").drop("m")
-    build(refresh).write.mode("overwrite").partitionBy("part").parquet(mv_dir)
+        # Late batch arrives → exactly the dirty partitions are
+        # recomputed from source and overwritten in place. Dirty months
+        # are resolved by a semi-join (a tiny broadcastable frame),
+        # never a driver materialization.
+        om = o.withColumn("m", F.date_trunc("month", "o_orderdate"))
+        dirty_months = (
+            om.filter(F.col("m") >= F.lit(split_point)).select("m").distinct()
+        )
+        refresh = om.join(dirty_months, "m", "semi").drop("m")
+        build(refresh).write.mode("overwrite").partitionBy("part").parquet(mv_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
     return (
         spark.read.option("basePath", mv_dir)
