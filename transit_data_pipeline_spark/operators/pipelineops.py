@@ -387,3 +387,138 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("u") < F.col("frac"), 1)).alias("n_kept"),
         )
     )
+
+
+#: Bloom bitmap geometry: 2^20 bits = 16 Ki words = 128 KiB broadcast.
+_BLOOM_BITS = 1 << 20
+_BLOOM_SEEDS = (1, 2)
+
+
+def _bloom_pos(key, seed: int):
+    return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_BLOOM_BITS))
+
+
+@register(
+    "bloom_join_prefilter",
+    ops=("J1", "A3", "P4"),
+    doc="Bloom-filter join reduction: revenue per priority for "
+    "lineitems of high-value orders. At 100 TB the build side "
+    "(qualifying orderkeys) is too big to broadcast as a hash set, but "
+    "a fixed 128 KiB Bloom bitmap (2^20 bits, k=2 via seeded xxhash64) "
+    "is broadcastable at ANY build-side cardinality: the probe side "
+    "drops most non-matching rows before the shuffle, and the exact "
+    "join afterwards removes the false positives, so the result is "
+    "bit-identical to the plain join the oracle runs. The bitmap is "
+    "built as a 16 Ki-row (word_idx, word) table with bit_or partial "
+    "aggregation - no driver collect; membership tests are two "
+    "broadcast-hash-join probes inside codegen.",
+    oracle=f"""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_items,
+       {N.sql_dsum('l.l_extendedprice')} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 400000
+GROUP BY 1
+""",
+)
+def bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    keys = o.where(F.col("o_totalprice") > 400000).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    # Build: one 16 Ki-word bitmap via partial-aggregating bit_or.
+    pos = F.explode(
+        F.array(*[_bloom_pos(F.col("o_orderkey"), s) for s in _BLOOM_SEEDS])
+    ).alias("pos")
+    words = (
+        keys.select(pos)
+        .select(
+            F.shiftright("pos", 6).alias("word_idx"),
+            F.expr("shiftleft(1L, int(pos % 64))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    # Probe: each seed is a broadcast equi-join on the word index plus
+    # a bit test; a key whose word is absent (all-zero) drops at the
+    # join itself.
+    cand = l.select("l_orderkey", "l_extendedprice")
+    for s in _BLOOM_SEEDS:
+        w = words.select(
+            F.col("word_idx").alias(f"wi{s}"), F.col("word").alias(f"wd{s}")
+        )
+        cand = (
+            cand.withColumn(f"pos{s}", _bloom_pos(F.col("l_orderkey"), s))
+            .join(
+                F.broadcast(w),
+                F.shiftright(F.col(f"pos{s}"), 6) == F.col(f"wi{s}"),
+            )
+            .where(F.expr(f"(wd{s} & shiftleft(1L, int(pos{s} % 64))) != 0"))
+            .drop(f"pos{s}", f"wi{s}", f"wd{s}")
+        )
+    # Exact join scrubs Bloom false positives; AQE picks the strategy.
+    return (
+        cand.join(keys, cand["l_orderkey"] == keys["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            N.dsum("l_extendedprice").alias("revenue"),
+        )
+    )
+
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@register(
+    "column_profile",
+    ops=("A1", "A2", "A12"),
+    doc="Data-quality column profiling: one pass over orders emits "
+    "per-column row count, null count, exact distinct count, and null "
+    "fraction - the pre-ingest audit a training-data pipeline runs "
+    "before accepting a drop. Computed as a single multi-distinct "
+    "aggregate (Catalyst expands to one shuffle) and unpivoted with "
+    "stack(); at 100 TB swap countDistinct for approx_count_distinct "
+    "per column to avoid the expand multiplier - the plumbing is "
+    "identical.",
+    oracle="\nUNION ALL\n".join(
+        f"""
+SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       (COUNT(*) - COUNT({c})) / COUNT(*) AS null_frac
+FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"cnt_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"dst_{c}"))
+    one = o.agg(*aggs)
+    stacked = ", ".join(f"'{c}', cnt_{c}, dst_{c}" for c in _PROFILE_COLS)
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stacked}) AS (column_name, n_nonnull, n_distinct)"
+        ),
+        "n_rows",
+    ).select(
+        "column_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_nonnull")).alias("n_null"),
+        "n_distinct",
+        (
+            (F.col("n_rows") - F.col("n_nonnull")) / F.col("n_rows")
+        ).alias("null_frac"),
+    )

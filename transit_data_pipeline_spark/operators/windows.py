@@ -313,3 +313,84 @@ def one_row_frame_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("value").over(w.rowsBetween(-1, -1)).alias("prev_value_frame"),
         F.lag("value").over(w).alias("prev_value_lag"),
     )
+
+
+@register(
+    "scd2_user_type_history",
+    ops=("W1", "W14", "S4"),
+    doc="SCD Type-2 history build: treat each user's event stream as a "
+    "slowly-changing attribute (event_type) and emit versioned rows "
+    "with [valid_from, valid_to) and an is_current flag — the "
+    "LAG-to-detect-change / LEAD-to-close-interval pattern a warehouse "
+    "uses to version dimensions. Partitioned by user_id, so the window "
+    "sort is per-user and the whole build is one shuffle at any scale. "
+    "Ordering uses the raw nanosecond ts with event_id as a unique "
+    "tiebreaker so the version sequence is a total order on both "
+    "engines.",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, event_id,
+         make_timestamp(epoch_ns(ts) // 1000) AS et,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), changes AS (
+  SELECT user_id, event_type, et AS valid_from, event_id
+  FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) IS NULL AS is_current
+FROM changes
+""",
+)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", "event_type", F.col("event_time").alias("valid_from"), "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    closed = changes.withColumn("valid_to", F.lead("valid_from").over(w2))
+    return closed.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+@register(
+    "rolling_distinct_users",
+    ops=("A2", "W9", "F7"),
+    doc="Trailing-7-day distinct active users per day. Spark has no "
+    "COUNT(DISTINCT) OVER RANGE, and the naive per-day self-join is "
+    "quadratic in window length x days; instead each (day, user) pair "
+    "is exploded to the <=7 target days it contributes to and counted "
+    "with one hash aggregate — linear in events, one shuffle, no "
+    "window sort. The oracle proves equivalence with the literal "
+    "interval-join spelling.",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS d, user_id
+  FROM events
+), days AS (SELECT DISTINCT d FROM ud)
+SELECT strftime(days.d, '%Y-%m-%d') AS day, COUNT(DISTINCT ud.user_id) AS users_7d
+FROM ud JOIN days ON days.d BETWEEN ud.d AND ud.d + 6
+GROUP BY 1
+""",
+)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    ud = e.select(F.to_date("event_time").alias("d"), "user_id").distinct()
+    days = ud.select(F.col("d").alias("day")).distinct()
+    expanded = ud.withColumn(
+        "day", F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6)))
+    )
+    return (
+        expanded.join(days, "day", "left_semi")
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+    )
