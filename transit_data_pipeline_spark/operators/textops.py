@@ -252,3 +252,125 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(n_bpe.cast("long"), F.lit(0))
         ).alias("chars_per_token"),
     )
+
+
+# --- PII scrub + decontamination: the remaining two stages every
+# training-data pipeline runs between raw crawl and tokenizer.
+
+#: Conservative patterns valid in BOTH Java regex (Spark) and RE2
+#: (DuckDB): character classes and bounded repetition only.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b555-[0-9]{4}\b"
+
+#: The driver's `documents` fixture is clean word-salad, so the query
+#: plants one deterministic email + phone per row (derived from
+#: doc_id) before scanning — the detector provably fires on every row
+#: and the redacted output is still fully deterministic.
+_PII_AUGMENT = (
+    "text || ' contact user' || doc_id || '@example.com or call "
+    "555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'"
+)
+_SPARK_PII_AUGMENT = (
+    "concat(text, ' contact user', doc_id, '@example.com or call 555-', "
+    "lpad(cast(doc_id % 10000 as string), 4, '0'), ' now')"
+)
+
+
+@register(
+    "text_pii_scrub",
+    ops=("P1", "F10", "A1"),
+    doc="PII detection + redaction: counts and masks email/phone "
+    "matches per document, emitting match counts and the MD5 of the "
+    "redacted text. Pure regexp column expressions (Java regex and "
+    "RE2 agree on the conservative patterns used) — runs inside "
+    "codegen, embarrassingly parallel, no shuffle at all until the "
+    "driver collects. A real pipeline swaps in a longer pattern "
+    "library; the plan shape is identical.",
+    oracle=f"""
+WITH aug AS (SELECT doc_id, {_PII_AUGMENT} AS text FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+  len(regexp_extract_all(text, '{PII_PHONE}')) AS n_phones,
+  md5(regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                     '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5,
+  length(regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                        '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_len
+FROM aug
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    aug = d.select("doc_id", F.expr(_SPARK_PII_AUGMENT).alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).alias("redacted_len"),
+    )
+
+
+@register(
+    "text_benchmark_contamination",
+    ops=("J2", "J9", "A9"),
+    doc="Benchmark decontamination: flags training documents whose "
+    "word-3-gram shingles overlap a held-out benchmark set (here "
+    "doc_id % 20 == 0 stands in for the benchmark corpus). The "
+    "benchmark shingle set is dimension-sized at any training scale, "
+    "so the overlap test is a broadcast semi-join against the "
+    "benchmark shingles — the 100 TB train side never shuffles except "
+    "for its own per-doc count. Frac is an exact int/int division so "
+    "both engines round identically.",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in generate_series(1, len(w)-2)]
+  )) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)
+  WHERE len(w) >= 3
+), bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0),
+train AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_contaminated
+  FROM train t WHERE t.sh IN (SELECT sh FROM bench)
+  GROUP BY 1
+)
+SELECT t.doc_id, COUNT(*) AS n_shingles,
+  COALESCE(MAX(h.n_contaminated), 0) AS n_contaminated,
+  COALESCE(MAX(h.n_contaminated), 0) / COUNT(*) AS contamination_frac,
+  COALESCE(MAX(h.n_contaminated), 0) / COUNT(*) >= 0.2 AS contaminated
+FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+GROUP BY 1
+""",
+)
+def text_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _doc_shingles
+
+    sh = _doc_shingles(spark, sf_dir)
+    bench = (
+        sh.where(F.col("doc_id") % 20 == 0).select("sh").distinct()
+    )
+    train = sh.where(F.col("doc_id") % 20 != 0)
+    hits = (
+        train.join(F.broadcast(bench), "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    frac = F.coalesce(F.col("n_contaminated"), F.lit(0)) / F.col("n_shingles")
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+        frac.alias("contamination_frac"),
+        (frac >= 0.2).alias("contaminated"),
+    )
