@@ -165,3 +165,33 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
     runtime (PartitionFilters carries a dynamicpruning expression)."""
     plan = _plan(spark, sf_dir, "dpp_partitioned_fact_join")
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_bloom_prefilter_stays_broadcast(spark, sf_dir):
+    """The Bloom bitmap probes and the scrub join must all be broadcast
+    hash joins — a shuffled join would defeat the point of carrying a
+    128 KiB bitmap instead of the key set."""
+    plan = _plan(spark, sf_dir, "bloom_join_prefilter")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_contamination_benchmark_side_broadcasts(spark, sf_dir):
+    """The benchmark shingle set is dimension-sized; the overlap test
+    must be a broadcast LeftSemi, never a shuffled join of the train
+    side."""
+    plan = _plan(spark, sf_dir, "text_benchmark_contamination")
+    assert "BroadcastHashJoin LeftSemi" in plan.replace("  ", " ") or (
+        "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    )
+    assert "SortMergeJoin" not in plan
+
+
+def test_rolling_distinct_has_no_range_join(spark, sf_dir):
+    """The trailing-window distinct must be the explode-to-target-day
+    rewrite (hash joins + hash aggregate), not the literal BETWEEN
+    range join (nested loop) the oracle runs."""
+    plan = _plan(spark, sf_dir, "rolling_distinct_users")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
