@@ -56,7 +56,15 @@ _R1_GREEN = frozenset(
 #: (the driver verifies ~50 per round): they sort to the end of the
 #: needs-a-row block so they don't displace this round's 50 targets,
 #: and rotate into the checked window next round.
-_R2_DEFER = frozenset({"text_pii_scrub", "text_benchmark_contamination"})
+_R2_DEFER = frozenset(
+    {
+        "text_pii_scrub",
+        "text_benchmark_contamination",
+        "text_repetition_filter",
+        "data_mix_rebalance",
+        "corpus_curation_funnel",
+    }
+)
 
 
 def _ordered_specs():

@@ -1,0 +1,254 @@
+"""Composed corpus-curation funnel — the end-to-end pass a
+training-data pipeline runs between raw crawl and tokenizer, built
+entirely from this repo's own operators:
+
+    raw → hold out benchmark → exact dedup → near-dup (LSH→verified)
+        → quality filter → benchmark decontamination
+
+Every stage is the scale-path variant (hash-groupBy dedup, banded
+LSH candidates with exact verify on candidates only, broadcast
+semi-join decontamination); the oracle twin re-derives each stage in
+SQL with the *exact* near-dup spelling (full pairwise Jaccard), so a
+green row certifies both the composition and, again, that banding
+lost no true pair on this corpus.
+
+Reference scope note: the reference pipeline has no curation stage —
+this extends the engine for the LLM-training-data workload
+(SURVEY.md §6 "beyond the reference").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from .dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    N_BANDS,
+    SQL_DOC_SHINGLES,
+    SQL_NORM,
+    SPARK_SHINGLE_HASH,
+    _P,
+    _band_exprs,
+    _doc_shingles,
+    _norm_col,
+)
+from .registry import register
+
+#: Funnel thresholds: near-dup Jaccard, quality floor, contamination cap.
+JACCARD_THR = 0.5
+QUALITY_THR = 0.58
+CONTAM_THR = 0.2
+
+_SQL_QUALITY = """
+  SELECT doc_id,
+    LEAST(1.0, CAST(len(w) AS DOUBLE) / 50.0) * 0.4
+      + LEAST(1.0, (CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(w)) * 4.0) * 0.2
+      + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.4 AS quality_score
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)
+"""
+
+
+def _lsh_verified_pairs(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) near-dup pairs (Jaccard >= JACCARD_THR) from a
+    shingle frame: banded MinHash candidates, exact verify on the
+    candidates only. Same construction as dedup_lsh_verified
+    (dedup.py), parameterized by the (already-restricted) shingles."""
+    hashed = sh.withColumn("h", F.expr(SPARK_SHINGLE_HASH))
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.expr(f"(h * {MINHASH_A[i]}L + {MINHASH_B[i]}L) % {_P}L")
+            ).alias(f"m_{i}")
+            for i in range(16)
+        ]
+    )
+    zipped = F.explode(
+        F.arrays_zip(
+            F.array(*[F.lit(j) for j in range(N_BANDS)]).alias("band_id"),
+            F.array(*[F.expr(e) for e in _band_exprs()]).alias("band_hash"),
+        )
+    )
+    bands = sig.select("doc_id", zipped.alias("z")).select(
+        "doc_id",
+        F.col("z.band_id").alias("band_id"),
+        F.col("z.band_hash").alias("band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(
+            sh_b,
+            (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THR)
+    )
+
+
+@register(
+    "corpus_curation_funnel",
+    ops=("A1", "J2", "J9", "W4"),
+    doc="The composed curation pass: per-stage surviving-document "
+    "counts for raw → benchmark-held-out → exact-dedup → near-dup → "
+    "quality → decontaminated. Chains the engine's scale-path "
+    "operators; the oracle re-derives every stage with the exact "
+    "(non-LSH) near-dup spelling.",
+    oracle=f"""
+WITH train AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+fp AS (SELECT doc_id, md5({SQL_NORM}) AS f FROM train),
+s2 AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f),
+all_sh AS ({SQL_DOC_SHINGLES}),
+sh2 AS (SELECT s.doc_id, s.sh FROM all_sh s JOIN s2 USING (doc_id)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+neardup_b AS (
+  SELECT DISTINCT i.doc_b AS doc_id
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= {JACCARD_THR}
+),
+s3 AS (SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM neardup_b)),
+q AS ({_SQL_QUALITY}),
+s4 AS (SELECT s3.doc_id FROM s3 JOIN q USING (doc_id) WHERE q.quality_score >= {QUALITY_THR}),
+bench_sh AS (SELECT DISTINCT sh FROM all_sh WHERE doc_id % 20 = 0),
+tsh AS (SELECT s.doc_id, s.sh FROM all_sh s JOIN s4 USING (doc_id)),
+cont AS (
+  SELECT t.doc_id,
+    CAST(COUNT(CASE WHEN t.sh IN (SELECT sh FROM bench_sh) THEN 1 END) AS DOUBLE)
+      / COUNT(*) AS frac
+  FROM tsh t GROUP BY 1
+),
+s5 AS (
+  SELECT s4.doc_id FROM s4 LEFT JOIN cont USING (doc_id)
+  WHERE COALESCE(cont.frac, 0.0) < {CONTAM_THR}
+)
+SELECT 0 AS stage_id, 'raw' AS stage, (SELECT COUNT(*) FROM documents) AS n_docs
+UNION ALL SELECT 1, 'benchmark_held_out', (SELECT COUNT(*) FROM train)
+UNION ALL SELECT 2, 'exact_dedup', (SELECT COUNT(*) FROM s2)
+UNION ALL SELECT 3, 'near_dedup', (SELECT COUNT(*) FROM s3)
+UNION ALL SELECT 4, 'quality_filter', (SELECT COUNT(*) FROM s4)
+UNION ALL SELECT 5, 'decontaminated', (SELECT COUNT(*) FROM s5)
+""",
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    train = d.filter(F.col("doc_id") % 20 != 0)
+
+    # Stage 2: exact dedup — canonical = min doc_id per fingerprint.
+    s2 = (
+        train.select("doc_id", F.md5(_norm_col()).alias("f"))
+        .groupBy("f")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+    # Stage 3: near-dup on the survivors (LSH candidates → exact verify).
+    all_sh = _doc_shingles(spark, sf_dir)
+    sh2 = all_sh.join(s2, "doc_id", "left_semi")
+    dropped3 = _lsh_verified_pairs(sh2).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    s3 = s2.join(dropped3, "doc_id", "left_anti")
+
+    # Stage 4: quality floor (same formula as text_quality_score).
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    stop_arr = "'the','a','of','and','to','in','is'"
+    q = d.select(
+        "doc_id",
+        (
+            F.least(F.lit(1.0), F.size(w).cast("double") / 50.0) * 0.4
+            + F.least(
+                F.lit(1.0),
+                (
+                    F.size(
+                        F.expr(
+                            f"filter(split(trim(text), '\\\\s+'), t -> t IN ({stop_arr}))"
+                        )
+                    ).cast("double")
+                    / F.size(w)
+                )
+                * 4.0,
+            )
+            * 0.2
+            + (F.size(F.array_distinct(w)).cast("double") / F.size(w)) * 0.4
+        ).alias("quality_score"),
+    )
+    s4 = (
+        s3.join(q, "doc_id")
+        .filter(F.col("quality_score") >= QUALITY_THR)
+        .select("doc_id")
+    )
+
+    # Stage 5: decontamination against the held-out benchmark shingles.
+    bench_sh = (
+        all_sh.where(F.col("doc_id") % 20 == 0).select("sh").distinct()
+    )
+    tsh = all_sh.join(s4, "doc_id", "left_semi")
+    hits = (
+        tsh.join(F.broadcast(bench_sh), "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    tot = tsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    cont = tot.join(hits, "doc_id", "left").select(
+        "doc_id",
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("n_sh")
+        ).alias("frac"),
+    )
+    s5 = (
+        s4.join(cont, "doc_id", "left")
+        .filter(F.coalesce(F.col("frac"), F.lit(0.0)) < CONTAM_THR)
+        .select("doc_id")
+    )
+
+    def stage(i: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(i).alias("stage_id"), F.lit(name).alias("stage"), "n_docs"
+        )
+
+    out = stage(0, "raw", d)
+    for i, (name, df) in enumerate(
+        (
+            ("benchmark_held_out", train),
+            ("exact_dedup", s2),
+            ("near_dedup", s3),
+            ("quality_filter", s4),
+            ("decontaminated", s5),
+        ),
+        start=1,
+    ):
+        out = out.unionAll(stage(i, name, df))
+    return out

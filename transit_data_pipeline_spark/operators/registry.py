@@ -38,6 +38,7 @@ _MODULES = (
     "transit_data_pipeline_spark.operators.dedup",
     "transit_data_pipeline_spark.operators.similarity",
     "transit_data_pipeline_spark.operators.multimodal",
+    "transit_data_pipeline_spark.operators.curation",
 )
 
 

@@ -374,3 +374,123 @@ def text_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac.alias("contamination_frac"),
         (frac >= 0.2).alias("contaminated"),
     )
+
+
+@register(
+    "text_repetition_filter",
+    ops=("P5", "A9", "F10"),
+    doc="Repetition-based quality filter (the Gopher-style duplicate "
+    "n-gram signal): per document, the fraction of word bigrams that "
+    "are repeats of an earlier bigram in the same document. Entirely "
+    "array column expressions (transform/array_distinct) inside "
+    "codegen — per-row work, no shuffle, linear at any corpus size.",
+    oracle="""
+WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+bg AS (
+  SELECT doc_id, [w[i] || ' ' || w[i+1] for i in generate_series(1, len(w)-1)] AS b
+  FROM tok WHERE len(w) >= 2
+)
+SELECT doc_id,
+  len(b) AS n_bigrams,
+  len(list_distinct(b)) AS n_distinct_bigrams,
+  1.0 - CAST(len(list_distinct(b)) AS DOUBLE) / len(b) AS dup_bigram_frac,
+  (1.0 - CAST(len(list_distinct(b)) AS DOUBLE) / len(b)) > 0.05 AS flagged
+FROM bg
+""",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    bg = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    ).filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"
+        ).alias("b"),
+    )
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct("b")).cast("double") / F.size("b")
+    return bg.select(
+        "doc_id",
+        F.size("b").alias("n_bigrams"),
+        F.size(F.array_distinct("b")).alias("n_distinct_bigrams"),
+        dup_frac.alias("dup_bigram_frac"),
+        (dup_frac > 0.05).alias("flagged"),
+    )
+
+
+#: Target language mix for the rebalancer (weights sum to 1).
+MIX_WEIGHTS = (("en", 0.4), ("zh", 0.2), ("de", 0.15), ("es", 0.15), ("fr", 0.1))
+#: Overall sampling budget as a fraction of the corpus.
+MIX_BUDGET = 0.5
+
+
+@register(
+    "data_mix_rebalance",
+    ops=("O2", "A9", "F12"),
+    doc="Training-mix rebalancing: given target per-language weights "
+    "and an overall budget, compute per-language keep fractions "
+    "(water-filling, capped at 1.0) and select documents with the "
+    "same keyed-md5 uniform used by the deterministic samplers — "
+    "reproducible on any partitioning, no RNG state. The per-language "
+    "plan is a dimension-sized aggregate joined back broadcast; the "
+    "membership test is per-row.",
+    oracle=f"""
+WITH counts AS (SELECT lang, COUNT(*) AS n_avail FROM documents GROUP BY 1),
+tot AS (SELECT SUM(n_avail) AS n FROM counts),
+w(lang, target_weight) AS (VALUES {", ".join(f"('{lg}', {wt})" for lg, wt in MIX_WEIGHTS)}),
+plan AS (
+  SELECT c.lang, c.n_avail, w.target_weight,
+    LEAST(1.0, CAST((SELECT n FROM tot) AS DOUBLE) * {MIX_BUDGET} * w.target_weight / c.n_avail) AS keep_frac
+  FROM counts c JOIN w USING (lang)
+),
+draw AS (
+  SELECT lang, doc_id,
+    CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      / 1152921504606846976.0 AS u
+  FROM documents
+)
+SELECT p.lang, p.n_avail, p.target_weight, p.keep_frac,
+  COUNT(CASE WHEN d.u < p.keep_frac THEN 1 END) AS n_kept
+FROM draw d JOIN plan p USING (lang)
+GROUP BY 1, 2, 3, 4
+""",
+)
+def data_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_avail"))
+    total = d.agg(F.count(F.lit(1)).alias("n"))
+    weights = F.create_map(
+        *[x for lg, wt in MIX_WEIGHTS for x in (F.lit(lg), F.lit(wt))]
+    )
+    plan = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("target_weight", weights[F.col("lang")])
+        .select(
+            "lang",
+            "n_avail",
+            "target_weight",
+            F.least(
+                F.lit(1.0),
+                F.col("n").cast("double")
+                * MIX_BUDGET
+                * F.col("target_weight")
+                / F.col("n_avail"),
+            ).alias("keep_frac"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(float(16**15))
+    )
+    draw = d.select("lang", u.alias("u"))
+    return (
+        draw.join(F.broadcast(plan), "lang")
+        .groupBy("lang", "n_avail", "target_weight", "keep_frac")
+        .agg(F.count(F.when(F.col("u") < F.col("keep_frac"), 1)).alias("n_kept"))
+    )
