@@ -63,6 +63,12 @@ _R2_DEFER = frozenset(
         "text_repetition_filter",
         "data_mix_rebalance",
         "corpus_curation_funnel",
+        "doc_chunking",
+        "text_gopher_rules",
+        "hash_split_3way",
+        "winsorize_clip",
+        "zscore_normalize",
+        "kmeans_semantic_clusters",
     }
 )
 

@@ -195,3 +195,30 @@ def test_rolling_distinct_has_no_range_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "rolling_distinct_users")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hash_split_is_shuffle_free(spark, sf_dir):
+    """The md5-bucket split is a stateless row-local map — any
+    Exchange in its plan means it stopped being the no-global-sort
+    alternative to the row_number split."""
+    plan = _plan(spark, sf_dir, "hash_split_3way")
+    assert "Exchange" not in plan
+    assert "Sort" not in plan
+
+
+def test_group_stats_join_back_broadcasts(spark, sf_dir):
+    """winsorize/zscore decorrelate per-group stats into a dim-sized
+    aggregate; the join back must broadcast, never shuffle the fact."""
+    for name in ("winsorize_clip", "zscore_normalize"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    """k-means assignment is corpus × K centroids: the K side must be
+    the broadcast build side (BroadcastNestedLoopJoin over 8 rows),
+    never a shuffled CartesianProduct of the corpus."""
+    plan = _plan(spark, sf_dir, "kmeans_semantic_clusters")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan

@@ -1,0 +1,403 @@
+"""ML data-preparation operators — the pre-training / feature-prep
+surface a large-scale training pipeline needs between curation and
+the trainer: document chunking, Gopher-style quality rules,
+deterministic hash-based dataset splits, outlier winsorization,
+per-group feature standardization, and k-means semantic clustering
+over embeddings.
+
+Reference scope note: the reference pipeline stops at a flat feature
+table + XGBoost (`train_delay_model.py`); these operators extend the
+engine for the LLM-training-data workload (SURVEY.md §6 "beyond the
+reference"), like :mod:`.curation` and :mod:`.dedup`.
+
+Scale design:
+  * chunking / quality rules are pure column expressions (split,
+    higher-order filter/transform lambdas) — whole-stage codegen, no
+    shuffle, embarrassingly parallel at 100 TB;
+  * hash split is a stateless md5 of the key — reproducible on any
+    cluster layout, no global sort (contrast W5's row_number split,
+    which needs one);
+  * winsorize / z-score decorrelate the per-group statistics into a
+    tiny aggregate joined back broadcast-style (SURVEY §2 J6/J8
+    pattern) — two narrow shuffles on the group key;
+  * k-means quantizes float32 components to integer 2^-20 grid so
+    every cross-engine sum is EXACT (long arithmetic) — partition
+    merge order stops mattering, the same property
+    :mod:`..functions.numeric` buys for decimal sums. Assignment is
+    a broadcast cross-join against K centroid rows, the update is one
+    (cluster, dim) hash agg — both linear in rows at fixed K.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import numeric as N
+from .registry import register
+from .textops import SQL_TOKENS, STOPWORDS, _sql_list, tokens_col
+
+#: Chunking geometry: 32-token windows every 24 tokens (8-token overlap).
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+#: Quantization grid for exact k-means arithmetic: float32 component
+#: → trunc(x · 2^20) fits |x| ≤ 8e3 in a long with 6 decimal digits
+#: of resolution; (q_a − q_b)² ≤ ~1e14 and 64-dim sums ≤ ~6.4e15 stay
+#: exact in both long and double.
+KMEANS_Q = 1_048_576.0
+KMEANS_K = 8
+KMEANS_DIM = 64
+
+
+@register(
+    "doc_chunking",
+    ops=("P1", "F7", "F10"),
+    doc="Sliding-window document chunking (32-token windows, stride "
+    "24) — the tokenize-and-pack precursor: sequence+explode over "
+    "token offsets, slice per window. Pure codegen, no shuffle.",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+starts AS (
+  SELECT doc_id, w, len(w) AS n, UNNEST(generate_series(0, len(w) - 1, {CHUNK_STRIDE})) AS s
+  FROM tok
+)
+SELECT
+  doc_id,
+  s AS chunk_start,
+  len(list_slice(w, s + 1, LEAST(s + {CHUNK_TOKENS}, n))) AS n_chunk_tokens,
+  array_to_string(list_slice(w, s + 1, LEAST(s + {CHUNK_TOKENS}, n)), ' ') AS chunk_text
+FROM starts
+""",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    t = d.select("doc_id", tokens_col().alias("w")).withColumn("n", F.size("w"))
+    t = t.select(
+        "doc_id",
+        "w",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("s"),
+    )
+    chunk = F.expr(f"slice(w, s + 1, {CHUNK_TOKENS})")
+    return t.select(
+        "doc_id",
+        F.col("s").cast("long").alias("chunk_start"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+@register(
+    "text_gopher_rules",
+    ops=("P5", "P7", "A3"),
+    doc="Gopher-style document quality rules: token-count bounds, "
+    "mean token length band, minimum stopword hits, alphabetic-word "
+    "fraction — each rule a column, plus the composed keep flag. "
+    "All higher-order-function lambdas inside codegen (no UDFs).",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, lang, text, {SQL_TOKENS} AS w FROM documents)
+SELECT
+  doc_id,
+  lang,
+  len(w) AS n_tokens,
+  CAST(length(replace(trim(text), ' ', '')) AS DOUBLE) / len(w) AS mean_token_len,
+  len(list_filter(w, t -> t IN ({_sql_list(STOPWORDS)}))) AS n_stopwords,
+  CAST(len(list_filter(w, t -> regexp_full_match(t, '[a-z]+'))) AS DOUBLE) / len(w)
+    AS frac_alpha,
+  (len(w) BETWEEN 10 AND 1000)
+    AND (CAST(length(replace(trim(text), ' ', '')) AS DOUBLE) / len(w) BETWEEN 2.0 AND 12.0)
+    AND len(list_filter(w, t -> t IN ({_sql_list(STOPWORDS)}))) >= 2
+    AND CAST(len(list_filter(w, t -> regexp_full_match(t, '[a-z]+'))) AS DOUBLE) / len(w) >= 0.8
+    AS keep
+FROM tok
+""",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    w = tokens_col()
+    t = d.select("doc_id", "lang", "text", w.alias("w"))
+    n = F.size("w")
+    mean_len = (
+        F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit(""))).cast(
+            "double"
+        )
+        / n
+    )
+    n_stop = F.size(F.filter(F.col("w"), lambda t_: t_.isin(*STOPWORDS)))
+    frac_alpha = (
+        F.size(F.filter(F.col("w"), lambda t_: t_.rlike("^[a-z]+$"))).cast("double")
+        / n
+    )
+    keep = (
+        n.between(10, 1000)
+        & mean_len.between(2.0, 12.0)
+        & (n_stop >= 2)
+        & (frac_alpha >= 0.8)
+    )
+    return t.select(
+        "doc_id",
+        "lang",
+        n.cast("long").alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        n_stop.cast("long").alias("n_stopwords"),
+        frac_alpha.alias("frac_alpha"),
+        keep.alias("keep"),
+    )
+
+
+#: Shared hex-digit → value spelling (identical in Spark SQL and DuckDB).
+_HEXPOS = (
+    "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), {i}, 1)) - 1"
+)
+_BUCKET_SQL = f"(({_HEXPOS.format(i=1)}) * 16 + ({_HEXPOS.format(i=2)}))"
+
+
+@register(
+    "hash_split_3way",
+    ops=("W5", "F12", "P5"),
+    doc="Deterministic train/val/test split by md5(doc_id) bucket "
+    "(256 buckets → 75/12.5/12.5). Stateless per-row hash: "
+    "reproducible on any cluster layout with NO global sort — the "
+    "scale-path alternative to the reference's ORDER BY RANDOM() "
+    "sampling (`train_delay_model.py:123-124`) and the row_number "
+    "split (`ml_feature_engineering.sql:468-519`).",
+    oracle=f"""
+SELECT
+  doc_id,
+  CAST({_BUCKET_SQL} AS BIGINT) AS bucket,
+  CASE
+    WHEN {_BUCKET_SQL} < 192 THEN 'train'
+    WHEN {_BUCKET_SQL} < 224 THEN 'val'
+    ELSE 'test'
+  END AS split
+FROM documents
+""",
+)
+def hash_split_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bucket = F.expr(_BUCKET_SQL)
+    return d.select(
+        "doc_id",
+        bucket.cast("long").alias("bucket"),
+        F.when(bucket < 192, F.lit("train"))
+        .when(bucket < 224, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@register(
+    "winsorize_clip",
+    ops=("A8", "P7", "J6"),
+    doc="Per-group winsorization: exact p05/p95 per order priority "
+    "(decorrelated into a 5-row aggregate, broadcast back), values "
+    "clipped to the band, per-group clip counts + winsorized mean. "
+    "The outlier-capping step of a feature-prep pipeline.",
+    oracle=f"""
+WITH b AS (
+  SELECT o_orderpriority AS priority,
+         quantile_cont(o_totalprice, 0.05) AS p05,
+         quantile_cont(o_totalprice, 0.95) AS p95
+  FROM orders GROUP BY 1
+)
+SELECT
+  b.priority,
+  b.p05,
+  b.p95,
+  COUNT(*) AS n_rows,
+  SUM(CASE WHEN o_totalprice < b.p05 THEN 1 ELSE 0 END) AS n_clipped_low,
+  SUM(CASE WHEN o_totalprice > b.p95 THEN 1 ELSE 0 END) AS n_clipped_high,
+  {N.sql_davg("LEAST(GREATEST(o_totalprice, b.p05), b.p95)")} AS winsorized_mean
+FROM orders o JOIN b ON o.o_orderpriority = b.priority
+GROUP BY 1, 2, 3
+""",
+)
+def winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    bands = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("p05"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+    )
+    joined = o.join(
+        F.broadcast(bands), o["o_orderpriority"] == bands["priority"]
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95"))
+    return joined.groupBy("priority", "p05", "p95").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_totalprice") < F.col("p05"), 1).otherwise(0)
+        ).alias("n_clipped_low"),
+        F.sum(
+            F.when(F.col("o_totalprice") > F.col("p95"), 1).otherwise(0)
+        ).alias("n_clipped_high"),
+        N.davg(clipped).alias("winsorized_mean"),
+    )
+
+
+@register(
+    "zscore_normalize",
+    ops=("J6", "A3", "A4"),
+    doc="Per-group z-score standardization: deterministic mean/stddev "
+    "per order priority (exact decimal sufficient statistics, "
+    "`functions/numeric.py`), joined back broadcast-style, per-row "
+    "z = (x − μ)/σ. The feature-scaling step of D6 re-expressed as a "
+    "decorrelated join (SURVEY §2 J6/J8).",
+    oracle=f"""
+WITH s AS (
+  SELECT o_orderpriority AS priority,
+         {N.sql_davg("o_totalprice")} AS mu,
+         {N.sql_dstddev("o_totalprice")} AS sigma
+  FROM orders GROUP BY 1
+)
+SELECT o.o_orderkey, s.priority, o.o_totalprice,
+       (o.o_totalprice - s.mu) / s.sigma AS zscore
+FROM orders o JOIN s ON o.o_orderpriority = s.priority
+""",
+)
+def zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    stats = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        N.davg("o_totalprice").alias("mu"),
+        N.dstddev("o_totalprice").alias("sigma"),
+    )
+    return (
+        o.join(F.broadcast(stats), o["o_orderpriority"] == stats["priority"])
+        .select(
+            "o_orderkey",
+            "priority",
+            "o_totalprice",
+            ((F.col("o_totalprice") - F.col("mu")) / F.col("sigma")).alias("zscore"),
+        )
+    )
+
+
+def _q_col(vec):
+    """float32 array → long array on the 2^-20 grid (exact in both
+    engines: multiply by a power of two is exact, cast truncates)."""
+    return F.transform(
+        vec, lambda x: (x.cast("double") * F.lit(KMEANS_Q)).cast("long")
+    )
+
+
+_SQL_QVEC = (
+    "list_transform(embedding, "
+    f"x -> CAST(trunc(CAST(x AS DOUBLE) * {KMEANS_Q!r}) AS BIGINT))"
+)
+
+
+def _sqdist(a, b):
+    """Σ (aᵢ−bᵢ)² as a sequential left fold over doubles."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sql_sqdist(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _sql_assign(evec: str, cvec: str, e: str, c: str) -> str:
+    """One Lloyd assignment round as SQL: nearest centroid per vector,
+    ties broken by centroid id."""
+    return f"""
+SELECT vec_id, cid, v FROM (
+  SELECT {e}.vec_id, {c}.cid, {e}.v,
+         ROW_NUMBER() OVER (
+           PARTITION BY {e}.vec_id
+           ORDER BY {_sql_sqdist(evec, cvec)}, {c}.cid
+         ) AS rn
+  FROM {e}, {c}
+) WHERE rn = 1
+"""
+
+
+@register(
+    "kmeans_semantic_clusters",
+    ops=("J10", "A3", "W4"),
+    doc="Deterministic k-means over embeddings (K=8, 2 Lloyd "
+    "iterations, centroids seeded from the first K vectors): the "
+    "semantic-clustering primitive behind cluster-balanced sampling "
+    "and SemDeDup-style semantic dedup. Components quantized to the "
+    "2^-20 integer grid so every sum is EXACT long arithmetic — "
+    "assignment is reproducible on any partition layout. Assignment "
+    "= broadcast cross-join vs K rows; update = one (cluster, dim) "
+    "hash agg; both linear in corpus size at fixed K.",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, list_transform({_SQL_QVEC}, q -> CAST(q AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {KMEANS_K}),
+a1 AS ({_sql_assign("e.v", "c0.c", "e", "c0")}),
+c1 AS (
+  SELECT cid, list(comp ORDER BY dim) AS c FROM (
+    SELECT cid, dim, CAST(SUM(v[dim]) AS DOUBLE) / COUNT(*) AS comp
+    FROM a1, generate_series(1, {KMEANS_DIM}) AS t(dim)
+    GROUP BY cid, dim
+  ) GROUP BY cid
+),
+a2 AS ({_sql_assign("e.v", "c1.c", "e", "c1")})
+SELECT
+  a2.cid AS cluster_id,
+  COUNT(*) AS n_members,
+  ROUND(MAX(c1.c[1]) / {KMEANS_Q!r}, 6) AS centroid_d1
+FROM a2 JOIN c1 ON a2.cid = c1.cid
+GROUP BY 1
+""",
+)
+def kmeans_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", F.transform(_q_col(F.col("embedding")), lambda q: q.cast("double")).alias("v")
+    )
+    c0 = (
+        e.filter(F.col("vec_id") < KMEANS_K)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        scored = e.crossJoin(F.broadcast(centroids)).select(
+            "vec_id",
+            "cid",
+            "v",
+            _sqdist(F.col("v"), F.col("c")).alias("dist"),
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "v")
+        )
+
+    a1 = assign(c0)
+    comps = a1.select(
+        "cid", F.posexplode(F.col("v")).alias("dim0", "qv")
+    ).groupBy("cid", (F.col("dim0") + 1).alias("dim")).agg(
+        (F.sum("qv").cast("double") / F.count(F.lit(1))).alias("comp")
+    )
+    c1 = comps.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "comp"))),
+            lambda s: s["comp"],
+        ).alias("c")
+    )
+    a2 = assign(c1)
+    return (
+        a2.join(F.broadcast(c1), "cid")
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.max(F.element_at("c", 1)) / F.lit(KMEANS_Q), 6).alias(
+                "centroid_d1"
+            ),
+        )
+    )

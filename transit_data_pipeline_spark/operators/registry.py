@@ -39,6 +39,7 @@ _MODULES = (
     "transit_data_pipeline_spark.operators.similarity",
     "transit_data_pipeline_spark.operators.multimodal",
     "transit_data_pipeline_spark.operators.curation",
+    "transit_data_pipeline_spark.operators.mlprep",
 )
 
 
