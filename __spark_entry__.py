@@ -69,6 +69,9 @@ _R2_DEFER = frozenset(
         "winsorize_clip",
         "zscore_normalize",
         "kmeans_semantic_clusters",
+        "pack_sequences",
+        "vocab_heavy_hitters",
+        "streaming_sliding_rate",
     }
 )
 

@@ -222,3 +222,12 @@ def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
     plan = _plan(spark, sf_dir, "kmeans_semantic_clusters")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_pack_sequences_window_is_partition_parallel(spark, sf_dir):
+    """The packing running-sum must sort per language partition — a
+    SinglePartition exchange means someone dropped the partitionBy and
+    the pack planner became a global sort."""
+    plan = _plan(spark, sf_dir, "pack_sequences")
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan

@@ -401,3 +401,87 @@ def kmeans_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: Token capacity of one packed training sequence.
+PACK_CAP = 2048
+
+
+@register(
+    "pack_sequences",
+    ops=("W11", "A3", "F7"),
+    doc="Sequence-packing planner: documents stream into fixed "
+    "2048-token training sequences in deterministic (lang, doc_id) "
+    "order; a doc belongs to the pack where its first token lands "
+    "(running-sum window → integer shard). Per-pack occupancy stats "
+    "out. One window sort per language partition — partition-parallel "
+    "at 100 TB, no global sort.",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, len({SQL_TOKENS}) AS n_tokens FROM documents
+),
+cum AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_tokens
+  FROM tok
+)
+SELECT lang,
+       CAST(trunc(CAST(cum_tokens - n_tokens AS DOUBLE) / {PACK_CAP}) AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS tokens_in_pack
+FROM cum
+GROUP BY 1, 2
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.size(tokens_col()).cast("long").alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    pack = (
+        ((F.col("cum_tokens") - F.col("n_tokens")).cast("double") / F.lit(PACK_CAP))
+        .cast("long")
+    )
+    return t.groupBy("lang", pack.alias("pack_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_in_pack"),
+    )
+
+
+@register(
+    "vocab_heavy_hitters",
+    ops=("A1", "W4", "O1"),
+    doc="Per-language top-5 tokens (vocabulary heavy hitters): "
+    "explode → (lang, token) hash count → per-lang rank with a token "
+    "tiebreaker. The exact companion to the Count-Min sketch "
+    "(`sketches.py`) — at 100 TB run the sketch first, then this "
+    "exact pass over sketch-flagged candidates only.",
+    oracle=f"""
+WITH tok AS (
+  SELECT lang, UNNEST({SQL_TOKENS}) AS token FROM documents
+),
+cnt AS (SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY 1, 2)
+SELECT lang, token, n, rnk FROM (
+  SELECT lang, token, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rnk
+  FROM cnt
+) WHERE rnk <= 5
+""",
+)
+def vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    tok = d.select("lang", F.explode(tokens_col()).alias("token"))
+    cnt = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "token", "n", F.col("rnk").cast("long").alias("rnk"))
+    )

@@ -312,3 +312,47 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             N.dsum("value").alias("total_value"),
         )
     )
+
+
+@register(
+    "streaming_sliding_rate",
+    ops=("A1", "A3", "F5"),
+    doc="SLIDING-window streaming aggregate (1 h window, 15 min "
+    "slide): each event lands in exactly 4 overlapping windows — the "
+    "event-rate monitor pattern. availableNow drain ⇒ equals the "
+    "batch equivalent; the oracle re-derives the 4 windows per event "
+    "with a k∈0..3 offset grid. State is bounded by watermark × 4 "
+    "overlap factor.",
+    oracle=f"""
+SELECT make_timestamp(
+         (((epoch_ns(ts) // 1000) // 900000000) - k) * 900000000
+       ) AS window_start,
+       COUNT(*) AS n_events,
+       {N.sql_dsum("value")} AS total_value
+FROM events, generate_series(0, 3) t(k)
+GROUP BY 1
+""",
+)
+def streaming_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _event_stream(spark, sf_dir)
+        .groupBy(F.window("event_time", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            N.dsum("value").alias("total_value"),
+        )
+    )
+    name = "tdps_stream_sliding"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"),
+        "n_events",
+        "total_value",
+    )
