@@ -72,6 +72,8 @@ _R2_DEFER = frozenset(
         "pack_sequences",
         "vocab_heavy_hitters",
         "streaming_sliding_rate",
+        "sketch_hll_distinct",
+        "dedup_incremental_snapshot",
     }
 )
 

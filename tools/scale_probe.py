@@ -1,0 +1,101 @@
+"""×8 scaling probe: duplicate the sf0.1 tables 8× with shifted ids
+into a scratch dir (multi-row-group layout, so scans parallelize),
+then time a set of registry queries at sf0.1 vs ×8 and print one
+line per query. Usage:
+
+    python tools/scale_probe.py [query ...]      # default: newest ops
+
+Results are recorded in SCALING.md; the corpus is adversarial for
+near-dup operators (every doc has 8 exact copies).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from transit_data_pipeline_spark.operators.registry import all_specs  # noqa: E402
+from transit_data_pipeline_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.1"
+X8 = "/tmp/tdps_probe_x8"
+
+#: id column to shift per table so duplicated rows stay key-unique.
+_SHIFT = {
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "region": None,
+    "nation": None,
+}
+
+DEFAULT = [
+    "doc_chunking",
+    "text_gopher_rules",
+    "hash_split_3way",
+    "winsorize_clip",
+    "zscore_normalize",
+    "kmeans_semantic_clusters",
+    "pack_sequences",
+    "vocab_heavy_hitters",
+    "streaming_sliding_rate",
+]
+
+
+def build_x8(spark) -> None:
+    os.makedirs(X8, exist_ok=True)
+    for t, idc in _SHIFT.items():
+        out = os.path.join(X8, f"{t}.parquet")
+        if os.path.exists(out):
+            continue
+        if t == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(SF, f"{t}.parquet"))
+        if idc is None:
+            copies = df
+        else:
+            n = df.agg(F.max(idc)).collect()[0][0] + 1
+            copies = df
+            for i in range(1, 8):
+                copies = copies.unionByName(
+                    df.withColumn(idc, F.col(idc) + F.lit(i * n))
+                )
+        # tmp dir then single-file-per-partition layout; keep multiple
+        # row groups so the scan parallelizes (unlike the driver files)
+        copies.repartition(16).write.mode("overwrite").parquet(out + ".d")
+        os.rename(out + ".d", out)
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT
+    spark = get_spark("tdps-scale-probe")
+    build_x8(spark)
+    specs = all_specs()
+    for name in names:
+        row = [name]
+        for sf_dir in (SF, X8):
+            best = None
+            for _ in range(2):
+                t0 = time.monotonic()
+                specs[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            row.append(f"{best:.2f}s")
+        print("  ".join(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -630,3 +630,40 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             "component_size",
         )
     )
+
+
+@register(
+    "dedup_incremental_snapshot",
+    ops=("J2", "S4", "P5"),
+    doc="Incremental snapshot dedup: a new crawl batch (doc_id % 5 = "
+    "0) checked against the existing corpus (the rest) by normalized "
+    "md5 fingerprint — the daily-ingest version of exact dedup. One "
+    "shuffle keyed by fingerprint; the corpus side carries only "
+    "(fingerprint) so state is a fraction of corpus bytes. At 100 TB "
+    "the corpus fingerprints live as a bucketed table so the join is "
+    "shuffle-free on ingest.",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, md5({SQL_NORM}) AS fingerprint FROM documents
+),
+corpus AS (
+  SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 5 <> 0
+)
+SELECT f.doc_id, f.fingerprint,
+       c.fingerprint IS NULL AS kept
+FROM fp f LEFT JOIN corpus c ON f.fingerprint = c.fingerprint
+WHERE f.doc_id % 5 = 0
+""",
+)
+def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(_norm_col()).alias("fingerprint")
+    )
+    corpus = (
+        d.filter(F.col("doc_id") % 5 != 0).select("fingerprint").distinct()
+        .withColumn("in_corpus", F.lit(1))
+    )
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    return batch.join(corpus, "fingerprint", "left").select(
+        "doc_id", "fingerprint", F.col("in_corpus").isNull().alias("kept")
+    )

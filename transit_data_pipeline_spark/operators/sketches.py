@@ -167,3 +167,97 @@ def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cm_estimate",
         (F.col("cm_estimate") >= F.col("exact_count")).alias("never_underestimates"),
     )
+
+
+#: HLL geometry: m=64 registers (6 index bits), 32-bit rank pattern,
+#: alpha_64 = 0.709. POWER(2.0, 33−M) is an exact integer ≤ 2^33 in
+#: a double, so the register sum is EXACT BIGINT arithmetic — the
+#: whole estimate has exactly one floating division.
+_HLL_M = 64
+_HLL_ALPHA = 0.709
+_HLL_SHIFT = 8589934592.0  # 2^33
+
+
+@register(
+    "sketch_hll_distinct",
+    ops=("A2", "J10", "A3"),
+    doc="Deterministic HyperLogLog per order priority: md5-derived "
+    "register index (6 bits) + rank (leading zeros of a 32-bit "
+    "pattern via length(bin(v))), register max, exact-integer "
+    "register sum Σ2^(33−M), one double division for the estimate. "
+    "Unlike approx_count_distinct (whose sketch differs per engine), "
+    "this HLL is bitwise oracle-checkable. Mergeable at 100 TB: "
+    "register state is 64 bytes per group, partial-aggregate "
+    "friendly.",
+    oracle=f"""
+WITH h AS (
+  SELECT o_orderpriority AS priority,
+    CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 2)) AS BIGINT) % {_HLL_M} AS reg,
+    CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 3, 8)) AS BIGINT) AS v32
+  FROM orders
+),
+m AS (
+  SELECT priority, reg,
+         MAX(CASE WHEN v32 > 0 THEN 33 - length(bin(v32)) ELSE 33 END) AS mreg
+  FROM h GROUP BY 1, 2
+),
+grid AS (
+  SELECT p.priority, t.reg
+  FROM (SELECT DISTINCT o_orderpriority AS priority FROM orders) p, range(0, {_HLL_M}) t(reg)
+),
+s AS (
+  SELECT g.priority,
+         SUM(CAST(POWER(2.0, 33 - COALESCE(m.mreg, 0)) AS BIGINT)) AS denom
+  FROM grid g LEFT JOIN m ON g.priority = m.priority AND g.reg = m.reg
+  GROUP BY 1
+),
+exact AS (
+  SELECT o_orderpriority AS priority, COUNT(DISTINCT o_custkey) AS exact_distinct
+  FROM orders GROUP BY 1
+)
+SELECT e.priority, e.exact_distinct,
+  {_HLL_ALPHA!r} * {_HLL_M} * {_HLL_M} * {_HLL_SHIFT!r} / CAST(s.denom AS DOUBLE)
+    AS hll_estimate
+FROM exact e JOIN s ON e.priority = s.priority
+""",
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    md5 = F.md5(F.col("o_custkey").cast("string"))
+    reg = (
+        F.conv(F.substring(md5, 1, 2), 16, 10).cast("bigint") % _HLL_M
+    ).alias("reg")
+    v32 = F.conv(F.substring(md5, 3, 8), 16, 10).cast("bigint").alias("v32")
+    h = o.select(F.col("o_orderpriority").alias("priority"), reg, v32)
+    rank = F.when(F.col("v32") > 0, 33 - F.length(F.bin(F.col("v32")))).otherwise(
+        F.lit(33)
+    )
+    m = h.groupBy("priority", "reg").agg(F.max(rank).alias("mreg"))
+    grid = (
+        o.select(F.col("o_orderpriority").alias("priority")).distinct()
+        .crossJoin(spark.range(0, _HLL_M).select(F.col("id").alias("reg")))
+    )
+    s = (
+        grid.join(m, ["priority", "reg"], "left")
+        .groupBy("priority")
+        .agg(
+            F.sum(
+                F.pow(F.lit(2.0), 33 - F.coalesce(F.col("mreg"), F.lit(0))).cast(
+                    "bigint"
+                )
+            ).alias("denom")
+        )
+    )
+    exact = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    est = (
+        F.lit(_HLL_ALPHA)
+        * _HLL_M
+        * _HLL_M
+        * F.lit(_HLL_SHIFT)
+        / F.col("denom").cast("double")
+    )
+    return exact.join(s, "priority").select(
+        "priority", "exact_distinct", est.alias("hll_estimate")
+    )

@@ -51,9 +51,19 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # read-only — nothing is copied).
     src_dir = _scratch(sf_dir, "src")
     os.makedirs(src_dir, exist_ok=True)
-    link = os.path.join(src_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        # Directory-layout table (the normal case outside the driver
+        # fixtures): link each part file — the file source does not
+        # recurse into non-partition subdirectories.
+        for f in os.listdir(src):
+            link = os.path.join(src_dir, f)
+            if f.endswith(".parquet") and not os.path.exists(link):
+                os.symlink(os.path.join(src, f), link)
+    else:
+        link = os.path.join(src_dir, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
     stream = spark.readStream.schema(_EVENTS_RAW).parquet(src_dir)
     return stream.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
 
