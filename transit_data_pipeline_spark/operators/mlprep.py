@@ -209,8 +209,8 @@ SELECT
   b.p05,
   b.p95,
   COUNT(*) AS n_rows,
-  SUM(CASE WHEN o_totalprice < b.p05 THEN 1 ELSE 0 END) AS n_clipped_low,
-  SUM(CASE WHEN o_totalprice > b.p95 THEN 1 ELSE 0 END) AS n_clipped_high,
+  CAST(SUM(CASE WHEN o_totalprice < b.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+  CAST(SUM(CASE WHEN o_totalprice > b.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
   {N.sql_davg("LEAST(GREATEST(o_totalprice, b.p05), b.p95)")} AS winsorized_mean
 FROM orders o JOIN b ON o.o_orderpriority = b.priority
 GROUP BY 1, 2, 3
@@ -431,7 +431,7 @@ cum AS (
 SELECT lang,
        CAST(trunc(CAST(cum_tokens - n_tokens AS DOUBLE) / {PACK_CAP}) AS BIGINT) AS pack_id,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS tokens_in_pack
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_in_pack
 FROM cum
 GROUP BY 1, 2
 """,

@@ -357,7 +357,7 @@ SELECT
   o_orderpriority AS priority,
   COUNT(*) AS n_orders,
   COUNT(DISTINCT o_custkey) AS n_customers,
-  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
   COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_big,
   {N.sql_davg("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS avg_finished_price,
   CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) * 100.0
