@@ -52,41 +52,51 @@ _R1_GREEN = frozenset(
 )
 
 
-#: Queries registered after the round-2 check window was already full
-#: (the driver verifies ~50 per round): they sort to the end of the
-#: needs-a-row block so they don't displace this round's 50 targets,
-#: and rotate into the checked window next round.
-_R2_DEFER = frozenset(
-    {
-        "text_pii_scrub",
-        "text_benchmark_contamination",
-        "text_repetition_filter",
-        "data_mix_rebalance",
-        "corpus_curation_funnel",
-        "doc_chunking",
-        "text_gopher_rules",
-        "hash_split_3way",
-        "winsorize_clip",
-        "zscore_normalize",
-        "kmeans_semantic_clusters",
-        "pack_sequences",
-        "vocab_heavy_hitters",
-        "streaming_sliding_rate",
-        "sketch_hll_distinct",
-        "dedup_incremental_snapshot",
-    }
+#: Round-4 front of the driver's ~50-query check window: the 16 queries
+#: that have never had a driver CORRECTNESS row (registered after the
+#: round-2 window was full, deferred through r3) plus the 6 queries that
+#: regressed in r3 on the events fixture regeneration (fixed in
+#: catalog.normalize_events / streamingops._events_schema). After this
+#: round every one of the registered queries has been driver-adjudicated
+#: at least once.
+_R4_FRONT = (
+    # never driver-checked
+    "corpus_curation_funnel",
+    "doc_chunking",
+    "text_gopher_rules",
+    "hash_split_3way",
+    "winsorize_clip",
+    "zscore_normalize",
+    "kmeans_semantic_clusters",
+    "pack_sequences",
+    "vocab_heavy_hitters",
+    "text_pii_scrub",
+    "text_benchmark_contamination",
+    "text_repetition_filter",
+    "data_mix_rebalance",
+    "sketch_hll_distinct",
+    "streaming_sliding_rate",
+    "dedup_incremental_snapshot",
+    # red in CORRECTNESS_r03 (events ts regression, now fixed)
+    "scd2_user_type_history",
+    "rolling_distinct_users",
+    "sketch_countmin_freq",
+    "streaming_hourly_rollup",
+    "streaming_feature_append",
+    "streaming_stateful_sessions",
 )
 
 
 def _ordered_specs():
     specs = all_specs()
-    need_row = [n for n in specs if n not in _R1_GREEN]
-    # Oracle-backed queries yield the strong (hash-checked) rows; the
-    # rows-only ones (e.g. the GBT cross-validation run, which is also
-    # the slowest query in the registry) go behind them, and the
-    # post-window registrations go last.
-    need_row.sort(key=lambda n: (n in _R2_DEFER, specs[n].oracle is None))
-    return {n: specs[n] for n in (*need_row, *(n for n in specs if n in _R1_GREEN))}
+    front = [n for n in _R4_FRONT if n in specs]
+    rest = [n for n in specs if n not in set(front)]
+    # Among the rest: queries with no green row yet (newly registered)
+    # before re-confirmations; oracle-backed (strong hash-checked rows)
+    # before rows-only (e.g. the GBT cross-validation run, which is also
+    # the slowest query in the registry).
+    rest.sort(key=lambda n: (n in _R1_GREEN, specs[n].oracle is None))
+    return {n: specs[n] for n in (*front, *rest)}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -12,6 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -50,22 +51,62 @@ def table(
     where the map side is cheap and the shuffle would dominate; on a
     real multi-row-group layout this flag is a no-op conceptually.
 
-    ``events`` is stored with TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects; we read nanos as LONG (``ts`` stays raw nanoseconds)
-    and expose a derived microsecond ``event_time`` timestamp. DuckDB
-    oracle twin: ``make_timestamp(epoch_ns(ts) // 1000)``.
+    ``events`` is normalized to a stable contract regardless of how the
+    fixture encodes ``ts`` on disk (see :func:`normalize_events`):
+    ``ts`` is int64 epoch nanoseconds, ``event_time`` is a timestamp.
+    DuckDB oracle twin for both encodings:
+    ``make_timestamp(epoch_ns(ts) // 1000)`` — ``epoch_ns`` accepts a
+    TIMESTAMP column and equals the raw value on an int64-nanos column.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        df = df.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_events(read_events_raw(spark, sf_dir))
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if spread:
-        df = df.repartition(max(spark.sparkContext.defaultParallelism, 8))
+        target = max(spark.sparkContext.defaultParallelism, 8)
+        # Gate on the planned scan parallelism: the driver fixtures are
+        # single-row-group files (one task no matter the cluster), but on
+        # a real multi-file layout the scan already parallelizes and an
+        # unconditional repartition would be a gratuitous full shuffle.
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     return df
+
+
+def read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events table exactly as stored. Driver fixtures have
+    shipped ``ts`` as both TIMESTAMP(NANOS) (read as raw int64 nanos via
+    ``nanosAsLong``) and plain ``timestamp[us]`` — this returns whichever
+    the footer declares; :func:`normalize_events` unifies them."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Normalize either events encoding to the package-wide contract:
+    ``ts`` = int64 epoch NANOSECONDS, ``event_time`` = TimestampType.
+
+    Works on batch and streaming DataFrames (pure column expressions).
+    The NTZ→LTZ cast is value-preserving because the session timezone is
+    pinned to UTC (session.RUNTIME_CONF).
+    """
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # TIMESTAMP(NANOS) fixture read as raw nanos via nanosAsLong.
+        return df.withColumn(
+            "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        et = F.col("ts").cast("timestamp")
+        return df.withColumn("event_time", et).withColumn(
+            "ts", F.unix_micros(et) * F.lit(1000)
+        )
+    raise TypeError(
+        f"unsupported events.ts dtype {ts_type}; expected int64 nanos "
+        "or a timestamp — regenerated fixture changed encoding again?"
+    )
 
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

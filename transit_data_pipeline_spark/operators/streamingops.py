@@ -23,29 +23,24 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
+from ..catalog import normalize_events, read_events_raw
 from ..functions import numeric as N
 from .registry import register
 
 SQL_EVENT_TIME = "make_timestamp(epoch_ns(ts) // 1000)"
 
-#: Raw events schema with TIMESTAMP(NANOS) read as LONG (see
-#: ``catalog.table``); streams declare schemas explicitly.
-_EVENTS_RAW = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def _events_schema(spark: SparkSession, sf_dir: str):
+    """Streams must declare a schema up front; derive it from the actual
+    parquet footer (a batch read plans the schema without running a job)
+    so fixture regenerations that change the ``ts`` encoding — int64
+    TIMESTAMP(NANOS) vs plain timestamp[us] — can't silently feed the
+    stream misinterpreted raw values (the round-3 regression)."""
+    return read_events_raw(spark, sf_dir).schema
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The file stream source lists a DIRECTORY; the driver table is a
     # single parquet file, so stage a symlink dir (testdata is
     # read-only — nothing is copied).
@@ -64,8 +59,8 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         link = os.path.join(src_dir, "events.parquet")
         if not os.path.exists(link):
             os.symlink(src, link)
-    stream = spark.readStream.schema(_EVENTS_RAW).parquet(src_dir)
-    return stream.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = spark.readStream.schema(_events_schema(spark, sf_dir)).parquet(src_dir)
+    return normalize_events(stream)
 
 
 def _scratch(sf_dir: str, tag: str) -> str:
@@ -281,7 +276,6 @@ GROUP BY 1
 """,
 )
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = _scratch(sf_dir, "dup_src")
     sink = _scratch(sf_dir, "dup_sink")
     ckpt = _scratch(sf_dir, "dup_ckpt")
@@ -294,9 +288,9 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.symlink(os.path.join(sf_dir, "events.parquet"), link)
 
     stream = (
-        spark.readStream.schema(_EVENTS_RAW)
-        .parquet(src)
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        normalize_events(
+            spark.readStream.schema(_events_schema(spark, sf_dir)).parquet(src)
+        )
         .withWatermark("event_time", "2 hours")
         .dropDuplicates(["event_id"])
     )
