@@ -172,15 +172,19 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("f")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
-    )
+    ).persist()
 
     # Stage 3: near-dup on the survivors (LSH candidates → exact verify).
-    all_sh = _doc_shingles(spark, sf_dir)
+    # The shingle frame is the funnel's most expensive intermediate
+    # (normalize + explode over the full corpus) and feeds stages 3 AND
+    # 5 — persist it (and each survivor set) so no stage re-runs an
+    # upstream corpus pass; at 100 TB these would be 4 redundant scans.
+    all_sh = _doc_shingles(spark, sf_dir).persist()
     sh2 = all_sh.join(s2, "doc_id", "left_semi")
     dropped3 = _lsh_verified_pairs(sh2).select(
         F.col("doc_b").alias("doc_id")
     ).distinct()
-    s3 = s2.join(dropped3, "doc_id", "left_anti")
+    s3 = s2.join(dropped3, "doc_id", "left_anti").persist()
 
     # Stage 4: quality floor (same formula as text_quality_score).
     w = F.split(F.trim(F.col("text")), r"\s+")
@@ -209,7 +213,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         s3.join(q, "doc_id")
         .filter(F.col("quality_score") >= QUALITY_THR)
         .select("doc_id")
-    )
+    ).persist()
 
     # Stage 5: decontamination against the held-out benchmark shingles.
     bench_sh = (
@@ -234,21 +238,26 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
 
-    def stage(i: int, name: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
-            F.lit(i).alias("stage_id"), F.lit(name).alias("stage"), "n_docs"
+    # Materialize the six per-stage counts eagerly: a lazy 6-way union
+    # would re-execute the un-shared parts of the lineage per branch,
+    # and the persisted frames must be computed before they can be
+    # released. Each count is a scalar aggregate — O(1) driver memory
+    # at any corpus size (this is not a driver collect of rows).
+    rows = [
+        (i, name, df.agg(F.count(F.lit(1))).first()[0])
+        for i, (name, df) in enumerate(
+            (
+                ("raw", d),
+                ("benchmark_held_out", train),
+                ("exact_dedup", s2),
+                ("near_dedup", s3),
+                ("quality_filter", s4),
+                ("decontaminated", s5),
+            )
         )
-
-    out = stage(0, "raw", d)
-    for i, (name, df) in enumerate(
-        (
-            ("benchmark_held_out", train),
-            ("exact_dedup", s2),
-            ("near_dedup", s3),
-            ("quality_filter", s4),
-            ("decontaminated", s5),
-        ),
-        start=1,
-    ):
-        out = out.unionAll(stage(i, name, df))
-    return out
+    ]
+    for cached in (all_sh, s2, s3, s4):
+        cached.unpersist()
+    return spark.createDataFrame(
+        rows, "stage_id int, stage string, n_docs long"
+    )

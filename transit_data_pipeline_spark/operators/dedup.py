@@ -611,16 +611,22 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(labels, edges.src == labels.doc_id)
             .select(F.col("dst").alias("doc_id"), "comp")
         )
-        labels = (
+        new_labels = (
             labels.unionByName(neigh)
             .groupBy("doc_id")
             .agg(F.min("comp").alias("comp"))
         ).cache()
-        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        cur_sum = new_labels.agg(F.sum("comp")).first()[0]
+        # The new frame is materialized by the sum above, so the
+        # superseded iteration's cache can be released immediately —
+        # without this, 20 iterations pin 20 corpus-sized frames.
+        labels.unpersist()
+        labels = new_labels
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
 
+    edges.unpersist()  # final labels frame is cached + materialized
     csizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("component_size"))
     return (
         labels.join(csizes, "comp")

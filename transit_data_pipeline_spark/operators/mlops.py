@@ -145,97 +145,115 @@ def synthetic_weather_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # model training is not SQL-expressible → rows-only
     bench=False,  # excluded from the headline timing suite
     doc="XGBoost + GridSearchCV (`train_delay_model.py:274-355`) as "
-    "SparkML GBTRegressor + ParamGridBuilder/CrossValidator; tolerance "
-    "accuracy per `train_delay_model.py:400-416`. Deterministic "
-    "hash-split and seeded sampling replace ORDER BY RANDOM(). Returns "
-    "one metrics row (schema-stable; values depend on the fitted model).",
+    "SparkML GBTRegressor + explicit grid-search cross-validation over "
+    "the same delay dataset the reference trains on (gtfs/synth.py "
+    "regenerates it with the reference's published model constants). "
+    "Selection uses the DEPLOYMENT metric — fraction of predictions "
+    "within ±10 min (`train_delay_model.py:400-416`) — and each fold "
+    "fits a band-center calibration shift on its train split before "
+    "scoring the held-out split (for a hit-rate-within-±tol loss the "
+    "optimal point prediction is the best-window CENTER, not the "
+    "conditional mean MSE training produces; the shift must be inside "
+    "CV or selection can't see the deployed predictor). The returned "
+    "row asserts the reference's own acceptance gate: acc_10min >= "
+    "0.85 (`train_delay_model.py:584`; published 88.8%, `README.md:15`"
+    " / `streamlit_dashboard.py:335-343`). meets_threshold=false fails "
+    "the rows-only driver check's quality claim.",
 )
 def ml_gbt_cv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml import Pipeline
+    import itertools
+    import os
+    import tempfile
+
     from pyspark.ml.evaluation import RegressionEvaluator
-    from pyspark.ml.feature import StringIndexer, VectorAssembler
-    from pyspark.ml.regression import GBTRegressor
-    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
 
-    l = table(spark, sf_dir, "lineitem")
-    p = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
-    feats = l.join(
-        F.broadcast(p), l.l_partkey == p.p_partkey
-    ).select(
-        "l_orderkey",
-        "l_linenumber",
-        "l_quantity",
-        "l_discount",
-        "l_tax",
-        "l_returnflag",
-        "p_retailprice",  # the dominant price driver — feature join
-        F.month("l_shipdate").alias("ship_month"),
-        (F.dayofweek("l_shipdate") - 1).alias("ship_dow"),
-        "l_extendedprice",
-    )
-    # Deterministic keyed-hash sample (the scalable ORDER BY RANDOM()):
-    # take ~20% of rows, then hash-split 80/20 into train/test.
-    u = (
-        F.abs(F.hash(F.col("l_orderkey") * 7 + F.col("l_linenumber"))) % 1000
-    ) / 1000.0
-    sampled = feats.withColumn("u", u).filter(F.col("u") < 0.2)
-    train_df = sampled.filter(F.col("u") < 0.16)
-    test_df = sampled.filter(F.col("u") >= 0.16)
+    from ..gtfs import features, ingest, ml, synth
 
-    pipe = Pipeline(
-        stages=[
-            StringIndexer(
-                inputCol="l_returnflag", outputCol="flag_idx", handleInvalid="keep"
-            ),
-            VectorAssembler(
-                inputCols=[
-                    "flag_idx",
-                    "l_quantity",
-                    "l_discount",
-                    "l_tax",
-                    "p_retailprice",
-                    "ship_month",
-                    "ship_dow",
-                ],
-                outputCol="features",
-            ),
-            GBTRegressor(
-                labelCol="l_extendedprice",
-                featuresCol="features",
-                maxIter=5,
-                stepSize=0.1,
-                seed=42,
-            ),
-        ]
+    # The reference trains on the dataset its own generator produces
+    # (`generate_synthetic_data.py` → ml.train_features). synth.generate
+    # reproduces that generator (seeded → idempotent scratch dir).
+    data_dir = os.path.join(tempfile.gettempdir(), "tdps_d7_synth_s42")
+    if not os.path.isdir(data_dir):
+        synth.generate(data_dir, seed=42)
+    op = ingest.build_operational(ingest.read_staging(spark, data_dir))
+    as_of = (
+        op["delay_events"]
+        .agg(F.date_format(F.max(F.to_date("actual_arrival")), "yyyy-MM-dd"))
+        .first()[0]
     )
-    gbt = pipe.getStages()[-1]
-    grid = ParamGridBuilder().addGrid(gbt.maxDepth, [3, 4]).build()
-    evaluator = RegressionEvaluator(
-        labelCol="l_extendedprice", predictionCol="prediction", metricName="rmse"
+    feats = features.build_features(op, as_of).cache()
+    train_df, test_df = features.train_test_views(feats)
+    # Deterministic 2-fold assignment by keyed hash (the scalable
+    # sklearn KFold): fold membership is a pure row-local expression.
+    train_df = (
+        train_df.na.fill(0, subset=list(ml.NUMERIC))
+        .withColumn("__fold", F.abs(F.hash("feature_id")) % 2)
+        .cache()
     )
-    cv = CrossValidator(
-        estimator=pipe,
-        estimatorParamMaps=grid,
-        evaluator=evaluator,
-        numFolds=2,
-        seed=42,
-        parallelism=2,
+    test_df = test_df.na.fill(0, subset=list(ml.NUMERIC))
+
+    shifts = [s / 2.0 for s in range(-30, 11)]
+
+    def fit_shift(model, df) -> float:
+        """Band-center calibration: the scalar shift maximizing the
+        ±10-min hit rate on `df` (one aggregate sweeps the grid)."""
+        accs = model.transform(df).agg(
+            *[
+                F.avg(
+                    (
+                        F.abs(F.col("prediction") + F.lit(s) - F.col(ml.LABEL))
+                        <= 10.0
+                    ).cast("double")
+                ).alias(f"s{i}")
+                for i, s in enumerate(shifts)
+            ]
+        ).first()
+        return shifts[max(range(len(shifts)), key=lambda i: accs[i])]
+
+    def tol_acc(model, df, delta: float, tol: float = 10.0) -> float:
+        return model.transform(df).agg(
+            F.avg(
+                (F.abs(F.col("prediction") + F.lit(delta) - F.col(ml.LABEL)) <= tol)
+                .cast("double")
+            )
+        ).first()[0]
+
+    # GridSearchCV (ref `train_delay_model.py:274-355`): for each
+    # hyperparameter combo, 2-fold CV where EACH fold fits the
+    # calibration shift on its own train split — the score is the
+    # deployed (calibrated) predictor's held-out ±10-min hit rate.
+    grid = list(itertools.product([1, 2], [1, 10]))  # maxDepth × maxIter
+    cv_scores: dict[tuple[int, int], float] = {}
+    for depth, iters in grid:
+        fold_scores = []
+        for k in (0, 1):
+            ftr = train_df.filter(F.col("__fold") != k)
+            fva = train_df.filter(F.col("__fold") == k)
+            m = ml.build_pipeline(max_depth=depth, max_iter=iters).fit(ftr)
+            fold_scores.append(tol_acc(m, fva, fit_shift(m, ftr)))
+        cv_scores[(depth, iters)] = sum(fold_scores) / len(fold_scores)
+    best_depth, best_iter = max(cv_scores, key=cv_scores.get)
+
+    # Refit the winning combo on the full train split (GridSearchCV's
+    # refit=True), calibrate on train, evaluate once on held-out test.
+    best = ml.build_pipeline(max_depth=best_depth, max_iter=best_iter).fit(
+        train_df
     )
-    model = cv.fit(train_df)
-    preds = model.transform(test_df)
-    mae = RegressionEvaluator(
-        labelCol="l_extendedprice", predictionCol="prediction", metricName="mae"
+    delta = fit_shift(best, train_df)
+    preds = best.transform(test_df).withColumn(
+        "prediction", F.col("prediction") + F.lit(delta)
+    )
+    rmse = RegressionEvaluator(
+        labelCol=ml.LABEL, predictionCol="prediction", metricName="rmse"
     ).evaluate(preds)
-    rmse = evaluator.evaluate(preds)
-    tol = preds.agg(
-        F.avg(
-            (
-                F.abs(F.col("prediction") - F.col("l_extendedprice"))
-                <= 0.25 * F.col("l_extendedprice")
-            ).cast("double")
-        )
-    ).first()[0]
-    best_depth = model.bestModel.stages[-1].getMaxDepth()
+    mae = RegressionEvaluator(
+        labelCol=ml.LABEL, predictionCol="prediction", metricName="mae"
+    ).evaluate(preds)
+    acc5 = ml.tolerance_accuracy(preds, 5.0)
+    acc10 = ml.tolerance_accuracy(preds, 10.0)
+    # Reference acceptance gate (train_delay_model.py:584): tolerance
+    # accuracy >= 0.85 or the model is rejected. Published: 0.888.
+    acc_threshold = 0.85
     return spark.createDataFrame(
         [
             (
@@ -243,9 +261,17 @@ def ml_gbt_cv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 test_df.count(),
                 float(rmse),
                 float(mae),
-                float(tol),
+                float(acc5),
+                float(acc10),
                 int(best_depth),
+                int(best_iter),
+                float(delta),
+                acc_threshold,
+                bool(acc10 >= acc_threshold),
             )
         ],
-        "n_train long, n_test long, rmse double, mae double, acc_25pct double, best_max_depth int",
+        "n_train long, n_test long, rmse double, mae double, "
+        "acc_5min double, acc_10min double, best_max_depth int, "
+        "best_max_iter int, calib_shift double, "
+        "acc_threshold double, meets_threshold boolean",
     )
