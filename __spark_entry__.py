@@ -84,6 +84,10 @@ _R4_FRONT = (
     "streaming_hourly_rollup",
     "streaming_feature_append",
     "streaming_stateful_sessions",
+    # registered in round 4 (never checked)
+    "text_bpe_pair_counts",
+    "multimodal_phash_near_dup",
+    "per_source_cap",
 )
 
 

@@ -604,7 +604,18 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = edges.cache()
 
-    labels = docs.select("doc_id", F.col("doc_id").alias("comp")).cache()
+    # Propagate labels over the EDGE SUBGRAPH only: a doc in no
+    # verified pair is a singleton whose label can never change, so
+    # iterating over the full corpus is pure waste. The subgraph is
+    # O(near-dup pairs) — at 100 TB it is orders of magnitude smaller
+    # than the corpus, and every iteration is a small-frame join (AQE
+    # broadcasts it) instead of a corpus-wide shuffle. Edges are
+    # symmetric, so `src` alone enumerates every non-singleton vertex.
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("comp", F.col("doc_id"))
+    ).cache()
     prev_sum = labels.agg(F.sum("comp")).first()[0]
     for _ in range(20):  # diameter bound; near-dup clusters converge in 2-3
         neigh = (
@@ -619,7 +630,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur_sum = new_labels.agg(F.sum("comp")).first()[0]
         # The new frame is materialized by the sum above, so the
         # superseded iteration's cache can be released immediately —
-        # without this, 20 iterations pin 20 corpus-sized frames.
+        # without this, 20 iterations pin 20 subgraph-sized frames.
         labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:
@@ -627,13 +638,18 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_sum = cur_sum
 
     edges.unpersist()  # final labels frame is cached + materialized
+    # Component sizes come from the subgraph (every member of a >1
+    # component touches an edge); singletons default to 1. The only
+    # corpus-sized work left is one map-side pass: docs left-joined
+    # against two subgraph-sized frames — no corpus shuffle at all.
     csizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("component_size"))
     return (
-        labels.join(csizes, "comp")
+        docs.join(labels, "doc_id", "left")
+        .join(csizes, "comp", "left")
         .select(
             "doc_id",
-            F.col("comp").alias("canonical_doc_id"),
-            "component_size",
+            F.coalesce("comp", "doc_id").alias("canonical_doc_id"),
+            F.coalesce("component_size", F.lit(1)).alias("component_size"),
         )
     )
 

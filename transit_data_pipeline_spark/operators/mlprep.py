@@ -485,3 +485,48 @@ def vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("lang", "token", "n", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+@register(
+    "per_source_cap",
+    ops=("W4", "A1", "F12"),
+    doc="Deterministic per-source document capping (the training-mix "
+    "guardrail that stops one domain from dominating the corpus): rank "
+    "docs inside each source by a keyed md5 draw (a seeded shuffle "
+    "that is reproducible on any partitioning — no ORDER BY RANDOM()), "
+    "keep the first 400 per source. The window sorts per-source "
+    "partitions in parallel; at 100 TB a pre-filter on the hash draw "
+    "(keep_frac ≈ cap/n_source, slightly over-sampled) would bound the "
+    "sorted volume per source before the exact rank — same two-phase "
+    "screen-then-exact pattern as the dedup operators. Output is the "
+    "per-source audit row: available vs kept counts plus a kept-id "
+    "checksum proving BOTH sides selected identical documents.",
+    oracle="""
+WITH ranked AS (
+  SELECT lang, doc_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id
+    ) AS rn
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_avail,
+       CAST(SUM(CASE WHEN rn <= 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn <= 400 THEN doc_id END) AS BIGINT) AS kept_id_sum
+FROM ranked GROUP BY lang
+""",
+)
+def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    draw = F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(draw, "doc_id")
+    ranked = d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_avail"),
+        F.sum(F.when(F.col("rn") <= 400, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rn") <= 400, F.col("doc_id")))
+        .cast("long")
+        .alias("kept_id_sum"),
+    )

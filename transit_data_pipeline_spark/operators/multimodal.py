@@ -215,3 +215,79 @@ def multimodal_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             (byte(5) / F.lit(255.0)).alias("mean_b"),
         )
     )
+
+
+@register(
+    "multimodal_phash_near_dup",
+    ops=("J1", "A1"),
+    doc="Perceptual-hash near-dup over opaque media payloads: a 60-bit "
+    "pHash per payload (deterministic md5-derived fake standing in for "
+    "the DCT perceptual hash of the decoded image — the container "
+    "ships no codecs; a real kernel swaps into the same plumbing), "
+    "4-band blocking for candidates (pigeonhole: any pair with "
+    "Hamming <= 3 shares at least one intact band), exact "
+    "bit_count(xor) verify <= 6 on candidates only — the image-dedup "
+    "equivalent of banded MinHash, never O(n²). With fake random "
+    "hashes only byte-identical payloads actually collide, which makes "
+    "the full candidate→verify path exactly oracle-checkable.",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         substr(md5(text), 1, 15) AS hx,
+         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS ph
+  FROM documents
+), bands AS (
+  SELECT doc_id, ph, CAST(i AS INT) AS band_id,
+         substr(hx, CAST(1 + 4 * i AS INT),
+                CASE WHEN i = 3 THEN 3 ELSE 4 END) AS bh
+  FROM h, range(0, 4) t(i)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.ph AS ph_a,
+                  b.doc_id AS doc_b, b.ph AS ph_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(ph_a, ph_b)) <= 6
+""",
+)
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    # md5 of the UTF-8 payload == DuckDB md5(text) (same bytes).
+    h = d.select(
+        "doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("hx")
+    ).select(
+        "doc_id",
+        F.expr("cast(conv(substr(hx, 1, 15), 16, 10) as bigint)").alias("ph"),
+        F.array(
+            F.substring("hx", 1, 4),
+            F.substring("hx", 5, 4),
+            F.substring("hx", 9, 4),
+            F.substring("hx", 13, 3),
+        ).alias("bhs"),
+    )
+    bands = h.select(
+        "doc_id", "ph", F.posexplode("bhs").alias("band_id", "bh")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.ph").alias("ph_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.ph").alias("ph_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("cast(bit_count(ph_a ^ ph_b) as int)")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+    )

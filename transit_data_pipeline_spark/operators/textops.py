@@ -494,3 +494,52 @@ def data_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "n_avail", "target_weight", "keep_frac")
         .agg(F.count(F.when(F.col("u") < F.col("keep_frac"), 1)).alias("n_kept"))
     )
+
+
+@register(
+    "text_bpe_pair_counts",
+    ops=("A1", "F10", "O1"),
+    doc="One distributed BPE-trainer step (Sennrich et al. 2016 "
+    "byte-pair encoding, public algorithm): corpus → word-frequency "
+    "table → adjacent symbol-pair counts → top-20 merge candidates. "
+    "The word-frequency compression is the trick that makes BPE "
+    "trainable at 100 TB: pair counting runs over DISTINCT words "
+    "weighted by frequency (vocab-sized, bounded), never over the raw "
+    "token stream, and every step is a codegen column expression "
+    "(split/explode/transform 2-grams) + hash aggregate — one shuffle "
+    "keyed by word, one keyed by pair, then a global top-k.",
+    oracle="""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+), wf AS (
+  SELECT w, COUNT(*) AS freq FROM words WHERE w <> '' GROUP BY w
+), pos AS (
+  SELECT w, freq,
+         unnest(generate_series(1, length(w) - 1)) AS i
+  FROM wf WHERE length(w) >= 2
+), pairs AS (
+  SELECT substr(w, CAST(i AS INT), 2) AS pair, freq FROM pos
+), agg AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY pair
+)
+SELECT pair, pair_count FROM agg
+ORDER BY pair_count DESC, pair
+LIMIT 20
+""",
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    words = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = wf.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("freq").cast("long").alias("pair_count"))
+    return agg.orderBy(F.desc("pair_count"), F.asc("pair")).limit(20)
