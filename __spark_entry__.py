@@ -88,6 +88,7 @@ _R4_FRONT = (
     "text_bpe_pair_counts",
     "multimodal_phash_near_dup",
     "per_source_cap",
+    "streaming_late_data_drop",
 )
 
 

@@ -360,3 +360,87 @@ def streaming_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@register(
+    "streaming_late_data_drop",
+    ops=("A1", "F5", "S4"),
+    doc="Watermark late-data semantics, exactly oracle-checked: the "
+    "events table is staged as three micro-batch files with pinned "
+    "modification times (the file source processes oldest-mtime "
+    "first) — [min+2h, max-1h) bulk, then [max-1h, max] (advances the "
+    "watermark), then the pre-min+2h stragglers, which by then are "
+    "hours behind the watermark and are dropped before aggregation. "
+    "availableNow drains the three batches; append mode emits exactly "
+    "the windows whose end <= final watermark (max event time - 1h). "
+    "The oracle re-derives that emitted set in SQL: bulk-batch rows "
+    "only, window end <= watermark — so a green row certifies the "
+    "late-drop filter AND the append-mode emission rule, not just "
+    "that rows flowed. State is bounded by the watermark at any "
+    "scale; the staged-mtime trick is test plumbing, not semantics.",
+    oracle=f"""
+WITH ev AS (SELECT {SQL_EVENT_TIME} AS et FROM events),
+b AS (
+  SELECT min(et) + INTERVAL 2 HOUR AS cut,
+         max(et) - INTERVAL 1 HOUR AS wm
+  FROM ev
+)
+SELECT date_trunc('hour', et) AS window_start,
+       COUNT(*) AS n_events
+FROM ev, b
+WHERE et >= cut AND et < wm
+  AND date_trunc('hour', et) + INTERVAL 1 HOUR <= wm
+GROUP BY 1
+""",
+)
+def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import time as _time
+
+    base = _scratch(sf_dir, "late")
+    src = os.path.join(base, "src")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(src)
+
+    ev = normalize_events(read_events_raw(spark, sf_dir))
+    bounds = ev.selectExpr(
+        "min(event_time) + interval 2 hours AS cut",
+        "max(event_time) - interval 1 hours AS mid",
+    ).first()
+    splits = (
+        ev.filter(
+            (F.col("event_time") >= F.lit(bounds.cut))
+            & (F.col("event_time") < F.lit(bounds.mid))
+        ),
+        ev.filter(F.col("event_time") >= F.lit(bounds.mid)),
+        ev.filter(F.col("event_time") < F.lit(bounds.cut)),
+    )
+    now = _time.time()
+    for i, part in enumerate(splits):
+        out = os.path.join(base, f"part{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(out)
+        link = os.path.join(src, f"{chr(97 + i)}.parquet")
+        os.link(glob.glob(os.path.join(out, "*.parquet"))[0], link)
+        # Oldest mtime first = batch order (FileStreamSource default).
+        os.utime(link, (now - 300 + i * 100, now - 300 + i * 100))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("event_time", "1 hour")
+        .groupBy(F.window("event_time", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = "tdps_stream_late_drop"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"), "n_events"
+    )
