@@ -231,3 +231,36 @@ def test_pack_sequences_window_is_partition_parallel(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pack_sequences")
     assert "Exchange SinglePartition" not in plan
     assert "Window" in plan
+
+
+def test_phash_near_dup_uses_band_equi_join(spark, sf_dir):
+    """pHash candidate generation must block on band equality — a
+    nested-loop Hamming scan over all pairs is the n² anti-pattern."""
+    plan = _plan(spark, sf_dir, "multimodal_phash_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_per_source_cap_window_is_partition_parallel(spark, sf_dir):
+    """The per-source rank must sort per lang partition, never via a
+    single-partition global sort."""
+    plan = _plan(spark, sf_dir, "per_source_cap")
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan
+    # the window's required distribution is the lang hash partitioning
+    assert "hashpartitioning(lang" in plan
+
+
+def test_bpe_pair_counts_is_topk_not_global_sort(spark, sf_dir):
+    """The merge-candidate selection must be a TakeOrderedAndProject
+    (distributed top-k), not a full global sort of the pair table."""
+    plan = _plan(spark, sf_dir, "text_bpe_pair_counts")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_components_output_has_no_cartesian(spark, sf_dir):
+    """The final components frame (docs ⟕ subgraph labels ⟕ sizes)
+    must stay equi-join only."""
+    plan = _plan(spark, sf_dir, "dedup_components")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
