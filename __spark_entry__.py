@@ -89,6 +89,8 @@ _R4_FRONT = (
     "multimodal_phash_near_dup",
     "per_source_cap",
     "streaming_late_data_drop",
+    "sketch_histogram_quantiles",
+    "corpus_data_card",
 )
 
 

@@ -261,3 +261,72 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "stage_id int, stage string, n_docs long"
     )
+
+
+@register(
+    "corpus_data_card",
+    ops=("A1", "A2", "A9"),
+    doc="The per-source data card a curation pipeline publishes with a "
+    "training corpus: per language — document count, exact token "
+    "totals, mean document length, docs clearing the quality floor "
+    "(same formula/threshold as the funnel's stage 4), and the exact-"
+    "duplicate rate from normalized-text fingerprints. One grouped "
+    "pass, all counts exact integers (no float-sum ordering hazards), "
+    "ratios derived by a single double division — scales as one "
+    "hash aggregate keyed by lang.",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(text), '\\s+') AS w,
+         md5({SQL_NORM}) AS f
+  FROM documents
+), q AS ({_SQL_QUALITY})
+SELECT t.lang,
+  COUNT(*) AS n_docs,
+  CAST(SUM(len(t.w)) AS BIGINT) AS total_tokens,
+  CAST(SUM(len(t.w)) AS DOUBLE) / COUNT(*) AS avg_tokens,
+  CAST(SUM(CASE WHEN q.quality_score >= {QUALITY_THR} THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_high_quality,
+  1.0 - CAST(COUNT(DISTINCT t.f) AS DOUBLE) / COUNT(*) AS exact_dup_rate
+FROM tok t JOIN q USING (doc_id)
+GROUP BY t.lang
+""",
+)
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    stop_arr = "'the','a','of','and','to','in','is'"
+    quality = (
+        F.least(F.lit(1.0), F.size(w).cast("double") / 50.0) * 0.4
+        + F.least(
+            F.lit(1.0),
+            (
+                F.size(
+                    F.expr(
+                        f"filter(split(trim(text), '\\\\s+'), t -> t IN ({stop_arr}))"
+                    )
+                ).cast("double")
+                / F.size(w)
+            )
+            * 4.0,
+        )
+        * 0.2
+        + (F.size(F.array_distinct(w)).cast("double") / F.size(w)) * 0.4
+    )
+    feat = d.select(
+        "lang",
+        F.size(w).cast("long").alias("nt"),
+        quality.alias("qs"),
+        F.md5(_norm_col()).alias("f"),
+    )
+    return feat.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("long").alias("total_tokens"),
+        (F.sum("nt").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.sum(F.when(F.col("qs") >= QUALITY_THR, 1).otherwise(0))
+        .cast("long")
+        .alias("n_high_quality"),
+        (
+            F.lit(1.0) - F.countDistinct("f").cast("double") / F.count(F.lit(1))
+        ).alias("exact_dup_rate"),
+    )

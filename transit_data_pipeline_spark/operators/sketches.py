@@ -261,3 +261,120 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(s, "priority").select(
         "priority", "exact_distinct", est.alias("hll_estimate")
     )
+
+
+_HQ_BINS = 256
+_HQ_QS = "[0.25, 0.5, 0.75, 0.95]"
+
+
+@register(
+    "sketch_histogram_quantiles",
+    ops=("A8", "A1", "W11"),
+    doc="Mergeable equi-width histogram quantile sketch (the "
+    "distributed-quantile pattern when exact PERCENTILE_CONT's global "
+    "sort is too expensive): pass 1 computes (min, max, n) — one cheap "
+    "agg; pass 2 bins every value into 256 buckets (map-side combine, "
+    "one shuffle of <=256 rows); quantiles come from the cumulative "
+    "histogram with linear interpolation inside the landing bucket. "
+    "Histogram state is 256 longs regardless of data size and merges "
+    "by addition — streaming/partition-parallel friendly. Emitted "
+    "beside the exact percentile so the sketch error is visible; both "
+    "engines compute the SAME sketch with the same arithmetic, which "
+    "keeps an approximate structure inside the bitwise oracle gate "
+    "(like the KMV sketch above, unlike HLL/t-digest whose estimates "
+    "are engine-specific).",
+    oracle=f"""
+WITH b AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi, COUNT(*) AS n
+  FROM orders
+),
+binned AS (
+  SELECT LEAST(CAST(FLOOR((o_totalprice - b.lo)
+                          / ((b.hi - b.lo) / {_HQ_BINS}.0)) AS INT),
+               {_HQ_BINS - 1}) AS bin
+  FROM orders, b
+),
+hist AS (SELECT bin, COUNT(*) AS c FROM binned GROUP BY bin),
+cum AS (SELECT bin, c, SUM(c) OVER (ORDER BY bin) AS cum FROM hist),
+qs AS (SELECT unnest({_HQ_QS}) AS q),
+pick AS (
+  SELECT q, MIN(bin) AS bin
+  FROM qs, b, cum WHERE cum >= q * n
+  GROUP BY q
+),
+est AS (
+  SELECT p.q,
+    b.lo + (p.bin + (p.q * b.n - (cum.cum - cum.c)) / cum.c)
+         * ((b.hi - b.lo) / {_HQ_BINS}.0) AS hist_estimate
+  FROM pick p JOIN cum ON p.bin = cum.bin, b
+),
+ex AS (
+  SELECT unnest({_HQ_QS}) AS q,
+         unnest(quantile_cont(o_totalprice, {_HQ_QS})) AS exact_value
+  FROM orders
+)
+SELECT ex.q, ex.exact_value, est.hist_estimate
+FROM ex JOIN est ON ex.q = est.q
+""",
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    bdf = o.agg(
+        F.min(x).alias("lo"), F.max(x).alias("hi"), F.count(F.lit(1)).alias("n")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(_HQ_BINS))
+    binned = o.crossJoin(F.broadcast(bdf)).select(
+        F.least(
+            F.floor((x - F.col("lo")) / width).cast("int"), F.lit(_HQ_BINS - 1)
+        ).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    # <=256 rows: the single-partition running sum is bounded by the
+    # bin count, not the data.
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    qdf = spark.createDataFrame([(0.25,), (0.5,), (0.75,), (0.95,)], "q double")
+    pick = (
+        qdf.crossJoin(F.broadcast(bdf))
+        .join(F.broadcast(cum), F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("q", "lo", "hi", "n")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = pick.join(F.broadcast(cum), "bin").select(
+        "q",
+        (
+            F.col("lo")
+            + (
+                F.col("bin")
+                + (F.col("q") * F.col("n") - (F.col("cum") - F.col("c")))
+                / F.col("c")
+            )
+            * ((F.col("hi") - F.col("lo")) / F.lit(float(_HQ_BINS)))
+        ).alias("hist_estimate"),
+    )
+    ex = (
+        o.agg(
+            F.expr(
+                "percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.95D))"
+            ).alias("p")
+        )
+        .select(
+            F.posexplode(
+                F.arrays_zip(
+                    F.array(
+                        F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)
+                    ).alias("q"),
+                    F.col("p").alias("v"),
+                )
+            )
+        )
+        .select(
+            F.col("col.q").alias("q"), F.col("col.v").alias("exact_value")
+        )
+    )
+    return ex.join(est, "q").select("q", "exact_value", "hist_estimate")
