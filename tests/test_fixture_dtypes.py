@@ -28,9 +28,25 @@ _SUPPORTED_TS = {"timestamp[us]", "timestamp[ns]", "int64"}
 #: would alter answers rather than erroring.
 _PINNED = {
     "events": {"event_id": {"int64"}, "ts": _SUPPORTED_TS, "value": {"double"}},
-    "orders": {"o_orderkey": {"int64"}, "o_totalprice": {"double"}},
-    "lineitem": {"l_orderkey": {"int64"}, "l_quantity": {"double"}},
-    "documents": {"doc_id": {"int64"}, "text": {"string", "large_string"}},
+    "orders": {
+        "o_orderkey": {"int64"},
+        "o_totalprice": {"double"},
+        # date columns ship as timestamps; oracles CAST both sides to
+        # TIMESTAMP — a switch to date32 would silently change
+        # date_trunc/EXTRACT results
+        "o_orderdate": {"timestamp[us]", "timestamp[ns]"},
+    },
+    "lineitem": {
+        "l_orderkey": {"int64"},
+        "l_quantity": {"double"},
+        "l_linenumber": {"int32", "int64"},
+        "l_shipdate": {"timestamp[us]", "timestamp[ns]"},
+    },
+    "documents": {
+        "doc_id": {"int64"},
+        "text": {"string", "large_string"},
+        "lang": {"string", "large_string"},
+    },
     "embeddings": {
         "vec_id": {"int64"},
         "embedding": {
