@@ -36,18 +36,21 @@ from .dedup import (
     _norm_col,
 )
 from .registry import register
+from .textops import SQL_TOKENS, STOPWORDS, _sql_list, quality_score_col
 
 #: Funnel thresholds: near-dup Jaccard, quality floor, contamination cap.
 JACCARD_THR = 0.5
 QUALITY_THR = 0.58
 CONTAM_THR = 0.2
 
-_SQL_QUALITY = """
+#: DuckDB twin of textops.quality_score_col() — stop list derived from
+#: the same STOPWORDS constant, never hand-inlined.
+_SQL_QUALITY = f"""
   SELECT doc_id,
     LEAST(1.0, CAST(len(w) AS DOUBLE) / 50.0) * 0.4
-      + LEAST(1.0, (CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(w)) * 4.0) * 0.2
+      + LEAST(1.0, (CAST(len(list_filter(w, t -> t IN ({_sql_list(STOPWORDS)}))) AS DOUBLE) / len(w)) * 4.0) * 0.2
       + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.4 AS quality_score
-  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)
+  FROM (SELECT doc_id, {SQL_TOKENS} AS w FROM documents)
 """
 
 
@@ -186,29 +189,8 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     s3 = s2.join(dropped3, "doc_id", "left_anti").persist()
 
-    # Stage 4: quality floor (same formula as text_quality_score).
-    w = F.split(F.trim(F.col("text")), r"\s+")
-    stop_arr = "'the','a','of','and','to','in','is'"
-    q = d.select(
-        "doc_id",
-        (
-            F.least(F.lit(1.0), F.size(w).cast("double") / 50.0) * 0.4
-            + F.least(
-                F.lit(1.0),
-                (
-                    F.size(
-                        F.expr(
-                            f"filter(split(trim(text), '\\\\s+'), t -> t IN ({stop_arr}))"
-                        )
-                    ).cast("double")
-                    / F.size(w)
-                )
-                * 4.0,
-            )
-            * 0.2
-            + (F.size(F.array_distinct(w)).cast("double") / F.size(w)) * 0.4
-        ).alias("quality_score"),
-    )
+    # Stage 4: quality floor (the shared formula — textops.quality_score_col).
+    q = d.select("doc_id", quality_score_col().alias("quality_score"))
     s4 = (
         s3.join(q, "doc_id")
         .filter(F.col("quality_score") >= QUALITY_THR)
@@ -295,28 +277,10 @@ GROUP BY t.lang
 def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents", spread=True)
     w = F.split(F.trim(F.col("text")), r"\s+")
-    stop_arr = "'the','a','of','and','to','in','is'"
-    quality = (
-        F.least(F.lit(1.0), F.size(w).cast("double") / 50.0) * 0.4
-        + F.least(
-            F.lit(1.0),
-            (
-                F.size(
-                    F.expr(
-                        f"filter(split(trim(text), '\\\\s+'), t -> t IN ({stop_arr}))"
-                    )
-                ).cast("double")
-                / F.size(w)
-            )
-            * 4.0,
-        )
-        * 0.2
-        + (F.size(F.array_distinct(w)).cast("double") / F.size(w)) * 0.4
-    )
     feat = d.select(
         "lang",
         F.size(w).cast("long").alias("nt"),
-        quality.alias("qs"),
+        quality_score_col().alias("qs"),
         F.md5(_norm_col()).alias("f"),
     )
     return feat.groupBy("lang").agg(

@@ -172,9 +172,19 @@ def ml_gbt_cv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The reference trains on the dataset its own generator produces
     # (`generate_synthetic_data.py` → ml.train_features). synth.generate
     # reproduces that generator (seeded → idempotent scratch dir).
+    # Generate into a temp dir and rename atomically: a bare isdir gate
+    # would treat a killed half-written generation as complete forever,
+    # and lets concurrent sessions read mid-write.
     data_dir = os.path.join(tempfile.gettempdir(), "tdps_d7_synth_s42")
     if not os.path.isdir(data_dir):
-        synth.generate(data_dir, seed=42)
+        stage = f"{data_dir}.tmp.{os.getpid()}"
+        synth.generate(stage, seed=42)
+        try:
+            os.rename(stage, data_dir)
+        except OSError:  # lost the race — another session finished first
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
     op = ingest.build_operational(ingest.read_staging(spark, data_dir))
     as_of = (
         op["delay_events"]
@@ -251,14 +261,20 @@ def ml_gbt_cv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).evaluate(preds)
     acc5 = ml.tolerance_accuracy(preds, 5.0)
     acc10 = ml.tolerance_accuracy(preds, 10.0)
+    n_train, n_test = train_df.count(), test_df.count()
+    # Release the cached frames before returning: this runs inside the
+    # same long-lived session as the rest of the registry, and a pinned
+    # 40+-column feature frame would evict other operators' caches.
+    train_df.unpersist()
+    feats.unpersist()
     # Reference acceptance gate (train_delay_model.py:584): tolerance
     # accuracy >= 0.85 or the model is rejected. Published: 0.888.
     acc_threshold = 0.85
     return spark.createDataFrame(
         [
             (
-                train_df.count(),
-                test_df.count(),
+                n_train,
+                n_test,
                 float(rmse),
                 float(mae),
                 float(acc5),

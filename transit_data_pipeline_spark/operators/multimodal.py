@@ -226,7 +226,10 @@ def multimodal_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ships no codecs; a real kernel swaps into the same plumbing), "
     "4-band blocking for candidates (pigeonhole: any pair with "
     "Hamming <= 3 shares at least one intact band), exact "
-    "bit_count(xor) verify <= 6 on candidates only — the image-dedup "
+    "bit_count(xor) verify <= 3 on candidates only — the threshold the "
+    "banding provably covers; claiming a looser band (e.g. <= 6) with "
+    "4 bands would silently miss pairs whose bits spread across all "
+    "bands — the image-dedup "
     "equivalent of banded MinHash, never O(n²). With fake random "
     "hashes only byte-identical payloads actually collide, which makes "
     "the full candidate→verify path exactly oracle-checkable.",
@@ -249,7 +252,7 @@ WITH h AS (
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
 FROM cand
-WHERE bit_count(xor(ph_a, ph_b)) <= 6
+WHERE bit_count(xor(ph_a, ph_b)) <= 3
 """,
 )
 def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,5 +292,5 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.expr("cast(bit_count(ph_a ^ ph_b) as int)")
     return (
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= 6)
+        .filter(F.col("hamming") <= 3)
     )

@@ -402,7 +402,9 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(src)
 
-    ev = normalize_events(read_events_raw(spark, sf_dir))
+    # One scan, four consumers (bounds + three split writes): persist,
+    # or the full table is re-read and re-normalized per consumer.
+    ev = normalize_events(read_events_raw(spark, sf_dir)).persist()
     bounds = ev.selectExpr(
         "min(event_time) + interval 2 hours AS cut",
         "max(event_time) - interval 1 hours AS mid",
@@ -423,6 +425,7 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.link(glob.glob(os.path.join(out, "*.parquet"))[0], link)
         # Oldest mtime first = batch order (FileStreamSource default).
         os.utime(link, (now - 300 + i * 100, now - 300 + i * 100))
+    ev.unpersist()
 
     stream = (
         spark.readStream.schema(ev.schema)

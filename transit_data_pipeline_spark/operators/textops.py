@@ -43,6 +43,27 @@ def tokens_col():
 SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
 
 
+def quality_score_col():
+    """THE quality formula (weights + STOPWORDS), shared by
+    text_quality_score, the curation funnel's stage 4, and the corpus
+    data card — one definition so the documented same-formula/
+    same-threshold invariant can't silently drift when the stop list
+    or weights change."""
+    w = tokens_col()
+    stop = _sql_list(STOPWORDS)
+    sr = (
+        F.size(
+            F.expr(f"filter(split(trim(text), '\\\\s+'), t -> t IN ({stop}))")
+        ).cast("double")
+        / F.size(w)
+    )
+    return (
+        F.least(F.lit(1.0), F.size(w).cast("double") / 50.0) * 0.4
+        + F.least(F.lit(1.0), sr * 4.0) * 0.2
+        + (F.size(F.array_distinct(w)).cast("double") / F.size(w)) * 0.4
+    )
+
+
 @register(
     "text_token_stats",
     ops=("P1", "A3", "F10"),
