@@ -18,7 +18,16 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     spec = SPECS[name]
     df = spec.fn(spark, sf_dir)
     if spec.oracle is None:
-        assert df.count() >= 0  # plan executes
+        rows = df.collect()  # plan executes
+        if "meets_threshold" in df.columns:
+            # D7 acceptance gate (ref train_delay_model.py:584): the
+            # operator computes acc_10min >= threshold; assert it here
+            # so a quiet model/seed/fixture regression turns the suite
+            # red instead of silently flipping the returned flag.
+            assert rows and all(r.meets_threshold for r in rows), (
+                f"{name}: acceptance gate failed: "
+                + "; ".join(str(r.asDict()) for r in rows)
+            )
         return
     problems = compare(df, spec.oracle, duck)
     assert not problems, f"{name}:\n" + "\n".join(problems)
