@@ -102,3 +102,73 @@ def test_dsum_partition_order_independent(spark, values):
             ).first()
             results.append((row.s.hex(), row.a.hex()))
     assert len(set(results)) == 1, results
+
+
+def _cc_labels(spark, pairs):
+    """Run _min_label_components on an undirected pair list."""
+    from transit_data_pipeline_spark.operators.dedup import (
+        _min_label_components,
+    )
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    edges = df.selectExpr("a AS src", "b AS dst").union(
+        df.selectExpr("b AS src", "a AS dst")
+    )
+    out = _min_label_components(edges).collect()
+    return {r.doc_id: r.comp for r in out}
+
+
+def _union_find(pairs):
+    """Driver-side oracle: component-min label per node."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_components_path_graph_beyond_iteration_bound(spark):
+    """Diameter-59 path graph: plain 20-round min-label propagation
+    cannot resolve it; the pointer-jumping step (rounds >= 3) must.
+    Node ids are scrambled so the component min sits mid-path."""
+    ids = [((i * 37) % 60) + 100 for i in range(60)]  # permutation
+    pairs = list(zip(ids, ids[1:]))
+    got = _cc_labels(spark, pairs)
+    assert got == {i: 100 for i in ids}
+
+
+def test_components_match_union_find_oracle(spark):
+    """Mixed topology — two cliques, a long path bridging one of them,
+    a 4-cycle, isolated edge — against a driver union-find oracle."""
+    clique1 = [(i, j) for i in range(1, 6) for j in range(i + 1, 6)]
+    clique2 = [(i, j) for i in range(20, 24) for j in range(i + 1, 24)]
+    bridge = list(zip(range(5, 20), range(6, 21)))  # path 5..20
+    cycle = [(30, 31), (31, 32), (32, 33), (33, 30)]
+    lone = [(40, 41)]
+    pairs = clique1 + clique2 + bridge + cycle + lone
+    assert _cc_labels(spark, pairs) == _union_find(pairs)
+
+
+def test_ngram_jaccard_guard_refuses_blowup(spark, sf_dir):
+    """The Σdf² blast-radius guard: an adversarially low budget makes
+    the exact all-pairs operator refuse instead of running quadratic
+    work, and the error routes users to the scale path."""
+    import pytest as _pytest
+
+    from transit_data_pipeline_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+    )
+
+    with _pytest.raises(ValueError, match="dedup_lsh_verified"):
+        dedup_ngram_jaccard(spark, sf_dir, max_join_rows=10)
+    # the default budget admits the fixture corpus
+    assert dedup_ngram_jaccard(spark, sf_dir).count() >= 0

@@ -113,7 +113,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops=("J1", "A1", "A9"),
     doc="N-gram Jaccard near-dup: word-3-gram shingles, candidates from "
     "a shingle-equality self-join (no cross join), exact "
-    "|∩|/(|A|+|B|−|∩|) ≥ 0.2.",
+    "|∩|/(|A|+|B|−|∩|) ≥ 0.2. Guarded: refuses corpora whose "
+    "estimated join blow-up (Σ_shingle df²) exceeds max_join_rows "
+    "instead of running Σdf² work for hours — the error points to "
+    "dedup_lsh_verified, the near-linear scale path.",
     oracle=f"""
 WITH sh AS ({SQL_DOC_SHINGLES}),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
@@ -130,7 +133,9 @@ JOIN sizes sb ON i.doc_b = sb.doc_id
 WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.2
 """,
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, max_join_rows: int = 100_000_000
+) -> DataFrame:
     # Scale note: the shingle equi-join costs Σ_sh df² — inherent to
     # EXACT pairwise Jaccard on duplicate-heavy corpora (every true
     # near-dup pair must surface; a ×8-duplicated probe corpus has
@@ -141,6 +146,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-linear on the same probe); this operator is the exact
     # verifier you run on LSH candidates or bounded corpora.
     sh = _doc_shingles(spark, sf_dir)
+    # Blast-radius guard: one LINEAR pass estimates the join's output
+    # (Σ df² bounds Σ C(df,2) intermediate rows). Refusing up front
+    # costs one cheap agg; not refusing can cost hours of Σdf² work on
+    # an adversarial (duplicate-saturated) corpus. Measured: 5.4e4 at
+    # sf0.01, 2.8e6 at sf0.1 — the default admits ~35× sf0.1 and
+    # rejects the ×8-duplicated probe (~1.8e8).
+    est = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.sum(F.col("df") * F.col("df")).alias("s2"))
+        .first()[0]
+    )
+    if est is not None and est > max_join_rows:
+        raise ValueError(
+            f"dedup_ngram_jaccard: estimated shingle-join blow-up "
+            f"Σdf²={est:,} exceeds max_join_rows={max_join_rows:,}; "
+            "exact all-pairs Jaccard is quadratic on this corpus — "
+            "use dedup_lsh_verified (banded MinHash candidates + exact "
+            "verify) or raise max_join_rows explicitly."
+        )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -547,6 +572,61 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _min_label_components(edges, max_iters: int = 20):
+    """Connected components over a symmetric ``(src, dst)`` edge frame
+    → ``(doc_id, comp)`` labels, comp = component minimum id.
+
+    Min-label propagation with pointer-jumping acceleration: every
+    round updates each node's label to the min over itself and its
+    neighbors' labels; from round 3 on, a pointer-jump step
+    (``comp ← comp(comp)``, the DataFrame form of the large-star/
+    small-star contraction) squares the propagation distance, so a
+    path of diameter d resolves in O(log d) rounds instead of d —
+    round 20 covers diameters past 10^5 where plain propagation stops
+    at 20. Near-dup cliques (diameter 1-2) converge in rounds 0-2
+    before jumping ever engages, keeping the common-case plan the
+    plain propagation one. Labels only decrease, so the total-label
+    sum is a monotone convergence metric (one scalar per round, no
+    driver data transfer); at the fixpoint both endpoints of every
+    edge carry equal labels, which by induction is the component min.
+
+    Every round's frame is ``localCheckpoint``-ed (eager): the round
+    is materialized AND its lineage cut, so a later cache eviction can
+    never cascade recomputation back through superseded rounds whose
+    storage was already released. Superseded round frames are freed by
+    the ContextCleaner once unreferenced — no session-lifetime pin.
+    """
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("comp", F.col("doc_id"))
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    for it in range(max_iters):
+        neigh = edges.join(labels, edges.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "comp"
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("doc_id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        if it >= 3:  # long-diameter graph: engage pointer jumping
+            hop = new_labels.select(
+                F.col("doc_id").alias("comp"), F.col("comp").alias("comp2")
+            )
+            new_labels = new_labels.join(hop, "comp").select(
+                "doc_id", F.col("comp2").alias("comp")
+            )
+        new_labels = new_labels.localCheckpoint()
+        cur_sum = new_labels.agg(F.sum("comp")).first()[0]
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
 @register(
     "dedup_components",
     ops=("J1", "A1", "A11"),
@@ -557,10 +637,11 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     "its canonical, plus the component size. Labels only decrease, so "
     "the total-label sum is a monotone convergence metric (one scalar "
     "per iteration, no driver data transfer); near-dup clusters have "
-    "tiny diameters, so iterations ≈ 2-3. At 100 TB the same loop is "
-    "the standard DataFrame connected-components pattern (large-star/"
-    "small-star for adversarial graphs). Oracle: recursive-CTE "
-    "reachability → MIN label per node.",
+    "tiny diameters, so iterations ≈ 2-3. Adversarial diameters are "
+    "covered by the pointer-jumping step in _min_label_components "
+    "(O(log d) rounds — the large-star/small-star contraction in "
+    "DataFrame form), property-tested on a diameter-59 path graph. "
+    "Oracle: recursive-CTE reachability → MIN label per node.",
     oracle=f"""
 WITH RECURSIVE sh AS ({SQL_DOC_SHINGLES}),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
@@ -611,33 +692,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # than the corpus, and every iteration is a small-frame join (AQE
     # broadcasts it) instead of a corpus-wide shuffle. Edges are
     # symmetric, so `src` alone enumerates every non-singleton vertex.
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("comp", F.col("doc_id"))
-    ).cache()
-    prev_sum = labels.agg(F.sum("comp")).first()[0]
-    for _ in range(20):  # diameter bound; near-dup clusters converge in 2-3
-        neigh = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .select(F.col("dst").alias("doc_id"), "comp")
-        )
-        new_labels = (
-            labels.unionByName(neigh)
-            .groupBy("doc_id")
-            .agg(F.min("comp").alias("comp"))
-        ).cache()
-        cur_sum = new_labels.agg(F.sum("comp")).first()[0]
-        # The new frame is materialized by the sum above, so the
-        # superseded iteration's cache can be released immediately —
-        # without this, 20 iterations pin 20 subgraph-sized frames.
-        labels.unpersist()
-        labels = new_labels
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    labels = _min_label_components(edges)
 
-    edges.unpersist()  # final labels frame is cached + materialized
+    edges.unpersist()  # final labels frame is checkpointed (materialized)
     # Component sizes come from the subgraph (every member of a >1
     # component touches an edge); singletons default to 1. The only
     # corpus-sized work left is one map-side pass: docs left-joined
