@@ -522,3 +522,103 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_rows") - F.col("n_nonnull")) / F.col("n_rows")
         ).alias("null_frac"),
     )
+
+
+@register(
+    "column_profile_approx",
+    ops=("A2", "A8", "A12"),
+    doc="The 100 TB twin of column_profile: per-column profiling with "
+    "approx_count_distinct (HLL++, rsd 0.05) instead of exact "
+    "COUNT(DISTINCT) — a single ordinary aggregate with NO expand "
+    "multiplier (exact multi-distinct over k columns expands every "
+    "row k+1 ways before the shuffle) — plus an approx median "
+    "(percentile_approx, rank-error 1/2000) for the numeric column. "
+    "Estimates are engine-specific, so the oracle gate follows the "
+    "sketch-operator pattern: the verification query carries the "
+    "EXACT values alongside and emits bounds-check booleans "
+    "(distinct within 15 percent = 3x rsd; median within 5 percent), "
+    "which the oracle pins to TRUE — an estimator drifting out of "
+    "bounds turns the driver row red. Call with verify=False for the "
+    "production path: approx-only, one non-expanded pass (the "
+    "SCALING.md probe measures this path against the exact profile).",
+    oracle="\nUNION ALL\n".join(
+        f"""
+SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       TRUE AS distinct_ok,
+       TRUE AS approx_median_ok
+FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def column_profile_approx(
+    spark: SparkSession, sf_dir: str, verify: bool = True
+) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"cnt_{c}"))
+        aggs.append(F.approx_count_distinct(c, rsd=0.05).alias(f"apx_{c}"))
+    if not verify:
+        # Production profile: approx only — one pass, no expand, no
+        # exact-distinct shuffle amplification. Not oracle-checkable
+        # (HLL++ estimates are engine-specific), hence the split.
+        one = o.agg(*aggs)
+        stacked = ", ".join(f"'{c}', cnt_{c}, apx_{c}" for c in _PROFILE_COLS)
+        return one.select(
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {stacked})"
+                " AS (column_name, n_nonnull, approx_distinct)"
+            ),
+            "n_rows",
+        ).select(
+            "column_name",
+            "n_rows",
+            (F.col("n_rows") - F.col("n_nonnull")).alias("n_null"),
+            "approx_distinct",
+        )
+    # Verification path: the approx estimators and the exact references
+    # in SEPARATE aggregates (mixing countDistinct's expand with the
+    # percentile/HLL buffers in one agg was measured 5x slower than the
+    # two passes), joined as two 1-row frames.
+    aggs.append(
+        F.expr("percentile(o_totalprice, 0.5D)").alias("p50_exact")
+    )
+    aggs.append(
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("p50_apx")
+    )
+    exact = o.agg(
+        *[F.countDistinct(c).alias(f"dst_{c}") for c in _PROFILE_COLS]
+    )
+    one = o.agg(*aggs).crossJoin(F.broadcast(exact))
+    stacked = ", ".join(
+        f"'{c}', cnt_{c}, dst_{c}, apx_{c}" for c in _PROFILE_COLS
+    )
+    median_ok = (
+        F.abs(F.col("p50_apx") - F.col("p50_exact"))
+        <= 0.05 * F.abs(F.col("p50_exact"))
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stacked})"
+            " AS (column_name, n_nonnull, n_distinct, approx_distinct)"
+        ),
+        "n_rows",
+        median_ok.alias("p50_ok"),
+    ).select(
+        "column_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_nonnull")).alias("n_null"),
+        "n_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("n_distinct"))
+            <= 0.15 * F.col("n_distinct")
+        ).alias("distinct_ok"),
+        # Vacuously TRUE for non-numeric columns (NULL booleans don't
+        # survive the DuckDB comparator); only the o_totalprice row
+        # actually exercises the median bound.
+        F.when(F.col("column_name") == "o_totalprice", F.col("p50_ok"))
+        .otherwise(F.lit(True))
+        .alias("approx_median_ok"),
+    )
