@@ -285,12 +285,13 @@ _HQ_QS = "[0.25, 0.5, 0.75, 0.95]"
     "are engine-specific).",
     oracle=f"""
 WITH b AS (
-  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi, COUNT(*) AS n
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi, COUNT(*) AS n,
+         GREATEST((max(o_totalprice) - min(o_totalprice)) / {_HQ_BINS}.0,
+                  1e-12) AS width
   FROM orders
 ),
 binned AS (
-  SELECT LEAST(CAST(FLOOR((o_totalprice - b.lo)
-                          / ((b.hi - b.lo) / {_HQ_BINS}.0)) AS INT),
+  SELECT LEAST(CAST(FLOOR((o_totalprice - b.lo) / b.width) AS INT),
                {_HQ_BINS - 1}) AS bin
   FROM orders, b
 ),
@@ -305,7 +306,7 @@ pick AS (
 est AS (
   SELECT p.q,
     b.lo + (p.bin + (p.q * b.n - (cum.cum - cum.c)) / cum.c)
-         * ((b.hi - b.lo) / {_HQ_BINS}.0) AS hist_estimate
+         * b.width AS hist_estimate
   FROM pick p JOIN cum ON p.bin = cum.bin, b
 ),
 ex AS (
@@ -321,12 +322,22 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     x = F.col("o_totalprice")
     bdf = o.agg(
-        F.min(x).alias("lo"), F.max(x).alias("hi"), F.count(F.lit(1)).alias("n")
+        F.min(x).alias("lo"),
+        F.max(x).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        # Degenerate-column guard (min == max → zero width → NaN bins,
+        # and the oracle would diverge): floor the width at an epsilon,
+        # with the SAME arithmetic on both engines so the hash gate
+        # still holds. All values land in bin 0 and every quantile
+        # interpolates to ~lo, which is exact for a constant column.
+        F.greatest(
+            (F.max(x) - F.min(x)) / F.lit(float(_HQ_BINS)), F.lit(1e-12)
+        ).alias("width"),
     )
-    width = (F.col("hi") - F.col("lo")) / F.lit(float(_HQ_BINS))
     binned = o.crossJoin(F.broadcast(bdf)).select(
         F.least(
-            F.floor((x - F.col("lo")) / width).cast("int"), F.lit(_HQ_BINS - 1)
+            F.floor((x - F.col("lo")) / F.col("width")).cast("int"),
+            F.lit(_HQ_BINS - 1),
         ).alias("bin")
     )
     hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
@@ -342,7 +353,7 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pick = (
         qdf.crossJoin(F.broadcast(bdf))
         .join(F.broadcast(cum), F.col("cum") >= F.col("q") * F.col("n"))
-        .groupBy("q", "lo", "hi", "n")
+        .groupBy("q", "lo", "hi", "n", "width")
         .agg(F.min("bin").alias("bin"))
     )
     est = pick.join(F.broadcast(cum), "bin").select(
@@ -354,7 +365,7 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + (F.col("q") * F.col("n") - (F.col("cum") - F.col("c")))
                 / F.col("c")
             )
-            * ((F.col("hi") - F.col("lo")) / F.lit(float(_HQ_BINS)))
+            * F.col("width")
         ).alias("hist_estimate"),
     )
     ex = (

@@ -371,12 +371,17 @@ def streaming_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "first) — [min+2h, max-1h) bulk, then [max-1h, max] (advances the "
     "watermark), then the pre-min+2h stragglers, which by then are "
     "hours behind the watermark and are dropped before aggregation. "
-    "availableNow drains the three batches; append mode emits exactly "
-    "the windows whose end <= final watermark (max event time - 1h). "
-    "The oracle re-derives that emitted set in SQL: bulk-batch rows "
-    "only, window end <= watermark — so a green row certifies the "
-    "late-drop filter AND the append-mode emission rule, not just "
-    "that rows flowed. State is bounded by the watermark at any "
+    "availableNow drains the three batches; append mode emits the "
+    "windows closed by the final watermark (max event time - 1h). "
+    "The comparison is made boundary-insensitive: a window whose end "
+    "lands EXACTLY on the watermark is excluded on both sides (Spark "
+    "result filtered, oracle uses strict <), so the check can't hinge "
+    "on Spark's internal eviction predicate at the == boundary if a "
+    "regenerated fixture's max event time is ever hour-aligned. The "
+    "oracle re-derives the emitted set in SQL: bulk-batch rows only, "
+    "window end strictly before the watermark — so a green row "
+    "certifies the late-drop filter AND the append-mode emission "
+    "rule, not just that rows flowed. State is bounded by the watermark at any "
     "scale; the staged-mtime trick is test plumbing, not semantics.",
     oracle=f"""
 WITH ev AS (SELECT {SQL_EVENT_TIME} AS et FROM events),
@@ -389,7 +394,7 @@ SELECT date_trunc('hour', et) AS window_start,
        COUNT(*) AS n_events
 FROM ev, b
 WHERE et >= cut AND et < wm
-  AND date_trunc('hour', et) + INTERVAL 1 HOUR <= wm
+  AND date_trunc('hour', et) + INTERVAL 1 HOUR < wm
 GROUP BY 1
 """,
 )
@@ -444,6 +449,11 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(name).select(
-        F.col("w.start").alias("window_start"), "n_events"
+    # Boundary-insensitive emission check: exclude a window whose end
+    # equals the watermark (the oracle's strict < mirrors this), so the
+    # result doesn't depend on Spark's eviction predicate at ==.
+    return (
+        spark.table(name)
+        .filter(F.col("w.end") < F.lit(bounds.mid))
+        .select(F.col("w.start").alias("window_start"), "n_events")
     )
