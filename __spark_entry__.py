@@ -52,51 +52,74 @@ _R1_GREEN = frozenset(
 )
 
 
-#: Round-4 front of the driver's ~50-query check window: the 16 queries
-#: that have never had a driver CORRECTNESS row (registered after the
-#: round-2 window was full, deferred through r3) plus the 6 queries that
-#: regressed in r3 on the events fixture regeneration (fixed in
-#: catalog.normalize_events / streamingops._events_schema). After this
-#: round every one of the registered queries has been driver-adjudicated
-#: at least once.
-_R4_FRONT = (
-    # never driver-checked
-    "corpus_curation_funnel",
-    "doc_chunking",
-    "text_gopher_rules",
-    "hash_split_3way",
-    "winsorize_clip",
-    "zscore_normalize",
-    "kmeans_semantic_clusters",
-    "pack_sequences",
-    "vocab_heavy_hitters",
-    "text_pii_scrub",
-    "text_benchmark_contamination",
-    "text_repetition_filter",
-    "data_mix_rebalance",
-    "sketch_hll_distinct",
-    "streaming_sliding_rate",
-    "dedup_incremental_snapshot",
-    # red in CORRECTNESS_r03 (events ts regression, now fixed)
-    "scd2_user_type_history",
-    "rolling_distinct_users",
-    "sketch_countmin_freq",
-    "streaming_hourly_rollup",
-    "streaming_feature_append",
-    "streaming_stateful_sessions",
-    # registered in round 4 (never checked)
-    "text_bpe_pair_counts",
-    "multimodal_phash_near_dup",
-    "per_source_cap",
-    "streaming_late_data_drop",
-    "sketch_histogram_quantiles",
-    "corpus_data_card",
+#: Round-5 front of the driver's ~50-query check window: the 49 queries
+#: whose most recent driver CORRECTNESS row is r01 — adjudicated BEFORE
+#: the driver regenerated /root/testdata (events.ts encoding change) —
+#: rotated to the front so every registered query's driver row postdates
+#: the current fixtures. Events family first (the family that regressed
+#: in r3 under the new encoding), then the remaining r01-only set.
+#: Queries registered this round (never driver-checked) follow at the
+#: tail of the front list so they claim any leftover window slots.
+_R5_FRONT = (
+    # events family — r01-only AND the family hit by the fixture regen
+    "asof_join_prior_purchase",
+    "hourly_event_rollup",
+    "sessionization_gap30m",
+    "json_props_extract",
+    "lag_cascade",
+    "hourly_bucket_lookup",
+    # remaining r01-only queries (latest driver row predates fixtures)
+    "anti_join_orphans",
+    "append_sink_roundtrip",
+    "case_coalesce_bounding",
+    "cross_join_grid",
+    "csv_roundtrip",
+    "cube_priority_status",
+    "cumulative_share",
+    "date_parts_smart_keys",
+    "dedup_first_wins",
+    "deterministic_sample",
+    "dim_date_series",
+    "distinct_projection",
+    "dynamic_day_column",
+    "exact_percentiles",
+    "feature_join_update",
+    "filter_project_cast",
+    "global_stats",
+    "gtfs_time_parse",
+    "monthly_trend_ma3",
+    "moving_avg_7day",
+    "multikey_validation_join",
+    "mv_refresh",
+    "one_row_frame_lag",
+    "perf_ranking_trends",
+    "pivot_status_matrix",
+    "range_join_price_bands",
+    "rank_suite",
+    "retention_filter",
+    "risk_binning",
+    "rollup_multi_granularity",
+    "salted_skew_agg",
+    "schema_bootstrap",
+    "semi_join_per_nation",
+    "set_ops_suite",
+    "sql_over_views",
+    "star_join_region_rollup",
+    "stddev_by_group",
+    "stratified_sample",
+    "topk_orders",
+    "train_test_split",
+    "two_level_agg_having",
+    "union_all_counts",
+    "window_value_suite",
+    # registered in round 5 (never driver-checked)
+    "column_profile_approx",
 )
 
 
 def _ordered_specs():
     specs = all_specs()
-    front = [n for n in _R4_FRONT if n in specs]
+    front = [n for n in _R5_FRONT if n in specs]
     rest = [n for n in specs if n not in set(front)]
     # Among the rest: queries with no green row yet (newly registered)
     # before re-confirmations; oracle-backed (strong hash-checked rows)

@@ -57,13 +57,20 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Iterative driver-loop queries compile a fresh plan per loop round,
+    # so their run-to-run variance is ±40% (JIT/codegen debt) — one
+    # extra rep pins their minimum to steady state and stops round-over-
+    # round comparisons from chasing compile noise.
+    noisy = {"corpus_curation_funnel", "dedup_components"}
+
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
-        # Best of 2: the first run of a query can pay one-off JIT /
-        # codegen-compile / GC costs that move between queries run to
-        # run; the minimum reflects the plan's steady-state cost.
+        # Best of 2 (3 for the noisy loop queries): the first run of a
+        # query can pay one-off JIT / codegen-compile / GC costs that
+        # move between queries run to run; the minimum reflects the
+        # plan's steady-state cost.
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3 if name in noisy else 2):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
