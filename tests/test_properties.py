@@ -172,3 +172,17 @@ def test_ngram_jaccard_guard_refuses_blowup(spark, sf_dir):
         dedup_ngram_jaccard(spark, sf_dir, max_join_rows=10)
     # the default budget admits the fixture corpus
     assert dedup_ngram_jaccard(spark, sf_dir).count() >= 0
+
+
+def test_embedding_cosine_guard_refuses_blowup(spark, sf_dir):
+    """All-pairs cosine refuses corpora beyond the vector budget and
+    routes users to the bucket-restricted ANN operators."""
+    import pytest as _pytest
+
+    from transit_data_pipeline_spark.operators.dedup import (
+        dedup_embedding_cosine,
+    )
+
+    with _pytest.raises(ValueError, match="similarity_lsh_ann"):
+        dedup_embedding_cosine(spark, sf_dir, max_vectors=1)
+    assert dedup_embedding_cosine(spark, sf_dir).count() >= 0

@@ -453,7 +453,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "so results are bitwise identical to the naive all-pairs plan. At "
     "cluster scale B = ceil(n/rows_per_block) bounds per-task memory; "
     "total work stays O(n²/B·B)=O(n²) matmul flops but distributed "
-    "over B² tasks with no single-node materialization.",
+    "over B² tasks with no single-node materialization. Guarded: "
+    "refuses corpora beyond max_vectors (exact all-pairs cosine is "
+    "quadratic by definition); the error routes to similarity_lsh_ann/"
+    "similarity_ivf_ann, the bucket-restricted scale paths.",
     oracle=f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
   ROUND({V.sql_cosine("a.embedding", "b.embedding")}, 6) AS cos_sim
@@ -461,11 +464,25 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {V.sql_cosine("a.embedding", "b.embedding")} >= 0.4
 """,
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, max_vectors: int = 200_000
+) -> DataFrame:
     import numpy as np
     import pandas as pd
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # Blast-radius guard (same contract as dedup_ngram_jaccard): one
+    # cheap count refuses corpora whose n²·dim screen flops can't
+    # finish in bounded time — 200k × 64-dim ≈ 2.6e12 flops is minutes
+    # at BLAS rate; past that the quadratic screen is the wrong tool.
+    n = e.count()
+    if n > max_vectors:
+        raise ValueError(
+            f"dedup_embedding_cosine: {n:,} vectors exceeds "
+            f"max_vectors={max_vectors:,}; exact all-pairs cosine is "
+            "O(n²) — use similarity_lsh_ann / similarity_ivf_ann "
+            "(bucket-restricted) or raise max_vectors explicitly."
+        )
     # Chunk grid: B blocks → B(B+1)/2 block-pair tasks. At test scale
     # B=8 gives 36 groups (≈ one per core); on a cluster pick
     # B = ceil(n / rows_per_block) so two blocks of vectors fit in one
