@@ -114,6 +114,8 @@ _R5_FRONT = (
     "window_value_suite",
     # registered in round 5 (never driver-checked)
     "column_profile_approx",
+    "text_bigram_perplexity",
+    "text_tfidf_keywords",
 )
 
 

@@ -564,3 +564,146 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = pairs.groupBy("pair").agg(F.sum("freq").cast("long").alias("pair_count"))
     return agg.orderBy(F.desc("pair_count"), F.asc("pair")).limit(20)
+
+
+@register(
+    "text_bigram_perplexity",
+    ops=("A3", "F10", "J1"),
+    doc="LM-based quality filtering (the CCNet-style perplexity "
+    "filter every large-corpus pipeline runs before training): an "
+    "add-0.1-smoothed bigram model is fit on the corpus itself — "
+    "bigram and unigram-context counts plus vocabulary size, all "
+    "plain aggregates — and every document is scored by its mean "
+    "negative log-probability; kept = score <= 3.4. The count tables "
+    "are vocabulary-bounded (Zipf), orders of magnitude smaller than "
+    "the corpus, so the two count shuffles and the score join scale; "
+    "the vocab size is a broadcast scalar; no Python UDFs. Per-bigram "
+    "log-probs are rounded to 4 decimals BEFORE averaging (ln is the "
+    "one non-IEEE-pinned op between JVM and libm) and the per-doc "
+    "mean uses the decimal-exact davg, so the score is bitwise "
+    "reproducible on any partitioning — same recipe as the trig "
+    "columns in mlops. Swap the self-trained counts for a reference "
+    "LM's n-gram table to reproduce CCNet exactly: the plan shape "
+    "(count join -> score -> per-doc agg) is identical.",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+),
+bg AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2
+  FROM (SELECT doc_id, unnest(list_zip(w[:len(w)-1], w[2:])) AS p FROM tok)
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(n12) AS n1 FROM c12 GROUP BY 1),
+v AS (
+  SELECT COUNT(DISTINCT t) AS vocab
+  FROM (SELECT unnest(w) AS t FROM tok)
+),
+scored AS (
+  SELECT bg.doc_id,
+         ROUND(-LN((c12.n12 + 0.1) / (c1.n1 + 0.1 * v.vocab)), 4) AS nll
+  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         ROUND({N.sql_davg("nll")}, 4) AS avg_neg_logprob
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, n_bigrams, avg_neg_logprob,
+       avg_neg_logprob <= 3.4 AS kept
+FROM per_doc
+""",
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    tok = d.select("doc_id", tokens_col().alias("w"))
+    bg = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(w, 1, greatest(size(w) - 1, 0)),"
+                " slice(w, 2, greatest(size(w) - 1, 0)),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    vocab = tok.select(F.explode("w").alias("t")).agg(
+        F.countDistinct("t").alias("vocab")
+    )
+    prob = (F.col("n12") + 0.1) / (F.col("n1") + 0.1 * F.col("vocab"))
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", F.round(-F.log(prob), 4).alias("nll"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(N.davg("nll"), 4).alias("avg_neg_logprob"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "avg_neg_logprob",
+            (F.col("avg_neg_logprob") <= 3.4).alias("kept"),
+        )
+    )
+
+
+@register(
+    "text_tfidf_keywords",
+    ops=("A3", "W4", "J1"),
+    doc="Document keyword extraction: top-3 terms per document by "
+    "tf-idf (idf = ln(N/df), both factors rounded to 4 decimals so "
+    "JVM and libm ln agree bitwise — same recipe as the bigram LM). "
+    "The df table is vocabulary-bounded and the per-doc ranking is "
+    "one window over (doc_id), so the plan is two token-keyed "
+    "shuffles plus a partition-parallel row_number — no UDFs, no "
+    "driver loops. The standard labeling/routing primitive when a "
+    "corpus needs topic-ish keys without an embedding model.",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * ROUND(LN(CAST(n.n_docs AS DOUBLE) / df.df), 4), 4)
+           AS tf_idf
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, rnk, term, tf_idf FROM (
+  SELECT doc_id, term, tf_idf,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY tf_idf DESC, term
+         ) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+""",
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents", spread=True)
+    tok = d.select("doc_id", F.explode(tokens_col()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 4)
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", F.round(F.col("tf") * idf, 4).alias("tf_idf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf_idf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", F.col("rnk").cast("long").alias("rnk"), "term", "tf_idf")
+    )
