@@ -116,6 +116,8 @@ _R5_FRONT = (
     "column_profile_approx",
     "text_bigram_perplexity",
     "text_tfidf_keywords",
+    "dedup_substring_spans",
+    "dedup_keep_best",
 )
 
 

@@ -264,3 +264,35 @@ def test_components_output_has_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_components")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_profile_approx_production_path_has_no_expand(spark, sf_dir):
+    """column_profile_approx(verify=False) is the 100 TB profiling
+    path: one ordinary aggregate — the exact profile's Expand operator
+    (the k+1-way row multiplier of multi-countDistinct) must be gone,
+    and no Python stage may appear."""
+    from transit_data_pipeline_spark.operators.pipelineops import (
+        column_profile_approx,
+    )
+
+    df = column_profile_approx(spark, sf_dir, verify=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan
+    # the exact profile keeps its Expand (that's WHY the twin exists)
+    exact = _plan(spark, sf_dir, "column_profile")
+    assert "Expand" in exact
+
+
+def test_bigram_lm_broadcasts_vocab_scalar(spark, sf_dir):
+    """The vocabulary size must join as a broadcast (1-row frame), and
+    the whole scoring plan must stay UDF-free (codegen only)."""
+    plan = _plan(spark, sf_dir, "text_bigram_perplexity")
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_broadcasts_doc_count(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_tfidf_keywords")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -294,3 +294,96 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.countDistinct("f").cast("double") / F.count(F.lit(1))
         ).alias("exact_dup_rate"),
     )
+
+
+@register(
+    "dedup_keep_best",
+    ops=("W4", "J1", "P7"),
+    doc="Quality-canonical cluster resolution: near-dup components "
+    "(same verified pair graph as dedup_components) where the kept "
+    "representative is the HIGHEST-QUALITY member (shared "
+    "textops.quality_score_col formula; min doc_id breaks exact "
+    "ties) instead of the minimum id — what a curation pipeline "
+    "actually wants when collapsing a near-dup cluster: keep the "
+    "best copy, not the oldest. Composes the LSH-verified pair "
+    "graph, pointer-jumping components, and a per-component "
+    "row_number argmax; singletons keep themselves. Oracle: "
+    "recursive-CTE reachability + the same quality formula.",
+    oracle=f"""
+WITH RECURSIVE sh AS ({SQL_DOC_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter)
+        >= {JACCARD_THR}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT doc_id AS a, doc_id AS b FROM documents
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+comp AS (SELECT a AS doc_id, MIN(b) AS comp FROM reach GROUP BY a),
+q AS ({_SQL_QUALITY}),
+scored AS (
+  SELECT c.doc_id, c.comp, q.quality_score
+  FROM comp c JOIN q USING (doc_id)
+),
+best AS (
+  SELECT comp, doc_id AS canonical_doc_id FROM (
+    SELECT comp, doc_id, ROW_NUMBER() OVER (
+      PARTITION BY comp ORDER BY quality_score DESC, doc_id
+    ) AS rn FROM scored
+  ) WHERE rn = 1
+)
+SELECT s.doc_id, b.canonical_doc_id, s.quality_score,
+       s.doc_id = b.canonical_doc_id AS is_kept
+FROM scored s JOIN best b USING (comp)
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .dedup import _min_label_components, dedup_lsh_verified
+
+    pairs = dedup_lsh_verified(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels = _min_label_components(edges.cache())
+    d = table(spark, sf_dir, "documents", spread=True)
+    scored = (
+        d.select("doc_id", quality_score_col().alias("quality_score"))
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", "doc_id").alias("comp"),
+            "quality_score",
+        )
+    )
+    w = Window.partitionBy("comp").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("comp", F.col("doc_id").alias("canonical_doc_id"))
+    )
+    return scored.join(best, "comp").select(
+        "doc_id",
+        "canonical_doc_id",
+        "quality_score",
+        (F.col("doc_id") == F.col("canonical_doc_id")).alias("is_kept"),
+    )

@@ -763,3 +763,101 @@ def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(corpus, "fingerprint", "left").select(
         "doc_id", "fingerprint", F.col("in_corpus").isNull().alias("kept")
     )
+
+
+@register(
+    "dedup_substring_spans",
+    ops=("F10", "A2", "W11"),
+    doc="Exact-substring span dedup (the ExactSubstr pass of Lee et "
+    "al., 'Deduplicating Training Data Makes Language Models Better', "
+    "ACL 2022 — cut duplicated SPANS out of documents instead of "
+    "dropping whole near-dup docs): every 8-token window is "
+    "fingerprinted (md5 of the joined tokens), windows whose "
+    "fingerprint occurs in >= 2 distinct documents are duplicated "
+    "text, and per document the overlapping hits are merged into "
+    "maximal cut spans by a gaps-and-islands window (running max of "
+    "span end). The paper uses a suffix array on one machine; the "
+    "windowed-fingerprint form is the distributed equivalent at "
+    "window-W granularity: window rows ≈ corpus tokens (one shuffle "
+    "on the fingerprint), the duplicated-fingerprint table is "
+    "collision-sized, and the island merge is partition-parallel per "
+    "document. No UDFs, no driver state.",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+  FROM tok WHERE len(w) >= 8
+),
+win AS (
+  SELECT doc_id, i AS start_tok, i + 7 AS end_tok,
+         md5(array_to_string(w[i:i+7], ' ')) AS h
+  FROM pos
+),
+dup AS (
+  SELECT h FROM win GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT win.doc_id, win.start_tok, win.end_tok FROM win JOIN dup USING (h)
+),
+isl AS (
+  SELECT doc_id, start_tok, end_tok,
+    CASE WHEN start_tok > COALESCE(MAX(end_tok) OVER (
+      PARTITION BY doc_id ORDER BY start_tok, end_tok
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+    THEN 1 ELSE 0 END AS new_isl
+  FROM hits
+),
+grp AS (
+  SELECT doc_id, start_tok, end_tok,
+         SUM(new_isl) OVER (
+           PARTITION BY doc_id ORDER BY start_tok, end_tok
+         ) AS isl_id
+  FROM isl
+)
+SELECT doc_id, MIN(start_tok) AS span_start, MAX(end_tok) AS span_end,
+       COUNT(*) AS n_windows
+FROM grp GROUP BY doc_id, isl_id
+""",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    tok = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    ).filter(F.size("w") >= 8)
+    pos = tok.select(
+        "doc_id", "w",
+        F.explode(F.sequence(F.lit(1), F.size("w") - 7)).alias("i"),
+    )
+    win = pos.select(
+        "doc_id",
+        F.col("i").cast("long").alias("start_tok"),
+        (F.col("i") + 7).cast("long").alias("end_tok"),
+        F.md5(F.concat_ws(" ", F.slice("w", F.col("i"), 8))).alias("h"),
+    )
+    dup = win.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("nd")
+    ).filter(F.col("nd") >= 2).select("h")
+    hits = win.join(dup, "h").select("doc_id", "start_tok", "end_tok")
+    w_ord = Window.partitionBy("doc_id").orderBy("start_tok", "end_tok")
+    prev_end = F.max("end_tok").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = hits.withColumn(
+        "new_isl",
+        F.when(
+            F.col("start_tok") > F.coalesce(prev_end, F.lit(-1)), 1
+        ).otherwise(0),
+    )
+    grp = isl.withColumn("isl_id", F.sum("new_isl").over(w_ord))
+    return (
+        grp.groupBy("doc_id", "isl_id")
+        .agg(
+            F.min("start_tok").alias("span_start"),
+            F.max("end_tok").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )
