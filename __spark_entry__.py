@@ -118,6 +118,8 @@ _R5_FRONT = (
     "text_tfidf_keywords",
     "dedup_substring_spans",
     "dedup_keep_best",
+    "event_funnel_steps",
+    "retention_cohorts",
 )
 
 

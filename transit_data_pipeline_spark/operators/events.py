@@ -236,3 +236,150 @@ def asof_join_prior_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_purchase_value",
         "purchase_ts_us",
     )
+
+
+@register(
+    "event_funnel_steps",
+    ops=("A5", "J1", "A9"),
+    doc="Ordered conversion funnel view -> click -> purchase: per user "
+    "the first view, the first click strictly after it, the first "
+    "purchase strictly after that (step-wise min-timestamp "
+    "progression — three user-keyed conditional aggregates chained by "
+    "joins, no window over the whole stream, no per-row subqueries). "
+    "Output is the classic funnel table: users surviving each stage "
+    "and the stage-over-stage conversion rate. Every shuffle is keyed "
+    "by user_id, so the plan partitions cleanly at any event volume.",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_type, {SQL_EVENT_TIME} AS et FROM events
+),
+v AS (
+  SELECT user_id, MIN(et) AS t1 FROM ev WHERE event_type = 'view'
+  GROUP BY 1
+),
+c AS (
+  SELECT ev.user_id, MIN(et) AS t2
+  FROM ev JOIN v USING (user_id)
+  WHERE ev.event_type = 'click' AND ev.et > v.t1
+  GROUP BY 1
+),
+p AS (
+  SELECT ev.user_id, MIN(et) AS t3
+  FROM ev JOIN c USING (user_id)
+  WHERE ev.event_type = 'purchase' AND ev.et > c.t2
+  GROUP BY 1
+),
+n AS (
+  SELECT (SELECT COUNT(*) FROM v) AS n1,
+         (SELECT COUNT(*) FROM c) AS n2,
+         (SELECT COUNT(*) FROM p) AS n3
+)
+SELECT 0 AS stage_id, 'view' AS stage, n1 AS n_users,
+       1.0 AS conversion FROM n
+UNION ALL SELECT 1, 'click', n2, CAST(n2 AS DOUBLE) / n1 FROM n
+UNION ALL SELECT 2, 'purchase', n3, CAST(n3 AS DOUBLE) / n2 FROM n
+""",
+)
+def event_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_time"
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("event_time").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("event_time") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("event_time").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("event_time") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("event_time").alias("t3"))
+    )
+    n = (
+        v.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n2"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n3"))))
+    )
+    return n.select(
+        F.expr(
+            "stack(3,"
+            " 0, 'view', n1, 1.0D,"
+            " 1, 'click', n2, cast(n2 as double) / n1,"
+            " 2, 'purchase', n3, cast(n3 as double) / n2)"
+            " AS (stage_id, stage, n_users, conversion)"
+        )
+    )
+
+
+@register(
+    "retention_cohorts",
+    ops=("A2", "F5", "A9"),
+    doc="Weekly cohort retention triangle: users are cohorted by the "
+    "week of their first event, activity is the distinct (user, "
+    "active-week) set, and each (cohort_week, week_offset) cell "
+    "counts surviving users with its retention rate against the "
+    "cohort's week-0 size. Two user-keyed aggregates plus one "
+    "cohort-keyed join — the denominators frame is cohort-count "
+    "sized and broadcast. date_trunc is cast to TIMESTAMP on both "
+    "engines (DuckDB returns DATE).",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(date_trunc('week', {SQL_EVENT_TIME}) AS TIMESTAMP) AS wk
+  FROM events
+),
+first_seen AS (
+  SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY 1
+),
+activity AS (SELECT DISTINCT user_id, wk FROM ev),
+cells AS (
+  SELECT f.cohort_week,
+         date_diff('day', f.cohort_week, a.wk) // 7 AS week_offset,
+         COUNT(DISTINCT a.user_id) AS n_active
+  FROM activity a JOIN first_seen f USING (user_id)
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT cohort_week, n_active AS cohort_size FROM cells
+  WHERE week_offset = 0
+)
+SELECT c.cohort_week, c.week_offset, c.n_active,
+       CAST(c.n_active AS DOUBLE) / b.cohort_size AS retention
+FROM cells c JOIN base b USING (cohort_week)
+""",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "event_time").alias("wk")
+    )
+    first_seen = e.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    activity = e.distinct()
+    cells = (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    base = cells.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return cells.join(F.broadcast(base), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+            "retention"
+        ),
+    )
