@@ -120,6 +120,12 @@ _R5_FRONT = (
     "dedup_keep_best",
     "event_funnel_steps",
     "retention_cohorts",
+    "time_range_window",
+    "gap_fill_locf",
+    "streaks_active_days",
+    "argmax_per_group",
+    "array_agg_suite",
+    "grouping_sets_report",
 )
 
 

@@ -38,6 +38,8 @@ def _norm_cell(v):
         return tuple(_norm_cell(x) for x in v)
     if isinstance(v, bytes):
         return v.hex()
+    if getattr(v, "ndim", 0) >= 1:  # numpy array (DuckDB LIST column)
+        return tuple(_norm_cell(x) for x in v.tolist())
     if hasattr(v, "item"):  # numpy scalar
         return _norm_cell(v.item())
     return v

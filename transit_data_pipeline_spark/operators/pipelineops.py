@@ -622,3 +622,40 @@ def column_profile_approx(
         .otherwise(F.lit(True))
         .alias("approx_median_ok"),
     )
+
+
+@register(
+    "grouping_sets_report",
+    ops=("A3", "A1", "F1"),
+    doc="GROUPING SETS ((year, priority), (year), (priority)): the "
+    "asymmetric multi-granularity report that neither ROLLUP nor "
+    "CUBE expresses — one shared-partials pass instead of three "
+    "scans, with grouping_id disambiguating levels where a group "
+    "key could itself be NULL (completes the family with "
+    "rollup_multi_granularity / cube_priority_status).",
+    oracle=f"""
+SELECT year(o_orderdate) AS order_year,
+       o_orderpriority,
+       CAST(GROUPING(year(o_orderdate), o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       {N.sql_dsum("o_totalprice")} AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate), o_orderpriority),
+                        (year(o_orderdate)), (o_orderpriority))
+""",
+)
+def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("order_year"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    return o.groupingSets(
+        [["order_year", "o_orderpriority"], ["order_year"], ["o_orderpriority"]],
+        "order_year",
+        "o_orderpriority",
+    ).agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        N.dsum("o_totalprice").alias("revenue"),
+    )

@@ -40,6 +40,7 @@ _MODULES = (
     "transit_data_pipeline_spark.operators.multimodal",
     "transit_data_pipeline_spark.operators.curation",
     "transit_data_pipeline_spark.operators.mlprep",
+    "transit_data_pipeline_spark.operators.timeseries",
 )
 
 

@@ -802,3 +802,84 @@ def window_value_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(full).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
     )
+
+
+@register(
+    "argmax_per_group",
+    ops=("A3", "J3"),
+    doc="ARG_MAX/ARG_MIN per group via max_by/min_by over a (value, "
+    "tiebreak-key) struct — a single hash aggregate with map-side "
+    "combine instead of the window row_number=1 pattern (no "
+    "partition sort, no shuffle of losing rows past the combiner). "
+    "The struct key makes ties deterministic: c_custkey is unique. "
+    "The oracle spells out the portable row_number emulation.",
+    oracle="""
+WITH ranked AS (
+  SELECT n_name, c_name, c_custkey, c_acctbal,
+    ROW_NUMBER() OVER (PARTITION BY n_name
+                       ORDER BY c_acctbal DESC, c_custkey DESC) AS rmax,
+    ROW_NUMBER() OVER (PARTITION BY n_name
+                       ORDER BY c_acctbal ASC, c_custkey ASC) AS rmin
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name,
+       COUNT(*) AS n_customers,
+       MAX(CASE WHEN rmax = 1 THEN c_name END) AS top_cust_name,
+       MAX(CASE WHEN rmax = 1 THEN c_acctbal END) AS top_acctbal,
+       MAX(CASE WHEN rmin = 1 THEN c_name END) AS bottom_cust_name,
+       MAX(CASE WHEN rmin = 1 THEN c_acctbal END) AS bottom_acctbal
+FROM ranked
+GROUP BY n_name
+""",
+)
+def argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    key = F.struct(F.col("c_acctbal"), F.col("c_custkey"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.max_by("c_name", key).alias("top_cust_name"),
+            F.max_by("c_acctbal", key).alias("top_acctbal"),
+            F.min_by("c_name", key).alias("bottom_cust_name"),
+            F.min_by("c_acctbal", key).alias("bottom_acctbal"),
+        )
+    )
+
+
+@register(
+    "array_agg_suite",
+    ops=("A1", "F10"),
+    doc="Collection aggregation: per-order sorted part-key array plus "
+    "array accessors (element_at is 1-indexed in both engines) and a "
+    "distinct-cardinality derived from the array — the nested-type "
+    "surface a feature store needs for list-valued features. "
+    "collect_list order is nondeterministic on a cluster; array_sort "
+    "makes the result partition-order-independent. The array itself "
+    "is emitted as a canonical CSV string — the driver hash compares "
+    "scalar cells, so the nested value crosses engines as text.",
+    oracle="""
+SELECT l_orderkey,
+       array_to_string(list_sort(list(l_partkey)), ',') AS part_keys_csv,
+       CAST(len(list(l_partkey)) AS BIGINT) AS n_items,
+       list_sort(list(l_partkey))[1] AS first_part,
+       list_sort(list(l_partkey))[-1] AS last_part,
+       CAST(len(list_distinct(list(l_partkey))) AS BIGINT) AS n_distinct_parts
+FROM lineitem
+GROUP BY l_orderkey
+""",
+)
+def array_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    parts = F.array_sort(F.collect_list("l_partkey"))
+    return l.groupBy("l_orderkey").agg(
+        F.array_join(parts, ",").alias("part_keys_csv"),
+        F.size(parts).cast("bigint").alias("n_items"),
+        F.element_at(parts, 1).alias("first_part"),
+        F.element_at(parts, -1).alias("last_part"),
+        # distinct-from-the-array: avoids the separate COUNT(DISTINCT)
+        # expand+reshuffle — one hash aggregate instead of two.
+        F.size(F.array_distinct(parts)).cast("bigint").alias("n_distinct_parts"),
+    )

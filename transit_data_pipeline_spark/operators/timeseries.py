@@ -1,0 +1,231 @@
+"""Gap-aware time-series operators: value-range window frames, LOCF
+gap filling over a generated spine, and gaps-and-islands streaks.
+
+These complete the hypertable-style analytics family
+(`rollup_multi_granularity`, `moving_avg_7day`): the ROWS-frame moving
+averages elsewhere assume a dense daily series; the operators here are
+the sparse-series duals — a RANGE frame keyed on the *value* of the
+time axis (so a 7-day window spans 7 calendar days even when most days
+have no rows), an explicit date-spine + last-observation-carried-forward
+fill, and consecutive-day streak detection via the classic
+row_number-offset island key (ref: the reference densifies sparse
+per-route series before windowing, `sql/analysis_queries.sql:88-116`).
+
+Scale notes: every window partitions by a key (priority, user), so no
+global sort. The daily pre-aggregate shrinks the fact table ~1e4×
+before any window runs — the windows operate on the aggregate, not the
+fact. The LOCF spine is (n_keys × n_days), generated with
+``sequence``+``explode`` executor-side (no driver loop) and joined to
+the aggregate via a hash join on (key, day); at 100 TB the spine is
+still tiny relative to facts. The streak island key is computed with
+one partitioned sort per user — the same shuffle the sessionization
+operator already pays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import numeric as N
+from .registry import register
+
+#: Shared daily pre-aggregate (1996 slice of orders, per priority).
+_DAILY_SQL = f"""
+  SELECT o_orderpriority,
+         CAST(o_orderdate AS DATE) AS d,
+         COUNT(*) AS n_orders,
+         {N.sql_dsum("o_totalprice")} AS day_revenue
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            "o_orderpriority", F.to_date("o_orderdate").alias("d")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            N.dsum("o_totalprice").alias("day_revenue"),
+        )
+    )
+
+
+@register(
+    "time_range_window",
+    ops=("W9", "A3", "F5"),
+    doc="Gap-aware 7-calendar-day moving window: RANGE frame keyed on "
+    "the epoch-day VALUE, so the frame spans 7 calendar days even "
+    "where the per-priority daily series has holes (a ROWS frame "
+    "would silently span weeks). days_present exposes how sparse "
+    "each frame actually was.",
+    oracle=f"""
+WITH daily AS ({_DAILY_SQL}),
+e AS (
+  SELECT *, date_diff('day', DATE '1970-01-01', d) AS epoch_day FROM daily
+)
+SELECT o_orderpriority,
+       strftime(d, '%Y-%m-%d') AS order_day,
+       n_orders,
+       day_revenue,
+       CAST(SUM(CAST(day_revenue AS DECIMAL(18,4))) OVER w AS DOUBLE) AS rev_7d,
+       COUNT(*) OVER w AS days_present
+FROM e
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY epoch_day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir).withColumn(
+        "epoch_day", F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("epoch_day")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "o_orderpriority",
+        F.date_format("d", "yyyy-MM-dd").alias("order_day"),
+        "n_orders",
+        "day_revenue",
+        F.sum(F.col("day_revenue").cast(N.DEC)).over(w).cast("double").alias("rev_7d"),
+        F.count(F.lit(1)).over(w).alias("days_present"),
+    )
+
+
+@register(
+    "gap_fill_locf",
+    ops=("F7", "J5", "W14"),
+    doc="Time-series densification: generate a (priority × day) spine "
+    "with sequence+explode, left-join the sparse daily aggregate, and "
+    "fill holes with last-observation-carried-forward via "
+    "last(ignorenulls) over an unbounded-preceding frame — the "
+    "standard gap-fill the reference does by materializing a dense "
+    "calendar table (`fact_dim_tables.sql:44-71`).",
+    oracle=f"""
+WITH daily AS ({_DAILY_SQL}),
+spine AS (
+  SELECT p.o_orderpriority, CAST(g.d AS DATE) AS d
+  FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+  CROSS JOIN (
+    SELECT unnest(generate_series(DATE '1996-01-01', DATE '1996-12-31',
+                                  INTERVAL 1 DAY)) AS d
+  ) g
+)
+SELECT s.o_orderpriority,
+       strftime(s.d, '%Y-%m-%d') AS order_day,
+       (daily.d IS NOT NULL) AS is_observed,
+       COALESCE(
+         last_value(daily.day_revenue IGNORE NULLS) OVER (
+           PARTITION BY s.o_orderpriority ORDER BY s.d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         0.0) AS filled_revenue
+FROM spine s
+LEFT JOIN daily ON daily.o_orderpriority = s.o_orderpriority AND daily.d = s.d
+""",
+)
+def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = _daily(spark, sf_dir)
+    spine = (
+        o.select("o_orderpriority")
+        .distinct()
+        .crossJoin(
+            spark.range(1).select(
+                F.explode(
+                    F.sequence(
+                        F.lit("1996-01-01").cast("date"),
+                        F.lit("1996-12-31").cast("date"),
+                        F.expr("interval 1 day"),
+                    )
+                ).alias("d")
+            )
+        )
+    )
+    joined = spine.alias("s").join(
+        daily.alias("o"),
+        on=[
+            F.col("s.o_orderpriority") == F.col("o.o_orderpriority"),
+            F.col("s.d") == F.col("o.d"),
+        ],
+        how="left",
+    )
+    w = (
+        Window.partitionBy(F.col("s.o_orderpriority"))
+        .orderBy(F.col("s.d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col("s.o_orderpriority").alias("o_orderpriority"),
+        F.date_format(F.col("s.d"), "yyyy-MM-dd").alias("order_day"),
+        F.col("o.d").isNotNull().alias("is_observed"),
+        F.coalesce(
+            F.last(F.col("o.day_revenue"), ignorenulls=True).over(w),
+            F.lit(0.0),
+        ).alias("filled_revenue"),
+    )
+
+
+@register(
+    "streaks_active_days",
+    ops=("W4", "A3", "F5"),
+    doc="Gaps-and-islands: per-user consecutive-active-day streaks via "
+    "the epoch_day − row_number island key, rolled up to per-user "
+    "streak stats — the engagement-streak pattern the reference "
+    "computes for consecutive delayed days per route "
+    "(`sql/analysis_queries.sql:252-271`).",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS d
+  FROM events
+),
+isl AS (
+  SELECT user_id, d,
+         date_diff('day', DATE '1970-01-01', d)
+           - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, island, COUNT(*) AS streak_len
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(SUM(streak_len) AS BIGINT) AS n_active_days,
+       COUNT(*) AS n_streaks,
+       MAX(streak_len) AS max_streak_days
+FROM streaks
+GROUP BY user_id
+""",
+)
+def streaks_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("event_time").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id",
+        "d",
+        (
+            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("island"),
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("streak_len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("streak_len").alias("max_streak_days"),
+    )
