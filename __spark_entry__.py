@@ -126,6 +126,10 @@ _R5_FRONT = (
     "argmax_per_group",
     "array_agg_suite",
     "grouping_sets_report",
+    "minhash_source_overlap",
+    "orc_roundtrip",
+    "text_inverted_index",
+    "text_bm25_topk",
 )
 
 

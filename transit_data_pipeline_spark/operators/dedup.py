@@ -861,3 +861,114 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "span_start", "span_end", "n_windows")
     )
+
+
+@register(
+    "minhash_source_overlap",
+    ops=("A2", "J1", "A9"),
+    doc="Cross-source corpus overlap: one 16-component MinHash "
+    "signature PER SOURCE (min over the union of the source's doc "
+    "shingles — a single groupBy, signatures are 16 longs regardless "
+    "of corpus size), pairwise estimated Jaccard from signature "
+    "agreement, exact Jaccard carried alongside from the "
+    "distinct-shingle self-join as the verifier. At 100 TB the "
+    "signatures are the shippable artifact — O(sources) state, "
+    "mergeable map-side; the exact join is the bounded-cardinality "
+    "audit (per-shingle fanout ≤ n_sources).",
+    oracle=f"""
+WITH src_sh AS (
+  SELECT DISTINCT source, sh FROM (
+    SELECT source, unnest(list_distinct({SQL_SHINGLES})) AS sh
+    FROM (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM documents)
+    WHERE len(w) >= 3
+  )
+),
+sig AS (
+  SELECT source,
+    {", ".join(f"MIN((h * {MINHASH_A[i]} + {MINHASH_B[i]}) % {_P}) AS m_{i}" for i in range(16))},
+    COUNT(*) AS n_shingles
+  FROM (SELECT source, {SQL_SHINGLE_HASH} AS h FROM src_sh)
+  GROUP BY source
+),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+  FROM src_sh a JOIN src_sh b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT sa.source AS source_a, sb.source AS source_b,
+  sa.n_shingles AS n_shingles_a, sb.n_shingles AS n_shingles_b,
+  COALESCE(i.n_common, 0) AS n_common,
+  CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+    / (sa.n_shingles + sb.n_shingles - COALESCE(i.n_common, 0)) AS exact_jaccard,
+  ({" + ".join(f"CASE WHEN sa.m_{i} = sb.m_{i} THEN 1 ELSE 0 END" for i in range(16))}) AS sig_matches,
+  CAST({" + ".join(f"CASE WHEN sa.m_{i} = sb.m_{i} THEN 1 ELSE 0 END" for i in range(16))} AS DOUBLE) / 16.0 AS est_jaccard
+FROM sig sa JOIN sig sb ON sa.source < sb.source
+LEFT JOIN inter i ON i.source_a = sa.source AND i.source_b = sb.source
+""",
+)
+def minhash_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    src_sh = (
+        d.select("source", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "source",
+            F.explode(F.array_distinct(F.expr(SPARK_SHINGLES))).alias("sh"),
+        )
+        .distinct()
+    )
+    hashed = src_sh.withColumn("h", F.expr(SPARK_SHINGLE_HASH))
+    sig = hashed.groupBy("source").agg(
+        *[
+            F.min(
+                F.expr(f"(h * {MINHASH_A[i]}L + {MINHASH_B[i]}L) % {_P}L")
+            ).alias(f"m_{i}")
+            for i in range(16)
+        ],
+        F.count(F.lit(1)).alias("n_shingles"),
+    )
+    inter = (
+        src_sh.alias("a")
+        .join(
+            src_sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    matches = sum(
+        F.when(F.col(f"sa.m_{i}") == F.col(f"sb.m_{i}"), 1).otherwise(0)
+        for i in range(16)
+    )
+    pairs = (
+        sig.alias("sa")
+        .join(
+            F.broadcast(sig.alias("sb")),
+            F.col("sa.source") < F.col("sb.source"),
+        )
+        .join(
+            inter.alias("i"),
+            (F.col("i.source_a") == F.col("sa.source"))
+            & (F.col("i.source_b") == F.col("sb.source")),
+            "left",
+        )
+    )
+    n_common = F.coalesce(F.col("i.n_common"), F.lit(0))
+    return pairs.select(
+        F.col("sa.source").alias("source_a"),
+        F.col("sb.source").alias("source_b"),
+        F.col("sa.n_shingles").alias("n_shingles_a"),
+        F.col("sb.n_shingles").alias("n_shingles_b"),
+        n_common.alias("n_common"),
+        (
+            n_common.cast("double")
+            / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - n_common)
+        ).alias("exact_jaccard"),
+        matches.alias("sig_matches"),
+        (matches.cast("double") / F.lit(16.0)).alias("est_jaccard"),
+    )

@@ -560,3 +560,22 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(mv_dir)
         .select("month", "n_orders", "revenue")
     )
+
+
+@register(
+    "orc_roundtrip",
+    ops=("S1", "S7"),
+    doc="Columnar-sink portability: supplier written as ORC and read "
+    "back must equal the parquet original — same declared-schema "
+    "roundtrip discipline as csv_roundtrip/jsonl_roundtrip but "
+    "through Spark's second columnar format (predicate pushdown and "
+    "column pruning both survive the ORC reader).",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch(sf_dir, "orc")
+    sup = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    sup.coalesce(1).write.mode("overwrite").orc(out)
+    return spark.read.orc(out)

@@ -707,3 +707,145 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", F.col("rnk").cast("long").alias("rnk"), "term", "tf_idf")
     )
+
+
+@register(
+    "text_inverted_index",
+    ops=("A2", "A1", "F10"),
+    doc="Inverted-index build: token -> document frequency, collection "
+    "frequency, and a bounded sorted posting sample (first 5 doc_ids "
+    "as CSV). df is derived from the collected distinct-doc set "
+    "(size(collect_set)) so the whole row is ONE hash aggregate "
+    "keyed by term — no separate COUNT(DISTINCT) expand. Postings "
+    "are per-term state bounded by the sample slice; full postings "
+    "would partition by term range at 100 TB (standard sharded "
+    "index build).",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+)
+SELECT term,
+       CAST(len(list_distinct(list(doc_id))) AS BIGINT) AS df,
+       COUNT(*) AS cf,
+       array_to_string(list_sort(list_distinct(list(doc_id)))[1:5], ',')
+         AS sample_postings
+FROM tok
+GROUP BY term
+HAVING len(list_distinct(list(doc_id))) >= 2
+""",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    tok = d.select("doc_id", F.explode(tokens_col()).alias("term"))
+    docs = F.array_sort(F.collect_set("doc_id"))
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.size(docs).cast("bigint").alias("df"),
+            F.count(F.lit(1)).alias("cf"),
+            F.array_join(F.slice(docs, 1, 5), ",").alias("sample_postings"),
+        )
+        .filter(F.col("df") >= 2)
+    )
+
+
+#: BM25 constants and the fixed benchmark query.
+BM25_K1, BM25_B = 1.2, 0.75
+BM25_QUERY = ("window", "hash", "merge")
+
+
+@register(
+    "text_bm25_topk",
+    ops=("A3", "W4", "O1"),
+    doc="BM25 retrieval for a fixed 3-term query: Okapi BM25 with "
+    "k1=1.2, b=0.75, idf = ln((N-df+0.5)/(df+0.5)+1) rounded to 4 "
+    "decimals (the cross-engine ln recipe shared with tf-idf and "
+    "the bigram LM), per-term scores summed through DECIMAL so the "
+    "3-term addition order can't flip last bits. The term filter is "
+    "applied BEFORE the tf aggregate, so only query-term postings "
+    "shuffle — the plan cost is O(df(query)), not O(corpus), which "
+    "is exactly how a distributed grep-rank should behave.",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+),
+dl AS (SELECT doc_id, len({SQL_TOKENS}) AS dl FROM documents),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         ROUND(CAST(SUM(len({SQL_TOKENS})) AS DOUBLE) / COUNT(*), 4) AS avgdl
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ('window', 'hash', 'merge')
+  GROUP BY 1, 2
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         ROUND(
+           ROUND(LN((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0), 4)
+           * tf.tf / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                      + {BM25_B} * dl.dl / s.avgdl)), 4) AS term_score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats s
+)
+SELECT doc_id, rnk, score FROM (
+  SELECT doc_id,
+         CAST(SUM(CAST(term_score AS DECIMAL(18,4))) AS DOUBLE) AS score,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(SUM(CAST(term_score AS DECIMAL(18,4))) AS DOUBLE)
+                    DESC, doc_id) AS rnk
+  FROM scored GROUP BY doc_id
+) WHERE rnk <= 20
+""",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents", spread=True)
+    dl = d.select("doc_id", F.size(tokens_col()).alias("dl"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.size(tokens_col())).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avgdl"),
+    )
+    tok = d.select("doc_id", F.explode(tokens_col()).alias("term"))
+    tf = (
+        tok.filter(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ),
+        4,
+    )
+    term_score = F.round(
+        idf
+        * F.col("tf")
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        ),
+        4,
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("term_score"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum(F.col("term_score").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("score")
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("doc_id", F.col("rnk").cast("long").alias("rnk"), "score")
+    )
