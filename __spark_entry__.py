@@ -130,6 +130,7 @@ _R5_FRONT = (
     "orc_roundtrip",
     "text_inverted_index",
     "text_bm25_topk",
+    "streaming_stream_stream_join",
 )
 
 

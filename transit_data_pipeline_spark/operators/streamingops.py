@@ -457,3 +457,83 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w.end") < F.lit(bounds.mid))
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
+
+
+@register(
+    "streaming_stream_stream_join",
+    ops=("J7", "A1", "A3"),
+    doc="Watermarked stream-stream interval join: the click stream "
+    "joins the purchase stream per user where the click lands inside "
+    "[purchase - 1h, purchase] — both sides watermarked 2h, so the "
+    "join state the engine buffers is bounded by watermark + "
+    "interval, not by stream length (THE state-bound that makes "
+    "stream-stream joins viable at 100 TB/day). Matched pairs drain "
+    "append-mode into a memory sink; the batch rollup of the drained "
+    "pairs equals the batch interval-join exactly.",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value,
+         {SQL_EVENT_TIME} AS et
+  FROM events
+)
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       p.value AS purchase_value,
+       COUNT(*) AS n_clicks_1h
+FROM ev p
+JOIN ev c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.et BETWEEN p.et - INTERVAL 1 HOUR AND p.et
+GROUP BY 1, 2, 3
+""",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_time").alias("click_time"),
+        )
+        .withWatermark("click_time", "2 hours")
+    )
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("value").alias("purchase_value"),
+            F.col("event_time").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", "2 hours")
+    )
+    pairs = purchases.join(
+        clicks,
+        F.expr(
+            "c_user_id = p_user_id AND "
+            "click_time BETWEEN purchase_time - INTERVAL 1 HOUR "
+            "AND purchase_time"
+        ),
+    )
+    name = "tdps_stream_ssjoin"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # Batch rollup of the drained pair stream (one row per matched
+    # click): counts per purchase.
+    return (
+        spark.table(name)
+        .groupBy(
+            "purchase_id",
+            F.col("p_user_id").alias("user_id"),
+            "purchase_value",
+        )
+        .agg(F.count(F.lit(1)).alias("n_clicks_1h"))
+    )
