@@ -131,6 +131,9 @@ _R5_FRONT = (
     "text_inverted_index",
     "text_bm25_topk",
     "streaming_stream_stream_join",
+    "rfm_segments",
+    "schema_evolution_merge",
+    "streaming_session_window",
 )
 
 

@@ -383,3 +383,75 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+@register(
+    "rfm_segments",
+    ops=("A3", "W8", "F5"),
+    doc="RFM customer segmentation over the event stream: per-user "
+    "recency (days since last event, anchored to the corpus max "
+    "event day so the query is frozen-deterministic), frequency, "
+    "and monetary value, each cut into quartiles by NTILE(4) with "
+    "a user_id tiebreak, concatenated into the classic segment "
+    "code. The three global NTILE windows run over the per-user "
+    "aggregate (users, not events) — the same bounded-global-window "
+    "rationale as train_test_split.",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CAST({SQL_EVENT_TIME} AS DATE)) AS last_day,
+         COUNT(*) AS frequency,
+         {N.sql_dsum("value")} AS monetary
+  FROM events
+  GROUP BY user_id
+),
+anchor AS (SELECT MAX(last_day) AS anchor_day FROM per_user),
+rfm AS (
+  SELECT user_id,
+         date_diff('day', last_day, a.anchor_day) AS recency_days,
+         frequency, monetary
+  FROM per_user, anchor a
+)
+SELECT user_id, recency_days, frequency, monetary,
+  NTILE(4) OVER (ORDER BY recency_days ASC, user_id) AS r_quartile,
+  NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f_quartile,
+  NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS m_quartile,
+  CAST(NTILE(4) OVER (ORDER BY recency_days ASC, user_id) AS VARCHAR)
+    || '-' ||
+  CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS VARCHAR)
+    || '-' ||
+  CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS VARCHAR)
+    AS rfm_segment
+FROM rfm
+""",
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.to_date("event_time")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        N.dsum("value").alias("monetary"),
+    )
+    anchor = per_user.agg(F.max("last_day").alias("anchor_day"))
+    rfm = per_user.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff(F.col("anchor_day"), F.col("last_day")).alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), "user_id")
+    wf = Window.orderBy(F.col("frequency").desc(), "user_id")
+    wm = Window.orderBy(F.col("monetary").desc(), "user_id")
+    r, f_, m = F.ntile(4).over(wr), F.ntile(4).over(wf), F.ntile(4).over(wm)
+    return rfm.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.alias("r_quartile"),
+        f_.alias("f_quartile"),
+        m.alias("m_quartile"),
+        F.concat_ws(
+            "-", r.cast("string"), f_.cast("string"), m.cast("string")
+        ).alias("rfm_segment"),
+    )

@@ -579,3 +579,48 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sup.coalesce(1).write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+@register(
+    "schema_evolution_merge",
+    ops=("S3", "S8", "P6"),
+    doc="Schema-evolution read: a v1 snapshot (2 columns) and a v2 "
+    "append (adds o_orderstatus) land in the same parquet directory; "
+    "mergeSchema=true reconciles the footers, v1 rows surface the "
+    "new column as NULL, COALESCE backfills the default — the "
+    "add-a-column migration every long-lived pipeline does without "
+    "rewriting history. At 100 TB the merge cost is footer-only "
+    "(schema union), not data rewrite.",
+    oracle=f"""
+WITH merged AS (
+  SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderpriority = '2-HIGH'
+)
+SELECT COALESCE(o_orderstatus, 'UNKNOWN') AS status,
+       COUNT(*) AS n_orders,
+       {N.sql_dsum("o_totalprice")} AS revenue
+FROM merged
+GROUP BY 1
+""",
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch(sf_dir, "schevo")
+    o = table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = o.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    v1.write.mode("overwrite").parquet(out)
+    v2.write.mode("append").parquet(out)
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.groupBy(
+        F.coalesce(F.col("o_orderstatus"), F.lit("UNKNOWN")).alias("status")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        N.dsum("o_totalprice").alias("revenue"),
+    )

@@ -537,3 +537,70 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_clicks_1h"))
     )
+
+
+@register(
+    "streaming_session_window",
+    ops=("W3", "A1", "A3"),
+    doc="Native session-window streaming aggregation: "
+    "session_window(event_time, '30 minutes') merges events while "
+    "each arrives before the current session's close — the built-in "
+    "dual of the applyInPandasWithState sessionizer (engine-managed "
+    "state, no Python in the loop). Boundary semantics differ from "
+    "the batch LAG version on purpose: a gap of EXACTLY 30 min "
+    "closes the session (event at session end does not overlap), so "
+    "the oracle islands on gap >= 30 min in microseconds.",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts_us,
+    CASE WHEN ts_us - LAG(ts_us) OVER w >= 1800000000
+         OR LAG(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, ts_us,
+    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS seq
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       COUNT(*) AS n_events,
+       (MAX(ts_us) - MIN(ts_us)) // 1000000 AS duration_sec
+FROM sess
+GROUP BY user_id, seq
+""",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _event_stream(spark, sf_dir)
+        .groupBy(
+            "user_id",
+            F.session_window("event_time", "30 minutes").alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.expr("ts div 1000")).alias("session_start_us"),
+            F.max(F.expr("ts div 1000")).alias("max_us"),
+        )
+    )
+    name = "tdps_stream_sesswin"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        "session_start_us",
+        "n_events",
+        F.expr("(max_us - session_start_us) div 1000000").alias("duration_sec"),
+    )
