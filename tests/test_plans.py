@@ -296,3 +296,61 @@ def test_tfidf_broadcasts_doc_count(spark, sf_dir):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_argmax_is_single_aggregate_no_window(spark, sf_dir):
+    """argmax_per_group must stay a hash aggregate (max_by partials,
+    map-side combine) — a window row_number=1 rewrite would add a
+    partition sort of every losing row."""
+    plan = _plan(spark, sf_dir, "argmax_per_group")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan  # nation stays broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def test_array_agg_has_no_distinct_expand(spark, sf_dir):
+    """n_distinct_parts is derived from the collected array; a
+    COUNT(DISTINCT) rewrite would add an Expand + second shuffle."""
+    plan = _plan(spark, sf_dir, "array_agg_suite")
+    assert "Expand" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_grouping_sets_is_one_expand_one_shuffle(spark, sf_dir):
+    """GROUPING SETS must share partials: one Expand (×3 sets), one
+    exchange — not three scans unioned."""
+    plan = _plan(spark, sf_dir, "grouping_sets_report")
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Union" not in plan
+
+
+def test_bm25_filters_terms_before_aggregate(spark, sf_dir):
+    """The query-term filter must run scan-side (before the tf
+    aggregate), so only query-term postings shuffle."""
+    plan = _plan(spark, sf_dir, "text_bm25_topk")
+    # executedPlan prints root-first, so a filter that runs BEFORE the
+    # tf aggregate appears AFTER it in the text; the IN-list literal
+    # must sit below the first (= last-executed) HashAggregate.
+    first_agg = plan.index("HashAggregate")
+    in_filter = plan.find("merge")  # term literal from the IN list
+    assert in_filter > first_agg, (
+        "query-term filter not below the aggregate in plan:\n" + plan
+    )
+
+
+def test_gap_fill_spine_joins_broadcast(spark, sf_dir):
+    """The (priority × day) spine is tiny; its join against the daily
+    aggregate must broadcast, and the LOCF window must partition by
+    priority (no global sort)."""
+    plan = _plan(spark, sf_dir, "gap_fill_locf")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_source_overlap_signature_join_broadcasts(spark, sf_dir):
+    """The per-source signature table is n_sources rows; the pairwise
+    join over it must broadcast, never shuffle."""
+    plan = _plan(spark, sf_dir, "minhash_source_overlap")
+    assert "BroadcastNestedLoopJoin" in plan  # source_a < source_b pairs
+    assert "CartesianProduct" not in plan
