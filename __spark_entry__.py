@@ -134,6 +134,8 @@ _R5_FRONT = (
     "rfm_segments",
     "schema_evolution_merge",
     "streaming_session_window",
+    "shuffle_hash_join_hint",
+    "clustered_write_roundtrip",
 )
 
 

@@ -354,3 +354,41 @@ def test_source_overlap_signature_join_broadcasts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "minhash_source_overlap")
     assert "BroadcastNestedLoopJoin" in plan  # source_a < source_b pairs
     assert "CartesianProduct" not in plan
+
+
+def test_shuffle_hash_hint_replaces_sort_merge(spark, sf_dir):
+    """The SHUFFLE_HASH hint must produce a ShuffledHashJoin — if
+    Catalyst ignores it and falls back to SortMergeJoin, both inputs
+    pay an O(n log n) sort the operator exists to avoid."""
+    plan = _plan(spark, sf_dir, "shuffle_hash_join_hint")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_clustered_write_files_have_disjoint_ranges(spark, sf_dir):
+    """Each file the range-clustered writer produces must span a tight,
+    non-overlapping o_orderdate range — that's the property row-group
+    statistics skipping depends on."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    SPECS["clustered_write_roundtrip"].fn(spark, sf_dir).collect()
+    from transit_data_pipeline_spark.operators.sources import _scratch
+
+    files = sorted(glob.glob(os.path.join(_scratch(sf_dir, "clustered"), "*.parquet")))
+    assert len(files) >= 2, "range partitioning produced a single file"
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().names.index("o_orderdate")
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            los.append(st.min)
+            his.append(st.max)
+        ranges.append((min(los), max(his)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: {ranges}"

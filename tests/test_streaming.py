@@ -92,3 +92,30 @@ def test_quality_gates(spark, event_batches):
     # stale as_of trips the gate
     gates_stale = inc.quality_gates(feats, "2030-01-01")
     assert gates_stale["not_stale"] is False
+
+
+def test_session_window_closes_at_exact_30min_gap(spark, tmp_path):
+    """Pin the boundary the streaming_session_window oracle encodes: an
+    event arriving EXACTLY 30 minutes after the previous one MERGES
+    into the session (session_window treats the window as closed-end
+    for merging — adjacent windows coalesce), so only a gap STRICTLY
+    greater than 30 min starts a new session. This matches the batch
+    LAG operator's `>` test, and the oracle must use `>` too."""
+    import pyspark.sql.functions as F
+
+    base = 1_700_000_000_000_000  # µs
+    rows = [
+        (1, base),
+        (1, base + 30 * 60 * 1_000_000),  # exactly +30min -> merges
+        (1, base + 59 * 60 * 1_000_000),  # +29min after prev -> merges
+        (1, base + 95 * 60 * 1_000_000),  # +36min after prev -> new session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_us long").select(
+        "user_id", F.timestamp_micros(F.col("ts_us")).alias("event_time")
+    )
+    out = (
+        df.groupBy("user_id", F.session_window("event_time", "30 minutes"))
+        .count()
+        .collect()
+    )
+    assert sorted(r["count"] for r in out) == [1, 3]

@@ -659,3 +659,77 @@ def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         N.dsum("o_totalprice").alias("revenue"),
     )
+
+
+@register(
+    "shuffle_hash_join_hint",
+    ops=("J1", "A3"),
+    doc="Join-strategy control: lineitem joins orders under a "
+    "SHUFFLE_HASH hint — both sides shuffle but neither SORTS, "
+    "trading the sort-merge's two O(n log n) sorts for a build-side "
+    "hash table (the right call when one side comfortably hashes "
+    "per-partition and spilling sort runs would dominate). The plan "
+    "test asserts ShuffledHashJoin actually replaced SortMergeJoin; "
+    "the oracle is strategy-blind.",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       {N.sql_dsum("l_extendedprice")} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+""",
+)
+def shuffle_hash_join_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        l.join(o.hint("SHUFFLE_HASH"), l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            N.dsum("l_extendedprice").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "clustered_write_roundtrip",
+    ops=("S3", "O1", "P3"),
+    doc="Range-clustered layout: repartitionByRange(o_orderdate) + "
+    "sortWithinPartitions before the parquet write gives each output "
+    "file a tight min/max date range, so a later date predicate "
+    "skips whole files on row-group statistics (poor-man's "
+    "Z-ordering, the single highest-leverage layout decision for a "
+    "time-filtered 100 TB fact). The roundtrip re-reads the sink "
+    "with a date filter and aggregates; the oracle filters the "
+    "source directly.",
+    oracle=f"""
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+       COUNT(*) AS n_orders,
+       {N.sql_dsum("o_totalprice")} AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY 1
+""",
+)
+def clustered_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources import _scratch
+
+    out = _scratch(sf_dir, "clustered")
+    o = table(spark, sf_dir, "orders")
+    (
+        o.repartitionByRange(4, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    return back.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("order_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        N.dsum("o_totalprice").alias("revenue"),
+    )

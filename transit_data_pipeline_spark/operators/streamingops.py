@@ -546,17 +546,19 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window(event_time, '30 minutes') merges events while "
     "each arrives before the current session's close — the built-in "
     "dual of the applyInPandasWithState sessionizer (engine-managed "
-    "state, no Python in the loop). Boundary semantics differ from "
-    "the batch LAG version on purpose: a gap of EXACTLY 30 min "
-    "closes the session (event at session end does not overlap), so "
-    "the oracle islands on gap >= 30 min in microseconds.",
+    "state, no Python in the loop). Boundary semantics match the "
+    "batch LAG version: session_window coalesces ADJACENT windows, "
+    "so an event at exactly the session close still merges and only "
+    "a gap STRICTLY greater than 30 min opens a new session "
+    "(pinned by test_session_window_closes_at_exact_30min_gap); "
+    "the oracle islands on gap > 30 min in microseconds.",
     oracle="""
 WITH ev AS (
   SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events
 ),
 flagged AS (
   SELECT user_id, event_id, ts_us,
-    CASE WHEN ts_us - LAG(ts_us) OVER w >= 1800000000
+    CASE WHEN ts_us - LAG(ts_us) OVER w > 1800000000
          OR LAG(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
   FROM ev
   WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
