@@ -136,6 +136,9 @@ _R5_FRONT = (
     "streaming_session_window",
     "shuffle_hash_join_hint",
     "clustered_write_roundtrip",
+    "corr_features",
+    "unpivot_melt",
+    "null_safe_join",
 )
 
 

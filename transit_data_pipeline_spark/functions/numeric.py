@@ -100,3 +100,39 @@ def sql_dstddev(expr: str) -> str:
         f"(CASE WHEN COUNT({expr}) >= 2 THEN "
         f"SQRT(GREATEST(({s2} - ({s} * {s}) / {n}) / ({n} - 1.0), 0.0)) END)"
     )
+
+
+def dcorr(x: str | Column, y: str | Column) -> Column:
+    """Deterministic Pearson correlation from exact sufficient
+    statistics (decimal sums; every cross-product computed IN decimal,
+    one correctly-rounded cast each). Assumes non-null inputs (the
+    driver tables' numeric columns are non-null); the final double
+    formula is evaluated in the same operation order as the SQL twin,
+    so results match bitwise."""
+    cx, cy = _c(x).cast(DEC), _c(y).cast(DEC)
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(cx).cast("double")
+    sy = F.sum(cy).cast("double")
+    sxy = F.sum(cx * cy).cast("double")
+    sxx = F.sum(cx * cx).cast("double")
+    syy = F.sum(cy * cy).cast("double")
+    return (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+
+
+def sql_dcorr(x: str, y: str) -> str:
+    """DuckDB spelling of :func:`dcorr` — decimal cross-sums with the
+    width-19 int128 forcing and VARCHAR-roundtrip cast (see
+    :func:`sql_dstddev` for why), then the identical double formula."""
+    n = "CAST(COUNT(*) AS DOUBLE)"
+    dx, dy = f"CAST(({x}) AS DECIMAL(18,4))", f"CAST(({y}) AS DECIMAL(18,4))"
+    dxw, dyw = f"CAST(({x}) AS DECIMAL(19,4))", f"CAST(({y}) AS DECIMAL(19,4))"
+    sx, sy = sql_dsum(x), sql_dsum(y)
+    sxy = f"CAST(CAST(SUM({dxw} * {dy}) AS VARCHAR) AS DOUBLE)"
+    sxx = f"CAST(CAST(SUM({dxw} * {dx}) AS VARCHAR) AS DOUBLE)"
+    syy = f"CAST(CAST(SUM({dyw} * {dy}) AS VARCHAR) AS DOUBLE)"
+    return (
+        f"(({n} * {sxy} - {sx} * {sy}) / "
+        f"SQRT(({n} * {sxx} - {sx} * {sx}) * ({n} * {syy} - {sy} * {sy})))"
+    )

@@ -883,3 +883,111 @@ def array_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         # expand+reshuffle — one hash aggregate instead of two.
         F.size(F.array_distinct(parts)).cast("bigint").alias("n_distinct_parts"),
     )
+
+
+@register(
+    "corr_features",
+    ops=("A3", "A9"),
+    doc="Pearson correlation per group from exact decimal sufficient "
+    "statistics (n, Sx, Sy, Sxy, Sxx, Syy in one aggregate pass — "
+    "the mergeable-moments form, so partials combine map-side like "
+    "any sum): quantity-vs-price correlation per return flag. "
+    "Built-in corr() is order-dependent float summation; this is "
+    "the bitwise-deterministic twin, same recipe as dstddev.",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       {N.sql_dcorr("l_quantity", "l_extendedprice")} AS corr_qty_price,
+       {N.sql_dcorr("l_quantity", "l_discount")} AS corr_qty_discount
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def corr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        N.dcorr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
+        N.dcorr("l_quantity", "l_discount").alias("corr_qty_discount"),
+    )
+
+
+@register(
+    "unpivot_melt",
+    ops=("A3", "P1"),
+    doc="Unpivot/melt: the per-priority wide metrics row (n_orders, "
+    "revenue, max_price) turned long via DataFrame.unpivot — the "
+    "narrow dual of pivot_status_matrix; the oracle spells the "
+    "portable UNION ALL compilation. The melt runs on the aggregate "
+    "(5 rows), so the explode factor is metric-count, not data.",
+    oracle=f"""
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         {N.sql_dsum("o_totalprice")} AS revenue,
+         CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS metric_value FROM wide
+UNION ALL
+SELECT o_orderpriority, 'revenue', revenue FROM wide
+UNION ALL
+SELECT o_orderpriority, 'max_price', max_price FROM wide
+""",
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        N.dsum("o_totalprice").alias("revenue"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "revenue", "max_price"],
+        "metric",
+        "metric_value",
+    )
+
+
+@register(
+    "null_safe_join",
+    ops=("J1", "P6"),
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): order "
+    "status is bucketed with 'P' mapped to NULL, then joined against "
+    "a 3-row label dim whose key includes NULL — plain equality "
+    "would silently drop the NULL bucket (NULL = NULL is NULL); the "
+    "null-safe operator keeps it a hash-joinable equi-key.",
+    oracle=f"""
+WITH bucketed AS (
+  SELECT NULLIF(o_orderstatus, 'P') AS status_key, o_totalprice FROM orders
+),
+dim AS (
+  SELECT * FROM (VALUES ('F', 'finished'), ('O', 'open'),
+                        (CAST(NULL AS VARCHAR), 'pending-or-unknown'))
+    AS t(status_key, status_label)
+)
+SELECT d.status_label,
+       COUNT(*) AS n_orders,
+       {N.sql_dsum("b.o_totalprice")} AS revenue
+FROM bucketed b JOIN dim d ON b.status_key IS NOT DISTINCT FROM d.status_key
+GROUP BY d.status_label
+""",
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_key"),
+        "o_totalprice",
+    )
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), (None, "pending-or-unknown")],
+        "status_key string, status_label string",
+    )
+    return (
+        o.join(F.broadcast(dim), o.status_key.eqNullSafe(dim.status_key))
+        .groupBy("status_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            N.dsum("o_totalprice").alias("revenue"),
+        )
+    )
