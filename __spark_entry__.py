@@ -139,6 +139,7 @@ _R5_FRONT = (
     "corr_features",
     "unpivot_melt",
     "null_safe_join",
+    "feature_drift_psi",
 )
 
 

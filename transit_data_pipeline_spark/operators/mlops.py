@@ -325,3 +325,87 @@ def ml_gbt_cv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "best_max_iter int, calib_weight double, calib_shift double, "
         "acc_threshold double, meets_threshold boolean",
     )
+
+
+@register(
+    "feature_drift_psi",
+    ops=("A3", "A9", "F13"),
+    doc="Population-stability-index drift monitor: order-price "
+    "distributions for 1996 (baseline) vs 1997 (current) over 10 "
+    "fixed-width bins, per-bin share deltas and PSI contribution "
+    "(share_diff * ln(share ratio), ln rounded to 4 decimals — the "
+    "cross-engine ln recipe), with the standard smoothing floor so "
+    "empty bins don't blow up the log. One scan, one bin aggregate, "
+    "one 10-row broadcast reconciliation — the shape every "
+    "feature-drift monitor should have at any volume.",
+    oracle="""
+WITH binned AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+         LEAST(CAST(FLOOR(o_totalprice / 60000.0) AS BIGINT), 9) AS bin_id,
+         COUNT(*) AS n
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+),
+tot AS (SELECT yr, SUM(n) AS total FROM binned GROUP BY yr),
+per_yr AS (
+  SELECT b.bin_id, b.yr,
+         ROUND(CAST(b.n AS DOUBLE) / t.total, 6) AS share
+  FROM binned b JOIN tot t ON b.yr = t.yr
+),
+shares AS (
+  SELECT bin_id,
+    GREATEST(SUM(CASE WHEN yr = 1996 THEN share ELSE 0.0 END), 0.000001)
+      AS share_base,
+    GREATEST(SUM(CASE WHEN yr = 1997 THEN share ELSE 0.0 END), 0.000001)
+      AS share_cur
+  FROM per_yr
+  GROUP BY bin_id
+)
+SELECT bin_id, share_base, share_cur,
+       ROUND((share_cur - share_base)
+             * ROUND(LN(share_cur / share_base), 4), 6) AS psi_contrib
+FROM shares
+""",
+)
+def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    binned = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.least(
+            F.floor(F.col("o_totalprice") / 60000.0).cast("bigint"), F.lit(9)
+        ).alias("bin_id"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = binned.groupBy("yr").agg(F.sum("n").alias("total"))
+    per_yr = (
+        binned.join(F.broadcast(tot), "yr")
+        .select(
+            "bin_id",
+            "yr",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+        )
+    )
+    shares = per_yr.groupBy("bin_id").agg(
+        F.greatest(
+            F.sum(F.when(F.col("yr") == 1996, F.col("share")).otherwise(0.0)),
+            F.lit(0.000001),
+        ).alias("share_base"),
+        F.greatest(
+            F.sum(F.when(F.col("yr") == 1997, F.col("share")).otherwise(0.0)),
+            F.lit(0.000001),
+        ).alias("share_cur"),
+    )
+    return shares.select(
+        "bin_id",
+        "share_base",
+        "share_cur",
+        F.round(
+            (F.col("share_cur") - F.col("share_base"))
+            * F.round(F.log(F.col("share_cur") / F.col("share_base")), 4),
+            6,
+        ).alias("psi_contrib"),
+    )
