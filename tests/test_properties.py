@@ -186,3 +186,91 @@ def test_embedding_cosine_guard_refuses_blowup(spark, sf_dir):
     with _pytest.raises(ValueError, match="similarity_lsh_ann"):
         dedup_embedding_cosine(spark, sf_dir, max_vectors=1)
     assert dedup_embedding_cosine(spark, sf_dir).count() >= 0
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40)),  # (user, day)
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_streak_islands_match_bruteforce(spark, pairs):
+    """Gaps-and-islands streak stats must equal a python brute-force
+    over sorted distinct day sets for every user."""
+    from pyspark.sql import Window
+
+    days = sorted(set(pairs))
+    df = spark.createDataFrame(days, "user_id int, d int")
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = df.select(
+        "user_id", "d", (F.col("d") - F.row_number().over(w)).alias("island")
+    )
+    got = {
+        (r.user_id): (r.n, r.mx)
+        for r in isl.groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).alias("len"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("len").alias("mx"))
+        .collect()
+    }
+    # brute force
+    from itertools import groupby
+
+    expect = {}
+    for u in sorted({u for u, _ in days}):
+        ds = sorted(d for uu, d in days if uu == u)
+        streaks, cur = [], 1
+        for a, b in zip(ds, ds[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        expect[u] = (len(streaks), max(streaks))
+    assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.floats(0, 100, allow_nan=False)),
+        min_size=0,
+        max_size=15,
+    )
+)
+def test_locf_fill_matches_bruteforce(spark, obs):
+    """LOCF gap-fill over a 10-slot spine must carry the last observed
+    value forward and default to 0.0 before the first observation."""
+    from pyspark.sql import Window
+
+    seen = {}
+    for slot, v in obs:
+        seen[slot] = v  # last write wins, like an aggregated daily value
+    spine = spark.range(10).select(F.col("id").cast("int").alias("slot"))
+    vals = (
+        spark.createDataFrame(
+            [(k, v) for k, v in seen.items()], "slot int, v double"
+        )
+        if seen
+        else spark.createDataFrame([], "slot int, v double")
+    )
+    joined = spine.join(vals, "slot", "left")
+    w = Window.orderBy("slot").rowsBetween(Window.unboundedPreceding, 0)
+    got = {
+        r.slot: r.filled
+        for r in joined.select(
+            "slot",
+            F.coalesce(F.last("v", ignorenulls=True).over(w), F.lit(0.0)).alias(
+                "filled"
+            ),
+        ).collect()
+    }
+    expect, carry = {}, 0.0
+    for slot in range(10):
+        if slot in seen:
+            carry = seen[slot]
+        expect[slot] = carry
+    assert got == expect
