@@ -140,6 +140,7 @@ _R5_FRONT = (
     "unpivot_melt",
     "null_safe_join",
     "feature_drift_psi",
+    "zorder_key_layout",
 )
 
 

@@ -733,3 +733,56 @@ def clustered_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         N.dsum("o_totalprice").alias("revenue"),
     )
+
+
+def _morton16(x: str, y: str) -> str:
+    """16-bit Morton (Z-order) interleave of two 8-bit values — one
+    shared SQL text evaluated identically by Spark SQL and DuckDB
+    (both support >>, &, << with the same integer semantics)."""
+    terms = []
+    for i in range(8):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_Z_EXPR = _morton16("(l_partkey % 256)", "(l_suppkey % 256)")
+
+
+@register(
+    "zorder_key_layout",
+    ops=("F13", "A3", "O1"),
+    doc="Z-order clustering key: a 16-bit Morton interleave of "
+    "(partkey, suppkey) low bytes buckets lineitem into 64 "
+    "space-filling-curve cells; per-cell min/max ranges of BOTH "
+    "dimensions stay tight simultaneously — the property that lets "
+    "one clustered layout serve data-skipping predicates on either "
+    "column (single-column range clustering, clustered_write_"
+    "roundtrip, can only serve one). Pure integer bit arithmetic, "
+    "one aggregate, no UDFs.",
+    oracle=f"""
+SELECT {_Z_EXPR} >> 10 AS z_cell,
+       COUNT(*) AS n_rows,
+       MIN(l_partkey % 256) AS x_min, MAX(l_partkey % 256) AS x_max,
+       MIN(l_suppkey % 256) AS y_min, MAX(l_suppkey % 256) AS y_max
+FROM lineitem
+GROUP BY 1
+""",
+)
+def zorder_key_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.select(
+            F.expr(f"{_Z_EXPR} >> 10").alias("z_cell"),
+            F.expr("l_partkey % 256").alias("x"),
+            F.expr("l_suppkey % 256").alias("y"),
+        )
+        .groupBy("z_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )
