@@ -141,6 +141,8 @@ _R5_FRONT = (
     "null_safe_join",
     "feature_drift_psi",
     "zorder_key_layout",
+    "dedup_graph_triangles",
+    "events_rate_anomaly",
 )
 
 

@@ -972,3 +972,112 @@ def minhash_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         matches.alias("sig_matches"),
         (matches.cast("double") / F.lit(16.0)).alias("est_jaccard"),
     )
+
+
+@register(
+    "dedup_graph_triangles",
+    ops=("J1", "A1", "A9"),
+    doc="Clustering-quality audit of the near-dup candidate graph: "
+    "edges from the MinHash band join (doc_a < doc_b), wedges from "
+    "the per-vertex degree, triangles from the ordered two-hop "
+    "equi-join (a<b<c, each edge checked once) — global clustering "
+    "coefficient = 3*triangles/wedges. Near-dup graphs are sparse "
+    "(edges ~ duplicates, not docs²), so the two-hop join fans out "
+    "by max component degree, not corpus size; a skew guard on "
+    "degree would cap pathological hubs at 100 TB.",
+    oracle=f"""
+WITH sig AS ({_SQL_MINHASH_SIG}),
+bands AS (
+  SELECT doc_id, band_id, band_hash FROM (
+    SELECT doc_id,
+      unnest([{", ".join(str(j) for j in range(N_BANDS))}]) AS band_id,
+      unnest([{", ".join(_band_exprs())}]) AS band_hash
+    FROM sig
+  )
+),
+edges AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY node
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+       (SELECT CAST(SUM(d * (d - 1)) AS BIGINT) // 2 FROM deg) AS n_wedges,
+       t.n_triangles,
+       ROUND(CASE WHEN (SELECT SUM(d * (d - 1)) FROM deg) > 0
+             THEN 3.0 * t.n_triangles
+                  / ((SELECT CAST(SUM(d * (d - 1)) AS BIGINT) // 2 FROM deg))
+             ELSE 0.0 END, 6) AS clustering_coeff
+FROM tri t
+""",
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_signature(spark, sf_dir)
+    band_col = F.explode(
+        F.arrays_zip(
+            F.array(*[F.lit(j) for j in range(N_BANDS)]).alias("band_id"),
+            F.array(*[F.expr(e) for e in _band_exprs()]).alias("band_hash"),
+        )
+    )
+    bands = sig.select("doc_id", band_col.alias("z")).select(
+        "doc_id",
+        F.col("z.band_id").alias("band_id"),
+        F.col("z.band_hash").alias("band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedge2 = deg.agg(F.sum(F.col("d") * (F.col("d") - 1)).alias("w2"))
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(wedge2))
+        .select(
+            "n_edges",
+            F.expr("cast(w2 as bigint) div 2").alias("n_wedges"),
+            "n_triangles",
+            F.round(
+                F.when(
+                    F.col("w2") > 0,
+                    F.lit(3.0)
+                    * F.col("n_triangles")
+                    / F.expr("cast(w2 as bigint) div 2"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -455,3 +455,81 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "-", r.cast("string"), f_.cast("string"), m.cast("string")
         ).alias("rfm_segment"),
     )
+
+
+@register(
+    "events_rate_anomaly",
+    ops=("A3", "W9", "F5"),
+    doc="Streaming-rate anomaly monitor (batch twin): hourly event "
+    "counts per type, a trailing 24-observation baseline (ROWS "
+    "frame, current hour excluded) summarized by ALL-INTEGER "
+    "sufficient statistics (k, Σn, Σn² — exact, so the derived "
+    "mean/std/z-score doubles are bitwise cross-engine), hours "
+    "flagged where |z| > 3. The window partitions by event type and "
+    "its state is 24 numbers — the shape a production rate monitor "
+    "keeps per key at any volume.",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(date_trunc('hour', {SQL_EVENT_TIME}) AS TIMESTAMP) AS hr,
+         COUNT(*) AS n
+  FROM events
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type, hr, n,
+         COUNT(*) OVER w AS k,
+         SUM(n) OVER w AS s1,
+         SUM(n * n) OVER w AS s2
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hr, n, k,
+       ROUND(CAST(s1 AS DOUBLE) / k, 4) AS baseline_mean,
+       ROUND((n - CAST(s1 AS DOUBLE) / k)
+             / SQRT(GREATEST((CAST(s2 AS DOUBLE)
+                              - CAST(s1 AS DOUBLE) * s1 / k) / (k - 1),
+                             0.000001)), 4) AS zscore,
+       (ABS((n - CAST(s1 AS DOUBLE) / k)
+            / SQRT(GREATEST((CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * s1 / k) / (k - 1),
+                            0.000001))) > 3.0) AS is_anomaly
+FROM base
+WHERE k >= 12
+""",
+)
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "event_time").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-24, -1)
+    )
+    base = hourly.select(
+        "event_type",
+        "hr",
+        "n",
+        F.count(F.lit(1)).over(w).alias("k"),
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+    ).filter(F.col("k") >= 12)
+    mean = F.col("s1").cast("double") / F.col("k")
+    var = F.greatest(
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("k"))
+        / (F.col("k") - 1),
+        F.lit(0.000001),
+    )
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return base.select(
+        "event_type",
+        "hr",
+        "n",
+        "k",
+        F.round(mean, 4).alias("baseline_mean"),
+        F.round(z, 4).alias("zscore"),
+        (F.abs(z) > 3.0).alias("is_anomaly"),
+    )
