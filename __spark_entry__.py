@@ -143,6 +143,7 @@ _R5_FRONT = (
     "zorder_key_layout",
     "dedup_graph_triangles",
     "events_rate_anomaly",
+    "similarity_pq_codes",
 )
 
 

@@ -530,3 +530,85 @@ def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_id_sum"),
     )
+
+
+#: PQ layout: 16-dim vectors → 4 subspaces × 4 dims, 8-entry codebooks.
+PQ_M, PQ_DSUB, PQ_K = 4, 4, 8
+
+
+@register(
+    "similarity_pq_codes",
+    ops=("J10", "A3", "A9"),
+    doc="Product quantization: each embedding splits into 4 subvectors; "
+    "each subvector is coded against an 8-entry per-subspace codebook "
+    "(seeded from the first 8 vectors' subvectors — deterministic, "
+    "exact integer arithmetic via the shared 2^20 quantization), "
+    "giving a 4-byte code per 16-dim vector (16× compression) plus "
+    "the exact reconstruction error. Assignment is ONE aggregate "
+    "(min_by over the exploded subspace×codebook grid, map-side "
+    "combine) — at 100 TB the codebook broadcast is KB-sized and the "
+    "code table replaces the raw vectors for first-stage ANN scans.",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, {_SQL_QVEC} AS v FROM embeddings
+),
+sub AS (
+  SELECT vec_id, j, v[(4 * j + 1):(4 * j + 4)] AS sv
+  FROM e, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j)
+),
+cb AS (
+  SELECT vec_id AS cid, j, sv AS cv FROM sub WHERE vec_id < {PQ_K}
+),
+assigned AS (
+  SELECT vec_id, j, cid, dist FROM (
+    SELECT s.vec_id, s.j, c.cid,
+           {_sql_sqdist("s.sv", "c.cv")} AS dist,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY {_sql_sqdist("s.sv", "c.cv")}, c.cid) AS rn
+    FROM sub s JOIN cb c ON s.j = c.j
+  ) WHERE rn = 1
+)
+SELECT vec_id,
+  MAX(CASE WHEN j = 0 THEN cid END) AS code_0,
+  MAX(CASE WHEN j = 1 THEN cid END) AS code_1,
+  MAX(CASE WHEN j = 2 THEN cid END) AS code_2,
+  MAX(CASE WHEN j = 3 THEN cid END) AS code_3,
+  ROUND(SUM(dist) / {KMEANS_Q!r} / {KMEANS_Q!r}, 6) AS recon_err
+FROM assigned
+GROUP BY vec_id
+""",
+)
+def similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id",
+        F.transform(_q_col(F.col("embedding")), lambda q: q.cast("double")).alias("v"),
+    )
+    js = spark.range(PQ_M).select(F.col("id").cast("int").alias("j"))
+    sub = e.crossJoin(F.broadcast(js)).select(
+        "vec_id",
+        "j",
+        F.slice("v", F.col("j") * PQ_DSUB + 1, PQ_DSUB).alias("sv"),
+    )
+    cb = sub.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("j").alias("cj"), F.col("sv").alias("cv")
+    )
+    scored = sub.join(F.broadcast(cb), F.col("j") == F.col("cj")).select(
+        "vec_id",
+        "j",
+        "cid",
+        _sqdist(F.col("sv"), F.col("cv")).alias("dist"),
+    )
+    best = scored.groupBy("vec_id", "j").agg(
+        F.min_by("cid", F.struct(F.col("dist"), F.col("cid"))).alias("cid"),
+        F.min("dist").alias("dist"),
+    )
+    return best.groupBy("vec_id").agg(
+        F.max(F.when(F.col("j") == 0, F.col("cid"))).alias("code_0"),
+        F.max(F.when(F.col("j") == 1, F.col("cid"))).alias("code_1"),
+        F.max(F.when(F.col("j") == 2, F.col("cid"))).alias("code_2"),
+        F.max(F.when(F.col("j") == 3, F.col("cid"))).alias("code_3"),
+        F.round(
+            F.sum("dist") / F.lit(KMEANS_Q) / F.lit(KMEANS_Q), 6
+        ).alias("recon_err"),
+    )
