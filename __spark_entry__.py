@@ -144,6 +144,7 @@ _R5_FRONT = (
     "dedup_graph_triangles",
     "events_rate_anomaly",
     "similarity_pq_codes",
+    "funnel_time_to_convert",
 )
 
 

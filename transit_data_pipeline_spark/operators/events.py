@@ -533,3 +533,63 @@ def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("zscore"),
         (F.abs(z) > 3.0).alias("is_anomaly"),
     )
+
+
+@register(
+    "funnel_time_to_convert",
+    ops=("A8", "A3", "J5"),
+    doc="Funnel latency: per user the first view and the first "
+    "purchase strictly after it, converted to integer seconds "
+    "(exact nanosecond arithmetic), summarized as exact "
+    "percentiles + min/max/mean — the time-to-convert companion of "
+    "event_funnel_steps. Two user-keyed min-aggregates and one "
+    "broadcast-size final rollup; no window over the raw stream.",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(epoch_ns(ts)) AS vt FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS pt
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > v.vt
+  GROUP BY 1
+),
+lat AS (
+  SELECT v.user_id, (p.pt - v.vt) // 1000000000 AS sec
+  FROM v JOIN p ON v.user_id = p.user_id
+)
+SELECT COUNT(*) AS n_converted,
+       MIN(sec) AS min_sec,
+       MAX(sec) AS max_sec,
+       CAST(SUM(sec) AS DOUBLE) / COUNT(*) AS mean_sec,
+       quantile_cont(sec, 0.5) AS median_sec,
+       quantile_cont(sec, 0.9) AS p90_sec
+FROM lat
+""",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    lat = v.join(p, "user_id").select(
+        F.expr("(pt - vt) div 1000000000").alias("sec")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("sec").alias("min_sec"),
+        F.max("sec").alias("max_sec"),
+        (F.sum("sec").cast("double") / F.count(F.lit(1))).alias("mean_sec"),
+        F.expr("percentile(sec, 0.5)").alias("median_sec"),
+        F.expr("percentile(sec, 0.9)").alias("p90_sec"),
+    )
