@@ -593,3 +593,126 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(sec, 0.5)").alias("median_sec"),
         F.expr("percentile(sec, 0.9)").alias("p90_sec"),
     )
+
+
+@register(
+    "event_markov_transitions",
+    ops=("W3", "A1", "A9"),
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: LAG(event_type) per user ordered by time gives "
+    "(prev → next) pairs; one aggregate yields counts and exact "
+    "row-normalized transition probabilities. The per-user window is "
+    "one user_id-keyed shuffle; the transition matrix is |types|² "
+    "rows — constant-size output at any corpus scale (the standard "
+    "user-journey model behind next-event prediction features).",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS next_type,
+    LAG(event_type) OVER (PARTITION BY user_id
+                          ORDER BY epoch_ns(ts), event_id) AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, next_type, COUNT(*) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_transitions,
+  CAST(n_transitions AS DOUBLE)
+    / SUM(n_transitions) OVER (PARTITION BY prev_type) AS transition_prob
+FROM pairs
+""",
+)
+def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    row_w = Window.partitionBy("prev_type")
+    return pairs.withColumn(
+        "transition_prob",
+        F.col("n_transitions").cast("double") / F.sum("n_transitions").over(row_w),
+    )
+
+
+@register(
+    "event_attribution_last_touch",
+    ops=("J7", "W3", "A3", "A9"),
+    doc="Last-touch attribution: each purchase is credited to the "
+    "user's most recent non-purchase event at-or-before it within a "
+    "7-day lookback, else 'direct'. Same carry-forward composition as "
+    "the as-of join (one user-keyed window, no range join); the "
+    "output is one row per channel. Durations compared in exact "
+    "integer nanoseconds.",
+    oracle="""
+WITH ordered AS (
+  SELECT event_id, user_id, event_type, value, epoch_ns(ts) AS ts_ns,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS flag
+  FROM events
+), carried AS (
+  SELECT event_type, value, ts_ns,
+    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS) OVER w AS touch_type,
+    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN ts_ns END
+               IGNORE NULLS) OVER w AS touch_ts
+  FROM ordered
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, flag, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), attributed AS (
+  SELECT CASE WHEN touch_type IS NOT NULL
+               AND ts_ns - touch_ts <= 604800000000000
+              THEN touch_type ELSE 'direct' END AS channel,
+         value
+  FROM carried WHERE event_type = 'purchase'
+), by_channel AS (
+  SELECT channel, COUNT(*) AS n_purchases,
+    {dsum} AS total_value
+  FROM attributed GROUP BY channel
+)
+SELECT channel, n_purchases, total_value,
+  CAST(n_purchases AS DOUBLE) / SUM(n_purchases) OVER () AS purchase_share
+FROM by_channel
+""".format(dsum=N.sql_dsum("value")),
+)
+def event_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    flag = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", flag.alias("flag"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_type = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touch_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    carried = e.select(
+        "event_type",
+        "value",
+        F.col("ts").alias("ts_ns"),
+        F.last(touch_type, ignorenulls=True).over(w).alias("touch_type"),
+        F.last(touch_ts, ignorenulls=True).over(w).alias("touch_ts"),
+    )
+    attributed = carried.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch_type").isNotNull()
+            & (F.col("ts_ns") - F.col("touch_ts") <= 604_800_000_000_000),
+            F.col("touch_type"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("channel"),
+        "value",
+    )
+    by_channel = attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        N.dsum("value").alias("total_value"),
+    )
+    return by_channel.withColumn(
+        "purchase_share",
+        F.col("n_purchases").cast("double")
+        / F.sum("n_purchases").over(Window.partitionBy()),
+    )

@@ -389,3 +389,129 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ex.join(est, "q").select("q", "exact_value", "hist_estimate")
+
+
+# Bloom-filter membership: m bits as 32-bit words (bit values stay
+# positive in both engines' int64), k=4 keyed hash probes via
+# independent affine hashes mod a Mersenne prime — pure integer
+# arithmetic, so Spark and DuckDB build the IDENTICAL filter.
+_BLOOM_M = 131072  # bits (4 KiB of words; broadcast-sized at any SF)
+_BLOOM_A = (2654435761, 2246822519, 3266489917, 668265263)
+_BLOOM_B = (104729, 130363, 195911, 314159)
+
+
+def _bloom_pos(i: int, key: str = "key") -> str:
+    """Bit position of hash i for a key expr (same text both engines)."""
+    return f"((({key}) * {_BLOOM_A[i]} + {_BLOOM_B[i]}) % 2147483647) % {_BLOOM_M}"
+
+
+@register(
+    "sketch_bloom_membership",
+    ops=("A1", "A9", "J2", "F7"),
+    doc="Deterministic Bloom-filter membership: build a 128K-bit "
+    "filter over the distinct ordering customers (4 affine hashes, "
+    "bit_or into 32-bit words — mergeable map-side partial state), "
+    "then probe a generated candidate grid twice the key range (the "
+    "upper half is guaranteed negatives). Reports observed "
+    "false-positive rate against exact membership. This is the 100 TB "
+    "pre-join filter pattern: the filter is KB-sized broadcast state "
+    "regardless of fact volume, and the build is one bit_or aggregate.",
+    oracle=f"""
+WITH mx AS (SELECT MAX(c_custkey) AS mxk FROM customer),
+cands AS (SELECT unnest(generate_series(0, 2 * mxk + 1)) AS key FROM mx),
+members AS (SELECT DISTINCT o_custkey AS key FROM orders),
+mbits AS (
+  {" UNION ALL ".join(f"SELECT {_bloom_pos(i)} AS pos FROM members" for i in range(4))}
+),
+bloom AS (
+  SELECT pos // 32 AS word_idx,
+    bit_or(CAST(1 AS BIGINT) << (pos % 32)) AS word
+  FROM mbits GROUP BY 1
+),
+pbits AS (
+  {" UNION ALL ".join(f"SELECT key, {_bloom_pos(i)} AS pos FROM cands" for i in range(4))}
+),
+probe AS (
+  SELECT p.key,
+    CASE WHEN b.word IS NOT NULL AND ((b.word >> (p.pos % 32)) & 1) = 1
+         THEN 1 ELSE 0 END AS hit
+  FROM pbits p LEFT JOIN bloom b ON p.pos // 32 = b.word_idx
+),
+per_key AS (
+  SELECT key, CASE WHEN SUM(hit) = 4 THEN 1 ELSE 0 END AS bloom_pos
+  FROM probe GROUP BY key
+),
+flagged AS (
+  SELECT k.bloom_pos,
+    CASE WHEN m.key IS NOT NULL THEN 1 ELSE 0 END AS is_member
+  FROM per_key k LEFT JOIN members m ON k.key = m.key
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+  CAST(SUM(is_member) AS BIGINT) AS n_members,
+  CAST(SUM(bloom_pos) AS BIGINT) AS n_bloom_positive,
+  CAST(SUM(CASE WHEN bloom_pos = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_false_positive,
+  CAST(SUM(CASE WHEN bloom_pos = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+       AS DOUBLE) / (COUNT(*) - SUM(is_member)) AS fp_rate
+FROM flagged
+""",
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    members = (
+        table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key")).distinct()
+    )
+    # Candidate grid 0..2·max(custkey)+1: the upper half cannot be a
+    # member, giving a guaranteed negative set without a second table.
+    cands = (
+        table(spark, sf_dir, "customer")
+        .agg(F.max("c_custkey").alias("mxk"))
+        .select(F.explode(F.sequence(F.lit(0), F.col("mxk") * 2 + 1)).alias("key"))
+        .repartition(8)
+    )
+    mbits = members.select(
+        F.explode(F.array(*[F.expr(_bloom_pos(i)) for i in range(4)])).alias("pos")
+    )
+    bloom = (
+        mbits.select(
+            F.expr("pos div 32").alias("word_idx"), F.expr("pos % 32").alias("bit")
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(shiftleft(cast(1 as bigint), bit))").alias("word"))
+    )
+    pbits = cands.select(
+        "key",
+        F.explode(F.array(*[F.expr(_bloom_pos(i)) for i in range(4)])).alias("pos"),
+    )
+    probe = pbits.join(
+        F.broadcast(bloom),
+        F.expr("pos div 32") == F.col("word_idx"),
+        "left",
+    ).select(
+        "key",
+        F.when(
+            F.col("word").isNotNull()
+            & (F.expr("(shiftright(word, pos % 32) & 1)") == 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("hit"),
+    )
+    per_key = probe.groupBy("key").agg(
+        F.when(F.sum("hit") == 4, 1).otherwise(0).alias("bloom_pos")
+    )
+    flagged = per_key.join(
+        members.withColumn("m", F.lit(1)), "key", "left"
+    ).select(
+        "bloom_pos",
+        F.when(F.col("m").isNotNull(), 1).otherwise(0).alias("is_member"),
+    )
+    fp = F.sum(((F.col("bloom_pos") == 1) & (F.col("is_member") == 0)).cast("int"))
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum("is_member").cast("bigint").alias("n_members"),
+        F.sum("bloom_pos").cast("bigint").alias("n_bloom_positive"),
+        fp.cast("bigint").alias("n_false_positive"),
+        (
+            fp.cast("double") / (F.count(F.lit(1)) - F.sum("is_member"))
+        ).alias("fp_rate"),
+    )

@@ -849,3 +849,77 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("doc_id", F.col("rnk").cast("long").alias("rnk"), "score")
     )
+
+
+#: Word 5-gram shingles for boilerplate detection (0-based Spark
+#: arrays / 1-based DuckDB lists — same strings out of both).
+_SPARK_SH5 = (
+    "transform(sequence(0, size(w)-5), "
+    "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"
+)
+_SQL_SH5 = (
+    "[w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] "
+    "for i in generate_series(1, len(w)-4)]"
+)
+
+
+@register(
+    "text_boilerplate_prune",
+    ops=("A1", "A9", "J1", "F10"),
+    doc="Boilerplate pruning (the CCNet/RefinedWeb repeated-paragraph "
+    "filter re-cast at shingle granularity): a word 5-gram occurring "
+    "in 2+ distinct documents is corpus boilerplate; each document "
+    "reports what fraction of its distinct shingles are boilerplate "
+    "and a keep flag at ratio <= 0.5. Two linear passes — explode "
+    "distinct shingles, one df aggregate, one hash join back — no "
+    "pairwise comparison anywhere, so cost is O(corpus tokens) and "
+    "the df table is vocabulary-bounded (Zipf) at 100 TB.",
+    oracle=f"""
+WITH pairs AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_SH5})) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents)
+  WHERE len(w) >= 5
+),
+df AS (
+  SELECT sh, COUNT(*) AS n_docs FROM pairs GROUP BY sh
+),
+scored AS (
+  SELECT p.doc_id,
+    COUNT(*) AS n_shingles,
+    SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS n_boiler
+  FROM pairs p JOIN df d ON p.sh = d.sh
+  GROUP BY p.doc_id
+)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+  CAST(n_boiler AS BIGINT) AS n_boiler,
+  CAST(n_boiler AS DOUBLE) / n_shingles AS boiler_ratio,
+  (CAST(n_boiler AS DOUBLE) / n_shingles) <= 0.5 AS keep
+FROM scored
+""",
+)
+def text_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    pairs = (
+        d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+        .filter(F.size("w") >= 5)
+        .select("doc_id", F.explode(F.array_distinct(F.expr(_SPARK_SH5))).alias("sh"))
+    )
+    # pairs is distinct per (doc, shingle), so df = plain COUNT(*).
+    df_counts = pairs.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        pairs.join(df_counts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("n_docs") >= 2).cast("int")).cast("bigint").alias("n_boiler"),
+        )
+    )
+    ratio = F.col("n_boiler").cast("double") / F.col("n_shingles")
+    return scored.select(
+        "doc_id",
+        "n_shingles",
+        "n_boiler",
+        ratio.alias("boiler_ratio"),
+        (ratio <= 0.5).alias("keep"),
+    )
