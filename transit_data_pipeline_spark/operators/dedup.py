@@ -1081,3 +1081,110 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+@register(
+    "dedup_minhash_incremental",
+    ops=("J1", "J2", "S4", "A3"),
+    doc="Incremental NEAR-dup ingest (the LSH companion of "
+    "dedup_incremental_snapshot's exact-fingerprint check): a new "
+    "crawl batch (doc_id % 7 = 3) is screened against the indexed "
+    "corpus by banded MinHash — band-hash equi-join to the index, "
+    "candidates scored by matching signature components, near-dup at "
+    "est. Jaccard >= 0.5. The index side is 4 band hashes per doc "
+    "(fixed-size state, bucketed by band hash at 100 TB so a daily "
+    "batch joins shuffle-free against the standing index); batch "
+    "docs with no band collision never join anything.",
+    oracle=f"""
+WITH sig AS ({{sig}}),
+batch AS (SELECT * FROM sig WHERE doc_id % 7 = 3),
+idx AS (SELECT * FROM sig WHERE doc_id % 7 <> 3),
+bband AS (
+  SELECT doc_id, band_id, band_hash FROM (
+    SELECT doc_id,
+      unnest([{{band_ids}}]) AS band_id,
+      unnest([{{band_hashes}}]) AS band_hash
+    FROM batch)
+),
+iband AS (
+  SELECT doc_id, band_id, band_hash FROM (
+    SELECT doc_id,
+      unnest([{{band_ids}}]) AS band_id,
+      unnest([{{band_hashes}}]) AS band_hash
+    FROM idx)
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS batch_doc, i.doc_id AS index_doc
+  FROM bband b JOIN iband i
+    ON b.band_id = i.band_id AND b.band_hash = i.band_hash
+),
+scored AS (
+  SELECT c.batch_doc,
+    COUNT(*) AS n_candidates,
+    MAX({{matches}}) AS best_sig_matches
+  FROM cand c
+  JOIN sig sa ON c.batch_doc = sa.doc_id
+  JOIN sig sb ON c.index_doc = sb.doc_id
+  GROUP BY c.batch_doc
+)
+SELECT b.doc_id,
+  CAST(COALESCE(s.n_candidates, 0) AS BIGINT) AS n_candidates,
+  CAST(COALESCE(s.best_sig_matches, 0) AS INTEGER) AS best_sig_matches,
+  COALESCE(s.best_sig_matches, 0) >= 8 AS is_neardup
+FROM batch b LEFT JOIN scored s ON b.doc_id = s.batch_doc
+""".format(
+        sig=_SQL_MINHASH_SIG,
+        band_ids=", ".join(str(j) for j in range(N_BANDS)),
+        band_hashes=", ".join(_band_exprs()),
+        matches=" + ".join(
+            f"CASE WHEN sa.m_{i} = sb.m_{i} THEN 1 ELSE 0 END" for i in range(16)
+        ),
+    ),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Not persisted: the signature aggregate is cheap relative to a
+    # pinned cache (house rule — query fns return cache-free frames).
+    sig = _minhash_signature(spark, sf_dir)
+    batch_sig = sig.filter(F.col("doc_id") % 7 == 3)
+    index_sig = sig.filter(F.col("doc_id") % 7 != 3)
+
+    def bands(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            "doc_id",
+            F.posexplode(F.array(*[F.expr(e) for e in _band_exprs()])).alias(
+                "band_id", "band_hash"
+            ),
+        )
+
+    cand = (
+        bands(batch_sig)
+        .withColumnRenamed("doc_id", "batch_doc")
+        .join(
+            bands(index_sig).withColumnRenamed("doc_id", "index_doc"),
+            ["band_id", "band_hash"],
+        )
+        .select("batch_doc", "index_doc")
+        .distinct()
+    )
+    matches = sum(
+        F.when(F.col(f"a.m_{i}") == F.col(f"b.m_{i}"), 1).otherwise(0)
+        for i in range(16)
+    )
+    scored = (
+        cand.join(sig.alias("a"), F.col("batch_doc") == F.col("a.doc_id"))
+        .join(sig.alias("b"), F.col("index_doc") == F.col("b.doc_id"))
+        .groupBy("batch_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.max(matches).alias("best_sig_matches"),
+        )
+    )
+    out = batch_sig.select("doc_id").join(
+        scored, F.col("doc_id") == F.col("batch_doc"), "left"
+    ).select(
+        "doc_id",
+        F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+        F.coalesce("best_sig_matches", F.lit(0)).cast("int").alias("best_sig_matches"),
+        (F.coalesce("best_sig_matches", F.lit(0)) >= 8).alias("is_neardup"),
+    )
+    return out

@@ -612,3 +612,151 @@ def similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dist") / F.lit(KMEANS_Q) / F.lit(KMEANS_Q), 6
         ).alias("recon_err"),
     )
+
+
+#: ADC search query set (the first 8 vectors, = the codebook seeds).
+_ADC_NQ = 8
+
+
+@register(
+    "similarity_adc_topk",
+    ops=("J10", "A3", "W4", "O1"),
+    doc="PQ asymmetric-distance (ADC) top-k search: queries build a "
+    "per-subspace distance table to the 8-entry codebooks (256 rows, "
+    "broadcast), the database is scanned as 4-byte PQ codes (the "
+    "whole point at 100 TB: the first-stage scan reads ~1/16th the "
+    "bytes of raw vectors), approximate distance = sum of 4 table "
+    "lookups, then exact top-5 per query with an in_exact_top5 "
+    "quality flag against the full-precision distances. All "
+    "arithmetic on the shared 2^20 integer grid, so both engines "
+    "rank identically with zero float ambiguity.",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, {_SQL_QVEC} AS v FROM embeddings
+),
+sub AS (
+  SELECT vec_id, j, v[(4 * j + 1):(4 * j + 4)] AS sv
+  FROM e, range(0, {PQ_M}) t(j)
+),
+cb AS (
+  SELECT vec_id AS cid, j, sv AS cv FROM sub WHERE vec_id < {PQ_K}
+),
+codes AS (
+  SELECT vec_id, j, cid AS code FROM (
+    SELECT s.vec_id, s.j, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+        ORDER BY {_sql_sqdist("s.sv", "c.cv")}, c.cid) AS rn
+    FROM sub s JOIN cb c ON s.j = c.j
+  ) WHERE rn = 1
+),
+qsub AS (
+  SELECT vec_id AS query_id, j, sv AS qv FROM sub WHERE vec_id < {_ADC_NQ}
+),
+dtab AS (
+  SELECT q.query_id, q.j, c.cid, {_sql_sqdist("q.qv", "c.cv")} AS d
+  FROM qsub q JOIN cb c ON q.j = c.j
+),
+adc AS (
+  SELECT t.query_id, co.vec_id, CAST(SUM(t.d) AS BIGINT) AS adc_dist
+  FROM codes co JOIN dtab t ON co.j = t.j AND co.code = t.cid
+  WHERE t.query_id <> co.vec_id
+  GROUP BY t.query_id, co.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id AS neighbor_id, adc_dist,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY adc_dist, vec_id) AS adc_rank
+  FROM adc
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+    CAST({_sql_sqdist("q.v", "x.v")} AS BIGINT) AS dist
+  FROM (SELECT * FROM e WHERE vec_id < {_ADC_NQ}) q, e x
+  WHERE q.vec_id <> x.vec_id
+),
+exact AS (
+  SELECT query_id, neighbor_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY dist, neighbor_id) AS xrank
+  FROM pairs
+)
+SELECT r.query_id, r.adc_rank, r.neighbor_id, r.adc_dist,
+  x.neighbor_id IS NOT NULL AS in_exact_top5
+FROM (SELECT * FROM ranked WHERE adc_rank <= 5) r
+LEFT JOIN (SELECT * FROM exact WHERE xrank <= 5) x
+  ON r.query_id = x.query_id AND r.neighbor_id = x.neighbor_id
+""",
+)
+def similarity_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id",
+        F.transform(_q_col(F.col("embedding")), lambda q: q.cast("double")).alias("v"),
+    )
+    js = spark.range(PQ_M).select(F.col("id").cast("int").alias("j"))
+    sub = e.crossJoin(F.broadcast(js)).select(
+        "vec_id", "j", F.slice("v", F.col("j") * PQ_DSUB + 1, PQ_DSUB).alias("sv")
+    )
+    cb = sub.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("j").alias("cj"), F.col("sv").alias("cv")
+    )
+    # Database → codes: nearest codebook entry per (vector, subspace).
+    codes = (
+        sub.join(F.broadcast(cb), F.col("j") == F.col("cj"))
+        .select(
+            "vec_id", "j", "cid", _sqdist(F.col("sv"), F.col("cv")).alias("cdist")
+        )
+        .groupBy("vec_id", "j")
+        .agg(F.min_by("cid", F.struct(F.col("cdist"), F.col("cid"))).alias("code"))
+    )
+    # Query-side distance table: 8 queries × 4 subspaces × 8 entries.
+    dtab = (
+        sub.filter(F.col("vec_id") < _ADC_NQ)
+        .select(F.col("vec_id").alias("query_id"), "j", "sv")
+        .join(F.broadcast(cb), F.col("j") == F.col("cj"))
+        .select("query_id", "j", "cid", _sqdist(F.col("sv"), F.col("cv")).alias("d"))
+    )
+    adc = (
+        codes.join(
+            F.broadcast(dtab),
+            (codes["j"] == dtab["j"]) & (codes["code"] == dtab["cid"]),
+        )
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").cast("bigint").alias("adc_dist"))
+    )
+    aw = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    ranked = (
+        adc.withColumn("adc_rank", F.row_number().over(aw))
+        .filter(F.col("adc_rank") <= 5)
+        .select("query_id", "adc_rank", F.col("vec_id").alias("neighbor_id"), "adc_dist")
+    )
+    # Exact full-precision top-5 for the quality flag.
+    q = e.filter(F.col("vec_id") < _ADC_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("xn"),
+            _sqdist(F.col("qv"), F.col("v")).cast("bigint").alias("dist"),
+        )
+    )
+    xw = Window.partitionBy("query_id").orderBy("dist", "xn")
+    exact = (
+        pairs.withColumn("xrank", F.row_number().over(xw))
+        .filter(F.col("xrank") <= 5)
+        .select(F.col("query_id").alias("xq"), "xn")
+    )
+    return ranked.join(
+        F.broadcast(exact),
+        (ranked["query_id"] == exact["xq"]) & (ranked["neighbor_id"] == exact["xn"]),
+        "left",
+    ).select(
+        "query_id",
+        "adc_rank",
+        "neighbor_id",
+        "adc_dist",
+        F.col("xn").isNotNull().alias("in_exact_top5"),
+    )
