@@ -392,3 +392,49 @@ def test_clustered_write_files_have_disjoint_ranges(spark, sf_dir):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"file ranges overlap: {ranges}"
+
+
+def test_bloom_membership_filter_is_broadcast(spark, sf_dir):
+    """The Bloom word table (4096 rows max) must broadcast to the
+    probe side; a shuffle join against the candidate grid would defeat
+    the KB-sized-filter design."""
+    plan = _plan(spark, sf_dir, "sketch_bloom_membership")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_adc_scan_broadcasts_distance_table(spark, sf_dir):
+    """ADC search must broadcast the 256-row query distance table and
+    the codebook against the code scan — the database side may never
+    feed a nested-loop or cartesian pair generator."""
+    plan = _plan(spark, sf_dir, "similarity_adc_topk")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_incremental_band_join_no_cartesian(spark, sf_dir):
+    """Incremental near-dup screening joins batch bands to index bands
+    on (band_id, band_hash) — an equi-join on the bucket key. Any
+    cartesian/nested-loop pair generation means the bucketing broke."""
+    plan = _plan(spark, sf_dir, "dedup_minhash_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_boilerplate_df_join_is_equi(spark, sf_dir):
+    """Boilerplate pruning joins exploded shingles to their df counts
+    on the shingle string — equi-join only, no pairwise comparison."""
+    plan = _plan(spark, sf_dir, "text_boilerplate_prune")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_attribution_window_is_user_partitioned(spark, sf_dir):
+    """The carry-forward attribution window must partition by user_id
+    — the only unpartitioned window allowed is the final share over
+    the 5-row channel aggregate."""
+    plan = _plan(spark, sf_dir, "event_attribution_last_touch")
+    # The carry-forward Window node lists its partition spec as
+    # `..., [user_id#N], [ts#M ASC ...]` after the aggregate list.
+    assert re.search(r"Window .*\], \[user_id#\d+L?\], \[ts#", plan), plan
+    assert "CartesianProduct" not in plan
