@@ -1188,3 +1188,108 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce("best_sig_matches", F.lit(0)) >= 8).alias("is_neardup"),
     )
     return out
+
+
+@register(
+    "dedup_containment",
+    ops=("J1", "A3", "A9"),
+    doc="Asymmetric containment dedup (Broder's containment coefficient "
+    "|A∩B|/|A|): catches SUB-document duplication — a short doc wholly "
+    "quoted inside a long one scores near 1.0 containment while its "
+    "symmetric Jaccard stays low, so Jaccard-threshold dedup misses "
+    "it. Candidates come from the same banded-MinHash join as "
+    "dedup_lsh_verified (linear candidate generation); exact shingle "
+    "intersection runs on candidates only; pairs kept at containment "
+    ">= 0.8 in either direction.",
+    oracle=f"""
+WITH sig AS ({{sig}}),
+bands AS (
+  SELECT doc_id, band_id, band_hash FROM (
+    SELECT doc_id,
+      unnest([{{band_ids}}]) AS band_id,
+      unnest([{{band_hashes}}]) AS band_hash
+    FROM sig)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+sh AS ({{shingles}}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, CAST(i.n_inter AS BIGINT) AS n_inter,
+  CAST(i.n_inter AS DOUBLE) / za.n_sh AS containment_a,
+  CAST(i.n_inter AS DOUBLE) / zb.n_sh AS containment_b
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(i.n_inter AS DOUBLE) / za.n_sh >= 0.8
+   OR CAST(i.n_inter AS DOUBLE) / zb.n_sh >= 0.8
+""".format(
+        sig=_SQL_MINHASH_SIG,
+        band_ids=", ".join(str(j) for j in range(N_BANDS)),
+        band_hashes=", ".join(_band_exprs()),
+        shingles=SQL_DOC_SHINGLES,
+    ),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_signature(spark, sf_dir)
+    zipped = F.explode(
+        F.arrays_zip(
+            F.array(*[F.lit(j) for j in range(N_BANDS)]).alias("band_id"),
+            F.array(*[F.expr(e) for e in _band_exprs()]).alias("band_hash"),
+        )
+    )
+    bands = sig.select("doc_id", zipped.alias("z")).select(
+        "doc_id",
+        F.col("z.band_id").alias("band_id"),
+        F.col("z.band_hash").alias("band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(
+            sh_b,
+            (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
+    ca = F.col("n_inter").cast("double") / F.col("n_sh_a")
+    cb = F.col("n_inter").cast("double") / F.col("n_sh_b")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            ca.alias("containment_a"),
+            cb.alias("containment_b"),
+        )
+        .filter((F.col("containment_a") >= 0.8) | (F.col("containment_b") >= 0.8))
+    )

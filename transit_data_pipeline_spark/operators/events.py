@@ -716,3 +716,120 @@ def event_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_purchases").cast("double")
         / F.sum("n_purchases").over(Window.partitionBy()),
     )
+
+
+@register(
+    "event_session_pmi",
+    ops=("A11", "A9", "J1", "W3"),
+    doc="Pointwise mutual information of event-type pairs co-occurring "
+    "within the same 30-minute session (the association-mining signal "
+    "behind 'users who err also contact support'): sessions from the "
+    "standard gap rule, distinct (session, type) incidence, pair "
+    "counts from a session-keyed self-join over a frame bounded by "
+    "|types| per session, PMI = ln(n_ab·N/(n_a·n_b)) rounded to 4 "
+    "decimals before comparison (house float-determinism rule for "
+    "transcendentals). Output is at most |types|² rows.",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts_ns,
+    CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > 1800000000000
+         OR LAG(epoch_ns(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+), sess AS (
+  SELECT user_id, event_type,
+    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_seq
+  FROM flagged
+), incidence AS (
+  SELECT DISTINCT user_id, session_seq, event_type FROM sess
+), totals AS (
+  SELECT COUNT(DISTINCT (user_id, session_seq)) AS n_sessions FROM incidence
+), per_type AS (
+  SELECT event_type, COUNT(*) AS n_t FROM incidence GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_co
+  FROM incidence a
+  JOIN incidence b
+    ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, CAST(p.n_co AS BIGINT) AS n_co,
+  CAST(ta.n_t AS BIGINT) AS n_a, CAST(tb.n_t AS BIGINT) AS n_b,
+  CAST(t.n_sessions AS BIGINT) AS n_sessions,
+  ROUND(ln(CAST(p.n_co AS DOUBLE) * t.n_sessions / (ta.n_t * tb.n_t)), 4)
+    AS pmi
+FROM pairs p
+JOIN per_type ta ON p.type_a = ta.event_type
+JOIN per_type tb ON p.type_b = tb.event_type
+CROSS JOIN totals t
+""",
+)
+def event_session_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ns = F.col("ts") - F.lag("ts").over(w)
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").alias("ts_ns"),
+        F.when(gap_ns > 1_800_000_000_000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    run_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    incidence = (
+        flagged.withColumn("session_seq", F.sum("is_start").over(run_w))
+        .select("user_id", "session_seq", "event_type")
+        .distinct()
+    )
+    totals = incidence.select("user_id", "session_seq").distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    per_type = incidence.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a, b = incidence.alias("a"), incidence.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_seq") == F.col("b.session_seq"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    ta = per_type.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
+    tb = per_type.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
+    pmi = F.round(
+        F.log(
+            F.col("n_co").cast("double")
+            * F.col("n_sessions")
+            / (F.col("n_a") * F.col("n_b"))
+        ),
+        4,
+    )
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_co").cast("bigint").alias("n_co"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("n_sessions").cast("bigint").alias("n_sessions"),
+            pmi.alias("pmi"),
+        )
+    )

@@ -786,3 +786,44 @@ def zorder_key_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").alias("y_max"),
         )
     )
+
+
+@register(
+    "salted_skew_join",
+    ops=("J1", "A3", "A9"),
+    doc="Skew-mitigating salted join (the join-side companion of "
+    "salted_skew_agg): the dimension side is replicated 16x, one copy "
+    "per salt value, and the fact side computes a deterministic salt "
+    "from its row identity, so the equi-join key becomes (suppkey, "
+    "salt) and a hot supplier's rows spread across 16 tasks instead "
+    "of one straggler. At this fixture size Catalyst broadcasts the "
+    "replicated dim (the salting is then free); at 100 TB with a "
+    "too-big-to-broadcast dim and measured hot keys this exact plan "
+    "shape is the standard remedy when AQE's skew splitting can't "
+    "apply (e.g. bucketed inputs). Result is bitwise identical to "
+    "the unsalted join, which is what the oracle runs.",
+    oracle=f"""
+SELECT s.s_nationkey,
+  COUNT(*) AS n_items,
+  {N.sql_dsum("l.l_extendedprice")} AS revenue
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+""",
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(16))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(15))))
+    )
+    return (
+        l.join(s, (l["l_suppkey"] == s["s_suppkey"]) & (l["salt"] == s["salt"]))
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            N.dsum("l_extendedprice").alias("revenue"),
+        )
+    )
