@@ -827,3 +827,205 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             N.dsum("l_extendedprice").alias("revenue"),
         )
     )
+
+
+@register(
+    "market_basket_lift",
+    ops=("J1", "A1", "A9"),
+    doc="Market-basket association mining at brand granularity: "
+    "distinct (order, brand) incidence from lineitem x part, "
+    "co-occurrence pairs from an order-keyed self-join (bounded by "
+    "brands-per-order, never all-pairs-of-orders), and exact "
+    "support/confidence/lift ratios. Brand incidence keeps the pair "
+    "space <= |brands|^2 at any corpus size; the same plan at SKU "
+    "granularity adds a min-support pre-filter on the incidence "
+    "aggregate (frequent-itemset pruning) before the self-join.",
+    oracle="""
+WITH incidence AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n_orders AS (SELECT COUNT(DISTINCT okey) AS n FROM incidence),
+per_brand AS (SELECT brand, COUNT(*) AS n_b FROM incidence GROUP BY brand),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_co
+  FROM incidence a
+  JOIN incidence b ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY 1, 2
+)
+SELECT p.brand_a, p.brand_b, CAST(p.n_co AS BIGINT) AS n_co,
+  CAST(ba.n_b AS BIGINT) AS n_a, CAST(bb.n_b AS BIGINT) AS n_b,
+  CAST(p.n_co AS DOUBLE) / t.n AS support,
+  CAST(p.n_co AS DOUBLE) / ba.n_b AS confidence_a_to_b,
+  CAST(p.n_co AS DOUBLE) * t.n / (ba.n_b * bb.n_b) AS lift
+FROM pairs p
+JOIN per_brand ba ON p.brand_a = ba.brand
+JOIN per_brand bb ON p.brand_b = bb.brand
+CROSS JOIN n_orders t
+WHERE p.n_co >= 3
+""",
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    incidence = (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = incidence.select("okey").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_brand = incidence.groupBy("brand").agg(F.count(F.lit(1)).alias("n_b"))
+    a, b = incidence.alias("a"), incidence.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 3)
+    )
+    ba = per_brand.select(F.col("brand").alias("brand_a"), F.col("n_b").alias("n_a"))
+    bb = per_brand.select(F.col("brand").alias("brand_b"), F.col("n_b").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ba), "brand_a")
+        .join(F.broadcast(bb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_co").cast("bigint").alias("n_co"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            (F.col("n_co").cast("double") / F.col("n")).alias("support"),
+            (F.col("n_co").cast("double") / F.col("n_a")).alias("confidence_a_to_b"),
+            (
+                F.col("n_co").cast("double")
+                * F.col("n")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+
+
+#: Integer PageRank: ranks scaled by 10^12; all updates use integer
+#: division, so every iteration is bitwise-identical in any engine and
+#: under any partitioning (float PageRank is order-dependent).
+_PR_SCALE = 1_000_000_000_000
+_PR_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    ctes = [
+        """edges AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+)""",
+        """ew AS (
+  SELECT e.src, e.dst, e.w, ow.out_w
+  FROM edges e JOIN (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src) ow
+    ON e.src = ow.src
+)""",
+        "nodes AS (SELECT n_nationkey AS node FROM nation)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, {_PR_SCALE} // n AS rank FROM nodes, nn)",
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT nd.node,
+    ({15 * _PR_SCALE} // (100 * nn.n))
+      + (85 * COALESCE(s.sc, 0)) // 100 AS rank
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM((r.rank * e.w) // e.out_w) AS BIGINT) AS sc
+    FROM r{i - 1} r JOIN ew e ON r.node = e.src
+    GROUP BY e.dst
+  ) s ON nd.node = s.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT r.node AS nationkey, n.n_name,
+  CAST(r.rank AS BIGINT) AS rank_int,
+  CAST(r.rank AS DOUBLE) / {_PR_SCALE} AS rank_share
+FROM r{_PR_ITERS} r JOIN nation n ON r.node = n.n_nationkey
+"""
+    )
+
+
+@register(
+    "nation_trade_pagerank",
+    ops=("J4", "A11", "A3"),
+    doc="PageRank over the supplier-nation → customer-nation trade "
+    "graph (weighted by line count), 5 power iterations in EXACT "
+    "integer arithmetic on a 10^12 scale — float PageRank is "
+    "partition-order-dependent; integer division makes every "
+    "iteration bitwise-reproducible on any cluster. The heavy work "
+    "is the one-pass weighted-edge build from the fact table; the "
+    "iteration runs on the |nations|² edge list (broadcast-sized "
+    "here; at web scale each iteration is one join + one aggregate "
+    "keyed by dst — the standard distributed PageRank shape, no "
+    "driver-side state).",
+    oracle=_pagerank_oracle(),
+)
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ew = edges.join(out_w, "src")
+    nation = table(spark, sf_dir, "nation")
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    base = nodes.crossJoin(F.broadcast(nn)).select(
+        "node",
+        F.expr(f"{15 * _PR_SCALE} div (100 * n)").alias("base"),
+        F.expr(f"{_PR_SCALE} div n").alias("rank"),
+    )
+    ranks = base.select("node", "rank")
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ranks.join(F.broadcast(ew), ranks["node"] == ew["src"])
+            .groupBy("dst")
+            .agg(F.expr("cast(sum((rank * w) div out_w) as bigint)").alias("sc"))
+        )
+        ranks = (
+            base.join(contrib, base["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.col("base")
+                    + F.expr("(85 * coalesce(sc, 0L)) div 100")
+                ).alias("rank"),
+            )
+        )
+    return ranks.join(
+        F.broadcast(nation), ranks["node"] == nation["n_nationkey"]
+    ).select(
+        F.col("node").alias("nationkey"),
+        "n_name",
+        F.col("rank").cast("bigint").alias("rank_int"),
+        (F.col("rank").cast("double") / F.lit(float(_PR_SCALE))).alias("rank_share"),
+    )

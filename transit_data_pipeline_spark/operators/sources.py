@@ -624,3 +624,69 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         N.dsum("o_totalprice").alias("revenue"),
     )
+
+
+@register(
+    "snapshot_diff_cdc",
+    ops=("S4", "J2", "A1", "P5"),
+    doc="Snapshot diff / change-data-capture: two table versions "
+    "(prev = customers minus the rows 'added' since; curr = all "
+    "customers minus simulated deletions, with a deterministic "
+    "mutation on every 7th account balance) are full-outer-joined on "
+    "the key and every row classified added/removed/changed/"
+    "unchanged; output is the per-status rollup with a key checksum. "
+    "One key-partitioned shuffle regardless of table width — the "
+    "standard lakehouse snapshot-reconciliation pattern (at 100 TB "
+    "both snapshots are bucketed by key and the diff is "
+    "shuffle-free); value comparison is numeric, no row "
+    "serialization.",
+    oracle="""
+WITH prev AS (
+  SELECT c_custkey AS key, c_acctbal AS bal FROM customer
+  WHERE c_custkey % 11 <> 0
+),
+curr AS (
+  SELECT c_custkey AS key,
+    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0 ELSE c_acctbal END AS bal
+  FROM customer
+  WHERE c_custkey % 13 <> 5
+),
+diff AS (
+  SELECT COALESCE(p.key, c.key) AS key,
+    CASE
+      WHEN p.key IS NULL THEN 'added'
+      WHEN c.key IS NULL THEN 'removed'
+      WHEN p.bal <> c.bal THEN 'changed'
+      ELSE 'unchanged'
+    END AS status
+  FROM prev p FULL OUTER JOIN curr c ON p.key = c.key
+)
+SELECT status, COUNT(*) AS n_rows,
+  CAST(SUM(key) AS BIGINT) AS key_checksum
+FROM diff GROUP BY status
+""",
+)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("bal")
+    )
+    prev = cust.filter(F.col("key") % 11 != 0)
+    curr = cust.filter(F.col("key") % 13 != 5).select(
+        "key",
+        F.when(F.col("key") % 7 == 0, F.col("bal") + 10.0)
+        .otherwise(F.col("bal"))
+        .alias("bal"),
+    )
+    p, c = prev.alias("p"), curr.alias("c")
+    diff = p.join(c, F.col("p.key") == F.col("c.key"), "full_outer").select(
+        F.coalesce(F.col("p.key"), F.col("c.key")).alias("key"),
+        F.when(F.col("p.key").isNull(), "added")
+        .when(F.col("c.key").isNull(), "removed")
+        .when(F.col("p.bal") != F.col("c.bal"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("key").cast("bigint").alias("key_checksum"),
+    )
