@@ -991,3 +991,66 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             N.dsum("o_totalprice").alias("revenue"),
         )
     )
+
+
+@register(
+    "weighted_percentiles",
+    ops=("A8", "W11", "A3"),
+    doc="Exact weighted percentiles (median and quartiles of extended "
+    "price weighted by quantity, per return flag): aggregate equal "
+    "values first, cumulative weight by one value-ordered window, "
+    "then the smallest value whose cumulative weight reaches q*W. "
+    "Unlike percentile interpolation this is pure comparisons on "
+    "data values — no float arithmetic on the quantile itself — and "
+    "the value-level pre-aggregate bounds the window at distinct "
+    "values, not rows.",
+    oracle=f"""
+WITH vw AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS v,
+    {N.sql_dsum("l_quantity")} AS w
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT flag, v, w,
+    CAST(SUM(CAST(w AS DECIMAL(18,4))) OVER (PARTITION BY flag ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cw,
+    CAST(SUM(CAST(w AS DECIMAL(18,4))) OVER (PARTITION BY flag) AS DOUBLE) AS tw
+  FROM vw
+)
+SELECT flag, MAX(tw) AS total_weight,
+  MIN(CASE WHEN cw >= 0.25 * tw THEN v END) AS w_p25,
+  MIN(CASE WHEN cw >= 0.50 * tw THEN v END) AS w_median,
+  MIN(CASE WHEN cw >= 0.75 * tw THEN v END) AS w_p75
+FROM cum GROUP BY flag
+""",
+)
+def weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    vw = (
+        l.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("v"),
+        )
+        .agg(N.dsum("l_quantity").alias("w"))
+    )
+    cw_w = (
+        Window.partitionBy("flag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vw.select(
+        "flag",
+        "v",
+        "w",
+        F.sum(F.col("w").cast(N.DEC)).over(cw_w).cast("double").alias("cw"),
+        F.sum(F.col("w").cast(N.DEC))
+        .over(Window.partitionBy("flag"))
+        .cast("double")
+        .alias("tw"),
+    )
+    return cum.groupBy("flag").agg(
+        F.max("tw").alias("total_weight"),
+        F.min(F.when(F.col("cw") >= 0.25 * F.col("tw"), F.col("v"))).alias("w_p25"),
+        F.min(F.when(F.col("cw") >= 0.50 * F.col("tw"), F.col("v"))).alias("w_median"),
+        F.min(F.when(F.col("cw") >= 0.75 * F.col("tw"), F.col("v"))).alias("w_p75"),
+    )

@@ -515,3 +515,136 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             fp.cast("double") / (F.count(F.lit(1)) - F.sum("is_member"))
         ).alias("fp_rate"),
     )
+
+
+_JC_K = 256  # KMV size for the join-cardinality estimator
+
+
+@register(
+    "sketch_join_cardinality",
+    ops=("A2", "A9", "J1"),
+    doc="Join-cardinality estimation from KMV sketches — the "
+    "cost-based-optimizer primitive: per-side k-minimum-value "
+    "sketches of the join key (orders.o_custkey vs BUILDING-segment "
+    "customers), intersection estimated from the union sketch's "
+    "overlap ratio, |A JOIN B| predicted as est_keys x mean per-key "
+    "frequency of each side. The exact join count and exact key "
+    "intersection are carried alongside so the estimator's error is "
+    "part of the oracle-checked contract (at 100 TB only the "
+    "sketches run: fixed k-hash state per side, mergeable "
+    "map-side).",
+    oracle=f"""
+WITH ua AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+    AS BIGINT) / {_DENOM!r} AS u
+  FROM orders
+),
+ka AS (SELECT u FROM ua ORDER BY u LIMIT {_JC_K}),
+ub AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+    AS BIGINT) / {_DENOM!r} AS u
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+kb AS (SELECT u FROM ub ORDER BY u LIMIT {_JC_K}),
+un AS (
+  SELECT u FROM (SELECT u FROM ka UNION SELECT u FROM kb) ORDER BY u LIMIT {_JC_K}
+),
+ustats AS (
+  SELECT MAX(u) AS u_k, COUNT(*) AS n_kept,
+    CAST(SUM(CASE WHEN u IN (SELECT u FROM ka)
+               AND u IN (SELECT u FROM kb) THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+  FROM un
+),
+ra AS (SELECT COUNT(*) AS n_a, COUNT(DISTINCT o_custkey) AS d_a FROM orders),
+rb AS (SELECT COUNT(*) AS n_b, COUNT(DISTINCT c_custkey) AS d_b
+       FROM customer WHERE c_mktsegment = 'BUILDING'),
+ex AS (
+  SELECT COUNT(*) AS exact_join_rows
+  FROM orders o JOIN customer c
+    ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+),
+exi AS (
+  SELECT COUNT(*) AS exact_key_inter FROM
+    (SELECT DISTINCT o_custkey AS k FROM orders) a
+  JOIN (SELECT DISTINCT c_custkey AS k FROM customer
+        WHERE c_mktsegment = 'BUILDING') b ON a.k = b.k
+)
+SELECT CAST(ex.exact_join_rows AS BIGINT) AS exact_join_rows,
+  CAST(exi.exact_key_inter AS BIGINT) AS exact_key_inter,
+  CASE WHEN us.n_kept < {_JC_K} THEN CAST(us.n_both AS DOUBLE)
+       ELSE (CAST(us.n_both AS DOUBLE) / {_JC_K}) * ({_JC_K - 1} / us.u_k)
+  END AS est_key_inter,
+  (CASE WHEN us.n_kept < {_JC_K} THEN CAST(us.n_both AS DOUBLE)
+        ELSE (CAST(us.n_both AS DOUBLE) / {_JC_K}) * ({_JC_K - 1} / us.u_k)
+   END)
+    * (CAST(ra.n_a AS DOUBLE) / ra.d_a)
+    * (CAST(rb.n_b AS DOUBLE) / rb.d_b) AS est_join_rows
+FROM ustats us, ra, rb, ex, exi
+""",
+)
+def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cb = c.filter(F.col("c_mktsegment") == "BUILDING")
+
+    def kmv(frame, key):
+        u = (
+            F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10)
+            .cast("bigint")
+            .cast("double")
+            / F.lit(_DENOM)
+        )
+        return frame.select(u.alias("u")).distinct().orderBy("u").limit(_JC_K)
+
+    ka = kmv(o, "o_custkey")
+    kb = kmv(cb, "c_custkey")
+    un = ka.union(kb).distinct().orderBy("u").limit(_JC_K)
+    flagged = un.join(
+        ka.withColumnRenamed("u", "ua"), F.col("u") == F.col("ua"), "left"
+    ).join(kb.withColumnRenamed("u", "ub"), F.col("u") == F.col("ub"), "left")
+    ustats = flagged.agg(
+        F.max("u").alias("u_k"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(
+            (F.col("ua").isNotNull() & F.col("ub").isNotNull()).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_both"),
+    )
+    ra = o.agg(
+        F.count(F.lit(1)).alias("n_a"), F.countDistinct("o_custkey").alias("d_a")
+    )
+    rb = cb.agg(
+        F.count(F.lit(1)).alias("n_b"), F.countDistinct("c_custkey").alias("d_b")
+    )
+    ex = (
+        o.join(cb, o["o_custkey"] == cb["c_custkey"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_join_rows"))
+    )
+    exi = (
+        o.select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .join(cb.select(F.col("c_custkey").alias("k")).distinct(), "k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_key_inter"))
+    )
+    est_inter = F.when(
+        F.col("n_kept") < _JC_K, F.col("n_both").cast("double")
+    ).otherwise(
+        (F.col("n_both").cast("double") / _JC_K) * ((_JC_K - 1) / F.col("u_k"))
+    )
+    return (
+        ex.crossJoin(exi)
+        .crossJoin(ustats)
+        .crossJoin(ra)
+        .crossJoin(rb)
+        .select(
+            "exact_join_rows",
+            "exact_key_inter",
+            est_inter.alias("est_key_inter"),
+            (
+                est_inter
+                * (F.col("n_a").cast("double") / F.col("d_a"))
+                * (F.col("n_b").cast("double") / F.col("d_b"))
+            ).alias("est_join_rows"),
+        )
+    )
