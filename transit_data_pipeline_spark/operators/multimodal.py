@@ -294,3 +294,58 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 3)
     )
+
+
+@register(
+    "multimodal_shard_packing",
+    ops=("W11", "A3", "A1"),
+    doc="WebDataset-style shard packing: binary payloads are assigned "
+    "to fixed-capacity training shards by a per-source running byte "
+    "total (sequential chunking — the rule real shard writers use), "
+    "then rolled up to one manifest row per shard. The window is "
+    "partitioned by source, so packing parallelizes across sources "
+    "and each shard manifest row is the unit a downstream dataloader "
+    "opens. 8 KiB capacity here; the plan is capacity-independent.",
+    oracle="""
+WITH sized AS (
+  SELECT source, doc_id, octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+packed AS (
+  SELECT source, doc_id, n_bytes,
+    COALESCE(SUM(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 8192
+      AS shard_id
+  FROM sized
+)
+SELECT source, CAST(shard_id AS BIGINT) AS shard_id,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM packed GROUP BY source, shard_id
+""",
+)
+def multimodal_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents", spread=True)
+    sized = d.select(
+        "source",
+        "doc_id",
+        F.length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_bytes").over(w), F.lit(0))
+    packed = sized.withColumn(
+        "shard_id", F.floor(cum_before / 8192).cast("bigint")
+    )
+    return packed.groupBy("source", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").cast("bigint").alias("shard_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -690,3 +690,43 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("key").cast("bigint").alias("key_checksum"),
     )
+
+
+@register(
+    "partition_stats_manifest",
+    ops=("A3", "A1", "F5", "P3"),
+    doc="Table-format partition manifest (the Iceberg/Delta metadata "
+    "pattern): per month of o_orderdate, row count, key and price "
+    "min/max, null counts, and distinct statuses — the per-partition "
+    "stats a scan planner prunes against. One aggregate pass; output "
+    "is partitions, not rows, so the manifest stays KB-sized at any "
+    "table size and pruning decisions never touch data files.",
+    oracle=f"""
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+  COUNT(*) AS n_rows,
+  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+  CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null_status,
+  COUNT(DISTINCT o_orderstatus) AS n_statuses,
+  {N.sql_dsum("o_totalprice")} AS sum_price
+FROM orders
+GROUP BY 1
+""",
+)
+def partition_stats_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.sum(F.col("o_orderstatus").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_null_status"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        N.dsum("o_totalprice").alias("sum_price"),
+    )
