@@ -274,3 +274,78 @@ def test_locf_fill_matches_bruteforce(spark, obs):
             carry = seen[slot]
         expect[slot] = carry
     assert got == expect
+
+
+def test_bloom_membership_no_false_negatives(spark, sf_dir):
+    """A Bloom filter may report false positives but NEVER a false
+    negative: n_bloom_positive must cover every true member. Also, the
+    observed FP rate must stay far below saturation (the 128K-bit
+    sizing claim)."""
+    from transit_data_pipeline_spark.operators.registry import all_specs
+
+    row = (
+        all_specs()["sketch_bloom_membership"].fn(spark, sf_dir).collect()[0]
+    )
+    # Every member key probes positive (no false negatives)...
+    assert row.n_bloom_positive >= row.n_members
+    # ...and the positives beyond members are exactly the false ones.
+    assert row.n_bloom_positive - row.n_members == row.n_false_positive
+    assert row.fp_rate < 0.25, f"bloom saturated: {row.asDict()}"
+
+
+def test_pagerank_conserves_scaled_mass(spark, sf_dir):
+    """Integer PageRank invariants: every rank >= the damping base,
+    and total mass stays within [0.8, 1.0] of the 10^12 scale (only
+    integer-truncation loss — a wrong out-weight or double-counted
+    edge breaks this bound immediately)."""
+    from transit_data_pipeline_spark.operators.pipelineops import _PR_SCALE
+    from transit_data_pipeline_spark.operators.registry import all_specs
+
+    rows = all_specs()["nation_trade_pagerank"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    base = (15 * _PR_SCALE) // (100 * n)
+    assert all(r.rank_int >= base for r in rows)
+    total = sum(r.rank_int for r in rows)
+    assert 0.8 * _PR_SCALE <= total <= _PR_SCALE, total
+
+
+def test_weighted_percentiles_bracket_weight_mass(spark, sf_dir):
+    """For each group the weighted quartiles must be ordered and the
+    weight mass strictly below w_p25 must be < 25% of the total (the
+    defining property of a weighted percentile)."""
+    from transit_data_pipeline_spark.operators.registry import all_specs
+    from transit_data_pipeline_spark.catalog import table as cat_table
+
+    rows = {
+        r.flag: r
+        for r in all_specs()["weighted_percentiles"].fn(spark, sf_dir).collect()
+    }
+    l = cat_table(spark, sf_dir, "lineitem")
+    for flag, r in rows.items():
+        assert r.w_p25 <= r.w_median <= r.w_p75
+        below = (
+            l.filter(
+                (F.col("l_returnflag") == flag)
+                & (F.col("l_extendedprice") < r.w_p25)
+            )
+            .agg(N.dsum("l_quantity"))
+            .collect()[0][0]
+            or 0.0
+        )
+        assert below < 0.25 * r.total_weight + 1e-9
+
+
+def test_shard_packing_respects_sequential_rule(spark, sf_dir):
+    """Shards within a source must cover contiguous, non-overlapping
+    doc ranges in shard order, and byte totals must sum to the source
+    total."""
+    from transit_data_pipeline_spark.operators.registry import all_specs
+
+    rows = all_specs()["multimodal_shard_packing"].fn(spark, sf_dir).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, shards in by_src.items():
+        shards.sort(key=lambda r: r.shard_id)
+        for a, b in zip(shards, shards[1:]):
+            assert a.last_doc < b.first_doc, (src, a, b)

@@ -940,12 +940,24 @@ def _pagerank_oracle() -> str:
         f"r0 AS (SELECT node, {_PR_SCALE} // n AS rank FROM nodes, nn)",
     ]
     for i in range(1, _PR_ITERS + 1):
+        # Dangling-mass redistribution: rank held by nodes with no
+        # out-edges is shared uniformly (damped), so total mass is
+        # conserved up to integer truncation.
+        ctes.append(
+            f"""d{i - 1} AS (
+  SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dm
+  FROM r{i - 1} r
+  LEFT JOIN (SELECT DISTINCT src FROM edges) sx ON r.node = sx.src
+  WHERE sx.src IS NULL
+)"""
+        )
         ctes.append(
             f"""r{i} AS (
   SELECT nd.node,
     ({15 * _PR_SCALE} // (100 * nn.n))
-      + (85 * COALESCE(s.sc, 0)) // 100 AS rank
-  FROM nodes nd CROSS JOIN nn
+      + (85 * COALESCE(s.sc, 0)) // 100
+      + (85 * d.dm) // (100 * nn.n) AS rank
+  FROM nodes nd CROSS JOIN nn CROSS JOIN d{i - 1} d
   LEFT JOIN (
     SELECT e.dst AS node, CAST(SUM((r.rank * e.w) // e.out_w) AS BIGINT) AS sc
     FROM r{i - 1} r JOIN ew e ON r.node = e.src
@@ -1005,19 +1017,29 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"{_PR_SCALE} div n").alias("rank"),
     )
     ranks = base.select("node", "rank")
+    srcs = edges.select("src").distinct()
     for _ in range(_PR_ITERS):
         contrib = (
             ranks.join(F.broadcast(ew), ranks["node"] == ew["src"])
             .groupBy("dst")
             .agg(F.expr("cast(sum((rank * w) div out_w) as bigint)").alias("sc"))
         )
+        # Dangling mass (nodes without out-edges) is redistributed
+        # uniformly, damped — conserves total mass up to truncation.
+        dang = (
+            ranks.join(F.broadcast(srcs), ranks["node"] == srcs["src"], "left_anti")
+            .agg(F.expr("cast(coalesce(sum(rank), 0L) as bigint)").alias("dm"))
+        )
         ranks = (
             base.join(contrib, base["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(nn))
             .select(
                 "node",
                 (
                     F.col("base")
                     + F.expr("(85 * coalesce(sc, 0L)) div 100")
+                    + F.expr("(85 * dm) div (100 * n)")
                 ).alias("rank"),
             )
         )
