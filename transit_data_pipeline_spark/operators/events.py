@@ -833,3 +833,66 @@ def event_session_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             pmi.alias("pmi"),
         )
     )
+
+
+@register(
+    "events_anomaly_mad",
+    ops=("A8", "A1", "F5", "A11"),
+    doc="Robust rate-anomaly detection via median absolute deviation "
+    "(the MAD companion of events_rate_anomaly's stddev bands — "
+    "robust to the very outliers it hunts): hourly counts per type, "
+    "per-type median and MAD over integer counts (exact percentile "
+    "interpolation, identical in both engines), anomalous hours at "
+    "|count - median| > 3 x max(MAD, 0.5). The hourly pre-aggregate "
+    "bounds everything downstream at hours x types rows.",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', {SQL_EVENT_TIME}) AS h,
+    COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, quantile_cont(c, 0.5) AS med_rate
+  FROM hourly GROUP BY event_type
+),
+mad AS (
+  SELECT h.event_type, m.med_rate,
+    quantile_cont(ABS(h.c - m.med_rate), 0.5) AS mad_rate
+  FROM hourly h JOIN med m ON h.event_type = m.event_type
+  GROUP BY h.event_type, m.med_rate
+)
+SELECT h.event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_hours,
+  MAX(m.med_rate) AS median_rate,
+  MAX(m.mad_rate) AS mad_rate,
+  CAST(SUM(CASE WHEN ABS(h.c - m.med_rate)
+                   > 3 * GREATEST(m.mad_rate, 0.5)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous_hours
+FROM hourly h JOIN mad m ON h.event_type = m.event_type
+GROUP BY h.event_type
+""",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "event_time").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    med = hourly.groupBy("event_type").agg(
+        F.expr("percentile(c, 0.5)").alias("med_rate")
+    )
+    mad = (
+        hourly.join(med, "event_type")
+        .groupBy("event_type", "med_rate")
+        .agg(F.expr("percentile(abs(c - med_rate), 0.5)").alias("mad_rate"))
+    )
+    flagged = hourly.join(F.broadcast(mad), "event_type")
+    is_anom = (
+        F.abs(F.col("c") - F.col("med_rate"))
+        > 3 * F.greatest(F.col("mad_rate"), F.lit(0.5))
+    ).cast("int")
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.max("med_rate").alias("median_rate"),
+        F.max("mad_rate").alias("mad_rate"),
+        F.sum(is_anom).cast("bigint").alias("n_anomalous_hours"),
+    )

@@ -421,3 +421,61 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scaled.select(
         "vec_id", "vmin", "vmax", "scale", mae.alias("mean_abs_err")
     )
+
+
+@register(
+    "embedding_centroid_drift",
+    ops=("A3", "A9", "J10"),
+    doc="Embedding-distribution drift monitor: per (label, dimension), "
+    "the centroid of even-id vectors vs odd-id vectors (two "
+    "interleaved halves of the corpus — in production, yesterday's "
+    "batch vs today's) and the absolute per-dimension drift. "
+    "Computed on the shared 2^20 integer grid so the conditional "
+    "sums are exact; one aggregate pass, output = |labels| x dims "
+    "rows. Emitting per-dimension rows avoids any cross-dimension "
+    "float summation order — the whole check is bitwise stable.",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, label,
+    list_transform(embedding,
+      x -> CAST(trunc(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS v
+  FROM embeddings
+),
+dims AS (
+  SELECT label, dim, v[dim + 1] AS qv, vec_id % 2 AS half
+  FROM q, range(0, 64) t(dim)
+)
+SELECT label, CAST(dim AS INTEGER) AS dim,
+  CAST(SUM(CASE WHEN half = 0 THEN qv END) AS DOUBLE)
+    / SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) / 1048576.0 AS mean_even,
+  CAST(SUM(CASE WHEN half = 1 THEN qv END) AS DOUBLE)
+    / SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) / 1048576.0 AS mean_odd,
+  ABS(CAST(SUM(CASE WHEN half = 0 THEN qv END) AS DOUBLE)
+    / SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) / 1048576.0
+    - CAST(SUM(CASE WHEN half = 1 THEN qv END) AS DOUBLE)
+    / SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) / 1048576.0) AS abs_drift
+FROM dims GROUP BY label, dim
+""",
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings", spread=True)
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: (x.cast("double") * F.lit(1048576.0)).cast("long"),
+    )
+    dims = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(qv).alias("dim", "qv"),
+    )
+    s_even = F.sum(F.when(F.col("half") == 0, F.col("qv")))
+    n_even = F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+    s_odd = F.sum(F.when(F.col("half") == 1, F.col("qv")))
+    n_odd = F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+    mean_even = s_even.cast("double") / n_even / F.lit(1048576.0)
+    mean_odd = s_odd.cast("double") / n_odd / F.lit(1048576.0)
+    return dims.groupBy("label", F.col("dim").cast("int").alias("dim")).agg(
+        mean_even.alias("mean_even"),
+        mean_odd.alias("mean_odd"),
+        F.abs(mean_even - mean_odd).alias("abs_drift"),
+    )

@@ -923,3 +923,95 @@ def text_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio.alias("boiler_ratio"),
         (ratio <= 0.5).alias("keep"),
     )
+
+
+from .registry import _REGISTRY as _TXT_REGISTRY  # noqa: E402
+
+#: BM25 oracle spliced in as the `bm` CTE (a CTE body may carry its
+#: own WITH clause in DuckDB).
+_BM25_ORACLE = _TXT_REGISTRY["text_bm25_topk"].oracle
+
+
+@register(
+    "retrieval_rrf_fusion",
+    ops=("W4", "O1", "A9", "J5"),
+    doc="Hybrid retrieval via reciprocal-rank fusion (the RAG-stack "
+    "standard): BM25 top-20 and a length-normalized query-likelihood "
+    "top-20 for the same 3-term query are fused by "
+    "RRF(d) = Σ 1/(60 + rank_r(d)), full-outer-joined on doc so a "
+    "doc ranked by either ranker participates. Both rankers' costs "
+    "track query-term posting lists, the fusion join touches 40 "
+    "rows — at 100 TB the fusion stage is free and each ranker "
+    "scales independently.",
+    oracle=f"""
+WITH bm AS ({{bm}}),
+tok AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+),
+dl AS (SELECT doc_id, len({SQL_TOKENS}) AS dl FROM documents),
+qtf AS (
+  SELECT doc_id, COUNT(*) AS tf_sum FROM tok
+  WHERE term IN ({{terms}})
+  GROUP BY doc_id
+),
+ql AS (
+  SELECT doc_id, rnk FROM (
+    SELECT q.doc_id,
+      ROW_NUMBER() OVER (
+        ORDER BY CAST(q.tf_sum AS DOUBLE) / d.dl DESC, q.doc_id) AS rnk
+    FROM qtf q JOIN dl d USING (doc_id)
+  ) WHERE rnk <= 20
+),
+fused AS (
+  SELECT COALESCE(bm.doc_id, ql.doc_id) AS doc_id,
+    bm.rnk AS bm_rank, ql.rnk AS ql_rank,
+    COALESCE(1.0 / (60 + bm.rnk), 0.0)
+      + COALESCE(1.0 / (60 + ql.rnk), 0.0) AS rrf_score
+  FROM bm FULL OUTER JOIN ql ON bm.doc_id = ql.doc_id
+)
+SELECT doc_id, bm_rank, ql_rank, rrf_score, fused_rank FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= 10
+""".format(
+        bm=_BM25_ORACLE,
+        terms=_sql_list(BM25_QUERY),
+    ),
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    bm = text_bm25_topk(spark, sf_dir).select("doc_id", F.col("rnk").alias("bm_rank"))
+    d = table(spark, sf_dir, "documents", spread=True)
+    dl = d.select("doc_id", F.size(tokens_col()).alias("dl"))
+    qtf = (
+        d.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("tf_sum"))
+    )
+    ql_w = Window.orderBy(
+        (F.col("tf_sum").cast("double") / F.col("dl")).desc(), F.col("doc_id")
+    )
+    ql = (
+        qtf.join(dl, "doc_id")
+        .withColumn("ql_rank", F.row_number().over(ql_w))
+        .filter(F.col("ql_rank") <= 20)
+        .select("doc_id", "ql_rank")
+    )
+    fused = bm.join(ql, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm_rank",
+        "ql_rank",
+        (
+            F.coalesce(1.0 / (60 + F.col("bm_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("ql_rank")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    fw = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(fw))
+        .filter(F.col("fused_rank") <= 10)
+        .select("doc_id", "bm_rank", "ql_rank", "rrf_score", "fused_rank")
+    )
+
