@@ -1293,3 +1293,143 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("containment_a") >= 0.8) | (F.col("containment_b") >= 0.8))
     )
+
+
+DEC_J = "decimal(18,4)"  #: calibration-mean decimal (matches oracle cast)
+
+
+@register(
+    "lsh_threshold_sweep",
+    ops=("J1", "A3", "A9"),
+    doc="LSH estimator calibration: every banded-MinHash candidate "
+    "pair bucketed by its matching-signature count, each bucket "
+    "reporting pair volume, the implied estimate (matches/16) and "
+    "the decimal-exact mean TRUE Jaccard from a candidates-only "
+    "shingle intersection — the curve that tells you which "
+    "est-Jaccard threshold actually delivers a target precision "
+    "before you commit a 100 TB dedup run. Exact verification cost "
+    "is bounded by candidate volume (the LSH guarantee), and the "
+    "output is 17 rows.",
+    oracle=f"""
+WITH sig AS ({{sig}}),
+bands AS (
+  SELECT doc_id, band_id, band_hash FROM (
+    SELECT doc_id,
+      unnest([{{band_ids}}]) AS band_id,
+      unnest([{{band_hashes}}]) AS band_hash
+    FROM sig)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+    ({{matches}}) AS sig_matches
+  FROM cand c
+  JOIN sig sa ON c.doc_a = sa.doc_id
+  JOIN sig sb ON c.doc_b = sb.doc_id
+),
+sh AS ({{shingles}}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY c.doc_a, c.doc_b
+),
+pairs AS (
+  SELECT s.sig_matches,
+    CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+      / (za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0)) AS jaccard
+  FROM scored s
+  LEFT JOIN inter i ON s.doc_a = i.doc_a AND s.doc_b = i.doc_b
+  JOIN sizes za ON za.doc_id = s.doc_a
+  JOIN sizes zb ON zb.doc_id = s.doc_b
+)
+SELECT CAST(sig_matches AS INTEGER) AS sig_matches,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(sig_matches AS DOUBLE) / 16.0 AS est_jaccard,
+  CAST(SUM(CAST(jaccard AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+    AS mean_true_jaccard
+FROM pairs GROUP BY sig_matches
+""".format(
+        sig=_SQL_MINHASH_SIG,
+        band_ids=", ".join(str(j) for j in range(N_BANDS)),
+        band_hashes=", ".join(_band_exprs()),
+        matches=" + ".join(
+            f"CASE WHEN sa.m_{i} = sb.m_{i} THEN 1 ELSE 0 END" for i in range(16)
+        ),
+        shingles=SQL_DOC_SHINGLES,
+    ),
+)
+def lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_signature(spark, sf_dir)
+    zipped = F.explode(
+        F.arrays_zip(
+            F.array(*[F.lit(j) for j in range(N_BANDS)]).alias("band_id"),
+            F.array(*[F.expr(e) for e in _band_exprs()]).alias("band_hash"),
+        )
+    )
+    bands = sig.select("doc_id", zipped.alias("z")).select(
+        "doc_id",
+        F.col("z.band_id").alias("band_id"),
+        F.col("z.band_hash").alias("band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    matches = sum(
+        F.when(F.col(f"sa.m_{i}") == F.col(f"sb.m_{i}"), 1).otherwise(0)
+        for i in range(16)
+    )
+    scored = (
+        cand.join(sig.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", matches.alias("sig_matches"))
+    )
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(
+            sh_b,
+            (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
+    jac = F.coalesce("n_inter", F.lit(0)).cast("double") / (
+        F.col("n_sh_a") + F.col("n_sh_b") - F.coalesce("n_inter", F.lit(0))
+    )
+    pairs = (
+        scored.join(inter, ["doc_a", "doc_b"], "left")
+        .join(F.broadcast(za), "doc_a")
+        .join(F.broadcast(zb), "doc_b")
+        .select("sig_matches", jac.alias("jaccard"))
+    )
+    return pairs.groupBy(
+        F.col("sig_matches").cast("int").alias("sig_matches")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        (F.first("sig_matches").cast("double") / 16.0).alias("est_jaccard"),
+        (
+            F.sum(F.col("jaccard").cast(DEC_J)).cast("double") / F.count(F.lit(1))
+        ).alias("mean_true_jaccard"),
+    )
+

@@ -1015,3 +1015,120 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "bm_rank", "ql_rank", "rrf_score", "fused_rank")
     )
 
+
+
+#: text_langid oracle, spliced as a CTE by the confusion-matrix op.
+_LANGID_ORACLE = _TXT_REGISTRY["text_langid"].oracle
+
+
+@register(
+    "langid_confusion_matrix",
+    ops=("A1", "A9", "J1"),
+    doc="Language-ID evaluation: the marker-based predictor's "
+    "confusion matrix against the declared lang column, with "
+    "per-declared-language recall on the diagonal cells. The "
+    "classifier evaluation every corpus pipeline runs before "
+    "trusting a language filter; one aggregate over the per-doc "
+    "predictions, output <= |langs|² rows.",
+    oracle=f"""
+WITH pred AS ({_LANGID_ORACLE}),
+cells AS (
+  SELECT declared_lang, pred_lang, COUNT(*) AS n_docs
+  FROM pred GROUP BY 1, 2
+),
+totals AS (
+  SELECT declared_lang, SUM(n_docs) AS n_declared
+  FROM cells GROUP BY declared_lang
+)
+SELECT c.declared_lang, c.pred_lang, CAST(c.n_docs AS BIGINT) AS n_docs,
+  CAST(t.n_declared AS BIGINT) AS n_declared,
+  CAST(c.n_docs AS DOUBLE) / t.n_declared AS cell_rate,
+  c.declared_lang = c.pred_lang AS is_correct
+FROM cells c JOIN totals t ON c.declared_lang = t.declared_lang
+""",
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = text_langid(spark, sf_dir)
+    cells = pred.groupBy("declared_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = cells.groupBy("declared_lang").agg(
+        F.sum("n_docs").alias("n_declared")
+    )
+    return cells.join(F.broadcast(totals), "declared_lang").select(
+        "declared_lang",
+        "pred_lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_declared").cast("bigint").alias("n_declared"),
+        (F.col("n_docs").cast("double") / F.col("n_declared")).alias("cell_rate"),
+        (F.col("declared_lang") == F.col("pred_lang")).alias("is_correct"),
+    )
+
+
+@register(
+    "quality_decile_calibration",
+    ops=("W8", "A9", "A3"),
+    doc="Quality-filter calibration: documents deciled by THE shared "
+    "quality formula (textops.quality_score_col — same definition the "
+    "filter and the curation funnel use), each decile reporting its "
+    "score range and the keep-rule hit rate. A filter whose keep rate "
+    "doesn't rise monotonically with the score decile has a broken "
+    "formula — this is the one-glance check. NTILE over a "
+    "deterministically tiebroken order; one window + one aggregate.",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+feat AS (
+  SELECT doc_id,
+    len(w) AS n_tokens,
+    CAST(len(list_filter(w, t -> t IN ({_sql_list(STOPWORDS)}))) AS DOUBLE)
+      / len(w) AS stopword_ratio,
+    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS type_token_ratio
+  FROM tok
+),
+scored AS (
+  SELECT doc_id, n_tokens, stopword_ratio,
+    LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.4
+      + LEAST(1.0, stopword_ratio * 4.0) * 0.2
+      + type_token_ratio * 0.4 AS q
+  FROM feat
+),
+deciled AS (
+  SELECT doc_id, q, (n_tokens >= 10 AND stopword_ratio > 0.0) AS keep,
+    NTILE(10) OVER (ORDER BY q, doc_id) AS decile
+  FROM scored
+)
+SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  MIN(q) AS min_score, MAX(q) AS max_score,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+    AS keep_rate
+FROM deciled GROUP BY decile
+""",
+)
+def quality_decile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents", spread=True)
+    w = tokens_col()
+    stop = _sql_list(STOPWORDS)
+    sr = (
+        F.size(
+            F.expr(f"filter(split(trim(text), '\\\\s+'), t -> t IN ({stop}))")
+        ).cast("double")
+        / F.size(w)
+    )
+    scored = d.select(
+        "doc_id",
+        quality_score_col().alias("q"),
+        ((F.size(w) >= 10) & (sr > 0.0)).alias("keep"),
+    )
+    deciled = scored.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("q", "doc_id"))
+    )
+    return deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("q").alias("min_score"),
+        F.max("q").alias("max_score"),
+        (
+            F.sum(F.col("keep").cast("int")).cast("double") / F.count(F.lit(1))
+        ).alias("keep_rate"),
+    )
