@@ -438,3 +438,35 @@ def test_attribution_window_is_user_partitioned(spark, sf_dir):
     # `..., [user_id#N], [ts#M ASC ...]` after the aggregate list.
     assert re.search(r"Window .*\], \[user_id#\d+L?\], \[ts#", plan), plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "event_markov_transitions",
+        "event_session_pmi",
+        "dedup_containment",
+        "dedup_minhash_incremental",
+        "lsh_threshold_sweep",
+        "market_basket_lift",
+        "nation_trade_pagerank",
+        "snapshot_diff_cdc",
+        "weighted_percentiles",
+        "sketch_join_cardinality",
+        "multimodal_shard_packing",
+        "partition_stats_manifest",
+        "retrieval_rrf_fusion",
+        "embedding_centroid_drift",
+        "events_anomaly_mad",
+        "langid_confusion_matrix",
+        "quality_decile_calibration",
+        "salted_skew_join",
+    ],
+)
+def test_round5_ops_have_no_cartesian(spark, sf_dir, name):
+    """None of the round-5 operators may degrade to a cartesian pair
+    generator — every join is an equi-join or an explicitly
+    broadcast-tiny cross join (BroadcastNestedLoopJoin over one-row
+    aggregates is fine; CartesianProduct is not)."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
