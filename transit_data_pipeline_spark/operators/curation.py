@@ -387,3 +387,63 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_score",
         (F.col("doc_id") == F.col("canonical_doc_id")).alias("is_kept"),
     )
+
+
+@register(
+    "k_anonymity_audit",
+    ops=("A1", "A9", "F13"),
+    doc="k-anonymity release audit: customers bucketed by their "
+    "quasi-identifier tuple (nation, market segment, account-balance "
+    "band), equivalence classes counted, and the audit reports per-k "
+    "exposure — classes below k=5 and the fraction of individuals "
+    "they expose. The audit is one aggregate over the quasi-id key "
+    "(the partition key a 100 TB release pipeline would already "
+    "shard by); output is one row per class size.",
+    oracle="""
+WITH quasi AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+    CAST(FLOOR(c_acctbal / 1000.0) AS INTEGER) AS bal_band
+  FROM customer
+),
+classes AS (
+  SELECT nation, segment, bal_band, COUNT(*) AS class_size
+  FROM quasi GROUP BY 1, 2, 3
+),
+tot AS (SELECT CAST(SUM(class_size) AS BIGINT) AS n_people FROM classes)
+SELECT class_size,
+  CAST(COUNT(*) AS BIGINT) AS n_classes,
+  CAST(COUNT(*) * class_size AS BIGINT) AS n_people_in_size,
+  class_size < 5 AS violates_k5,
+  CAST(COUNT(*) * class_size AS DOUBLE) / t.n_people AS people_share
+FROM classes, tot t
+GROUP BY class_size, t.n_people
+""",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    quasi = c.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias("bal_band"),
+    )
+    classes = quasi.groupBy("nation", "segment", "bal_band").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    tot = classes.agg(F.sum("class_size").cast("bigint").alias("n_people"))
+    return (
+        classes.crossJoin(F.broadcast(tot))
+        .groupBy("class_size", "n_people")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_classes"))
+        .select(
+            "class_size",
+            "n_classes",
+            (F.col("n_classes") * F.col("class_size"))
+            .cast("bigint")
+            .alias("n_people_in_size"),
+            (F.col("class_size") < 5).alias("violates_k5"),
+            (
+                (F.col("n_classes") * F.col("class_size")).cast("double")
+                / F.col("n_people")
+            ).alias("people_share"),
+        )
+    )

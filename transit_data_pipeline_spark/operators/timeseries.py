@@ -229,3 +229,65 @@ def streaks_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_streaks"),
         F.max("streak_len").alias("max_streak_days"),
     )
+
+
+@register(
+    "seasonal_decompose_dow",
+    ops=("W9", "A3", "A9", "F1"),
+    doc="Classical seasonal decomposition, day-of-week component: "
+    "daily revenue detrended by a CENTERED 7-day moving average "
+    "(full windows only — edges yield NULL trend and drop out), "
+    "ratio-to-trend per day, seasonal index = decimal-exact mean "
+    "ratio per weekday. The daily pre-aggregate bounds the window at "
+    "days, not orders; one shuffle for the aggregate, one "
+    "unpartitioned-but-days-sized window.",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    {N.sql_dsum("o_totalprice")} AS rev
+  FROM orders GROUP BY 1
+),
+trended AS (
+  SELECT d, rev,
+    CASE WHEN COUNT(*) OVER w = 7
+         THEN CAST(SUM(CAST(rev AS DECIMAL(18,4))) OVER w AS DOUBLE) / 7
+    END AS trend,
+    dayofweek(d) + 1 AS dow  -- DuckDB 0=Sun .. 6; Spark 1=Sun .. 7
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+)
+SELECT CAST(dow AS INTEGER) AS dow,
+  CAST(COUNT(rev / trend) AS BIGINT) AS n_days,
+  CAST(SUM(CAST(rev / trend AS DECIMAL(18,10))) AS DOUBLE)
+    / COUNT(rev / trend) AS seasonal_index,
+  MIN(rev / trend) AS min_ratio,
+  MAX(rev / trend) AS max_ratio
+FROM trended
+WHERE trend IS NOT NULL
+GROUP BY dow
+""",
+)
+def seasonal_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        N.dsum("o_totalprice").alias("rev")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    trend = F.when(
+        F.count(F.lit(1)).over(w) == 7,
+        F.sum(F.col("rev").cast(N.DEC)).over(w).cast("double") / 7,
+    )
+    trended = daily.select(
+        F.dayofweek("d").alias("dow"),
+        "rev",
+        trend.alias("trend"),
+    ).filter(F.col("trend").isNotNull())
+    ratio = F.col("rev") / F.col("trend")
+    return trended.groupBy(F.col("dow").cast("int").alias("dow")).agg(
+        F.count(ratio).cast("bigint").alias("n_days"),
+        (
+            F.sum(ratio.cast("decimal(18,10)")).cast("double") / F.count(ratio)
+        ).alias("seasonal_index"),
+        F.min(ratio).alias("min_ratio"),
+        F.max(ratio).alias("max_ratio"),
+    )
