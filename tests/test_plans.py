@@ -461,6 +461,13 @@ def test_attribution_window_is_user_partitioned(spark, sf_dir):
         "langid_confusion_matrix",
         "quality_decile_calibration",
         "salted_skew_join",
+        "interval_coverage",
+        "ohlc_bars",
+        "time_weighted_avg",
+        "chi2_feature_relevance",
+        "feature_hashing",
+        "tokenizer_fertility",
+        "compaction_binpack",
     ],
 )
 def test_round5_ops_have_no_cartesian(spark, sf_dir, name):

@@ -760,3 +760,136 @@ def similarity_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "adc_dist",
         F.col("xn").isNotNull().alias("in_exact_top5"),
     )
+
+
+# --- feature relevance + vectorization ------------------------------
+
+#: md5 hex digit i (1-based) of an expression, as 0..15 — portable to
+#: DuckDB verbatim (both engines share instr/substring/md5).
+_HEX_OF = "instr('0123456789abcdef', substring(md5({e}), {i}, 1)) - 1"
+
+#: Hashing-trick geometry: 64 buckets, sign bit from the 3rd hex digit.
+HASH_BUCKETS = 64
+
+
+@register(
+    "chi2_feature_relevance",
+    ops=("A1", "J10", "W12"),
+    doc="Chi-square feature relevance between order priority and order "
+    "status: full contingency grid (distinct×distinct broadcast cross "
+    "of two tiny dims, zero-filled cells), margins via window sums "
+    "over the 15-row grid, per-cell (O·N − R·C)²/(N·R·C) computed "
+    "from EXACT integer margins (the double division is per-row IEEE, "
+    "deterministic), per-priority contribution summed in decimal. The "
+    "feature-selection screen of D6 the reference leaves to sklearn "
+    "(`train_delay_model.py:210-260`). One fact-table agg shuffles; "
+    "everything after runs on a 15-row frame. Long margins are exact "
+    "to N ≈ 3e9 rows; swap to decimal(38) margins beyond.",
+    oracle="""
+WITH cells AS (
+  SELECT o_orderpriority AS p, o_orderstatus AS st, COUNT(*) AS o
+  FROM orders GROUP BY 1, 2
+),
+grid AS (
+  SELECT pp.p, ss.st
+  FROM (SELECT DISTINCT o_orderpriority AS p FROM orders) pp
+  CROSS JOIN (SELECT DISTINCT o_orderstatus AS st FROM orders) ss
+),
+full_g AS (
+  SELECT g.p, g.st, COALESCE(c.o, 0) AS o
+  FROM grid g LEFT JOIN cells c ON c.p = g.p AND c.st = g.st
+),
+m AS (
+  SELECT p, st, o,
+         CAST(SUM(o) OVER (PARTITION BY p) AS BIGINT) AS r,
+         CAST(SUM(o) OVER (PARTITION BY st) AS BIGINT) AS c,
+         CAST(SUM(o) OVER () AS BIGINT) AS n
+  FROM full_g
+)
+SELECT p AS priority,
+  CAST(MAX(r) AS BIGINT) AS row_total,
+  COUNT(*) AS n_cells,
+  CAST(SUM(CAST(
+    (CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE))
+      / (CAST(n AS DOUBLE) * r * c)
+    AS DECIMAL(18,10))) AS DOUBLE) AS chi2_contrib
+FROM m
+GROUP BY p
+""",
+)
+def chi2_feature_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("st")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    grid = (
+        o.select(F.col("o_orderpriority").alias("p"))
+        .distinct()
+        .crossJoin(F.broadcast(o.select(F.col("o_orderstatus").alias("st")).distinct()))
+    )
+    full_g = grid.join(cells, ["p", "st"], "left").withColumn(
+        "o", F.coalesce(F.col("o"), F.lit(0)).cast("long")
+    )
+    m = full_g.select(
+        "p",
+        "st",
+        "o",
+        F.sum("o").over(Window.partitionBy("p")).alias("r"),
+        F.sum("o").over(Window.partitionBy("st")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    dev = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    contrib = dev * dev / (
+        F.col("n").cast("double") * F.col("r") * F.col("c")
+    )
+    return m.groupBy(F.col("p").alias("priority")).agg(
+        F.max("r").cast("long").alias("row_total"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(contrib.cast("decimal(18,10)")).cast("double").alias("chi2_contrib"),
+    )
+
+
+@register(
+    "feature_hashing",
+    ops=("F10", "A1", "A2"),
+    doc="Hashing-trick vectorization (Weinberger et al.): every "
+    "whitespace token hashes to one of 64 buckets via two md5 hex "
+    "digits, a third digit supplies the ± sign, and the corpus "
+    "collapses to per-bucket signed counts — the fixed-width, "
+    "vocabulary-free featurizer used when a 100 TB corpus can't "
+    "afford a vocabulary build. Stateless per-row hash (same md5 "
+    "spelling as hash_split_3way) → explode + one hash agg; no "
+    "vocabulary table, no global sort.",
+    oracle=f"""
+WITH tok AS (SELECT unnest({SQL_TOKENS}) AS w FROM documents),
+h AS (
+  SELECT w,
+         (({_HEX_OF.format(e='w', i=1)}) * 16 + ({_HEX_OF.format(e='w', i=2)}))
+           % {HASH_BUCKETS} AS bucket,
+         CASE WHEN ({_HEX_OF.format(e='w', i=3)}) < 8 THEN 1 ELSE -1 END AS sgn
+  FROM tok
+)
+SELECT bucket,
+  COUNT(*) AS n_tokens,
+  COUNT(DISTINCT w) AS n_distinct_tokens,
+  CAST(SUM(sgn) AS BIGINT) AS signed_count
+FROM h
+GROUP BY bucket
+""",
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    tok = d.select(F.explode(tokens_col()).alias("w"))
+    h1 = F.expr(_HEX_OF.format(e="w", i=1))
+    h2 = F.expr(_HEX_OF.format(e="w", i=2))
+    h3 = F.expr(_HEX_OF.format(e="w", i=3))
+    h = tok.select(
+        "w",
+        ((h1 * 16 + h2) % HASH_BUCKETS).alias("bucket"),
+        F.when(h3 < 8, F.lit(1)).otherwise(F.lit(-1)).alias("sgn"),
+    )
+    return h.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("w").alias("n_distinct_tokens"),
+        F.sum("sgn").cast("long").alias("signed_count"),
+    )

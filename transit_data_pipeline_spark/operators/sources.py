@@ -18,7 +18,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -729,4 +729,76 @@ def partition_stats_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_null_status"),
         F.countDistinct("o_orderstatus").alias("n_statuses"),
         N.dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+#: Compaction planner geometry: modeled row width and target bin size.
+FILE_ROW_BYTES = 128
+COMPACT_TARGET_BYTES = 65536
+
+
+@register(
+    "compaction_binpack",
+    ops=("A3", "W11", "F5"),
+    doc="Small-file compaction planner (the OPTIMIZE/bin-packing step "
+    "every 100 TB lakehouse table needs): model each (priority, "
+    "month) partition slice as one file (rows × 128 B), then assign "
+    "files to target-sized compaction bins by next-fit over the "
+    "running byte total — bin = floor((cumsum − bytes) / 64 KiB) per "
+    "priority — and emit the per-bin work orders. The plan runs on "
+    "the MANIFEST (partitions, not rows): one fact agg shuffles, the "
+    "window sorts a KB-sized frame per priority. Files larger than "
+    "the target get a bin of their own (next-fit semantics).",
+    oracle=f"""
+WITH files AS (
+  SELECT o_orderpriority AS priority,
+         strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         COUNT(*) AS n_rows,
+         COUNT(*) * {FILE_ROW_BYTES} AS est_bytes
+  FROM orders GROUP BY 1, 2
+),
+packed AS (
+  SELECT *,
+    CAST((SUM(est_bytes) OVER (PARTITION BY priority ORDER BY month
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - est_bytes)
+         // {COMPACT_TARGET_BYTES} AS BIGINT) AS bin_id
+  FROM files
+)
+SELECT priority, bin_id,
+  COUNT(*) AS n_files,
+  CAST(SUM(n_rows) AS BIGINT) AS bin_rows,
+  CAST(SUM(est_bytes) AS BIGINT) AS bin_bytes,
+  MIN(month) AS first_month,
+  MAX(month) AS last_month
+FROM packed
+GROUP BY 1, 2
+""",
+)
+def compaction_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    files = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    files = files.withColumn(
+        "est_bytes", F.col("n_rows") * F.lit(FILE_ROW_BYTES)
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = files.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("est_bytes").over(w) - F.col("est_bytes"))
+            / F.lit(COMPACT_TARGET_BYTES)
+        ).cast("long"),
+    )
+    return packed.groupBy("priority", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").cast("long").alias("bin_rows"),
+        F.sum("est_bytes").cast("long").alias("bin_bytes"),
+        F.min("month").alias("first_month"),
+        F.max("month").alias("last_month"),
     )

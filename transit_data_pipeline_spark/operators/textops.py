@@ -1132,3 +1132,47 @@ def quality_decile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("keep").cast("int")).cast("double") / F.count(F.lit(1))
         ).alias("keep_rate"),
     )
+
+
+@register(
+    "tokenizer_fertility",
+    ops=("A3", "A9", "F10"),
+    doc="Tokenizer fertility audit: per (lang, source) corpus slice, "
+    "the ratio of BPE-ish pre-tokens to whitespace words (fertility — "
+    "how many subword tokens the tokenizer spends per word) and "
+    "chars-per-BPE-token, from EXACT integer token totals (the "
+    "division is one per-group double op, deterministic). The "
+    "standard multi-lingual token-budget planner: a high-fertility "
+    "slice burns training budget, a sub-1 slice signals whitespace-"
+    "free noise. Pure codegen token counts + one hash agg.",
+    oracle=f"""
+SELECT lang, source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(len(regexp_extract_all(text, '{_SQL_BPE}'))) AS BIGINT) AS total_bpe_tokens,
+  CAST(SUM(len({SQL_TOKENS})) AS BIGINT) AS total_ws_tokens,
+  CAST(SUM(len(regexp_extract_all(text, '{_SQL_BPE}'))) AS DOUBLE)
+    / CAST(SUM(len({SQL_TOKENS})) AS DOUBLE) AS fertility,
+  CAST(SUM(length(text)) AS DOUBLE)
+    / CAST(SUM(len(regexp_extract_all(text, '{_SQL_BPE}'))) AS DOUBLE)
+    AS chars_per_bpe_token
+FROM documents
+GROUP BY lang, source
+""",
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    n_bpe = F.size(F.expr(f'regexp_extract_all(text, "{BPE_PATTERN}", 0)')).cast("long")
+    n_ws = F.size(tokens_col()).cast("long")
+    per_doc = d.select(
+        "lang", "source", n_bpe.alias("nb"), n_ws.alias("nw"),
+        F.length("text").cast("long").alias("nc"),
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nb").cast("long").alias("total_bpe_tokens"),
+        F.sum("nw").cast("long").alias("total_ws_tokens"),
+        (F.sum("nb").cast("double") / F.sum("nw").cast("double")).alias("fertility"),
+        (F.sum("nc").cast("double") / F.sum("nb").cast("double")).alias(
+            "chars_per_bpe_token"
+        ),
+    )

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions import numeric as N
+from .events import SQL_EVENT_TIME
 from .registry import register
 
 #: Shared daily pre-aggregate (1996 slice of orders, per priority).
@@ -290,4 +291,199 @@ def seasonal_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("seasonal_index"),
         F.min(ratio).alias("min_ratio"),
         F.max(ratio).alias("max_ratio"),
+    )
+
+
+# --- interval analytics over the event stream -----------------------
+#
+# The three operators below extend the gap-aware family from daily
+# spines to raw event intervals: union-of-intervals coverage (the
+# classic "merge overlapping sessions" sweep), OHLC bar resampling
+# (the hypertable `time_bucket` + first/last pattern), and
+# time-weighted averaging for irregularly-sampled series (the standard
+# IoT/finance aggregate that a plain AVG gets wrong when sampling is
+# bursty). All three are window + hash-agg compositions partitioned by
+# a key (user_id / event_type / event_type×day) — per-key sorts, no
+# global sort, no UDFs; exact integer-second arithmetic end to end.
+
+#: Each event opens a 15-minute presence interval.
+INTERVAL_SECONDS = 900
+
+#: Epoch-seconds spelling on the raw nanosecond `ts` column.
+_SQL_EPOCH_S = "(epoch_ns(ts) // 1000000000)"
+
+
+@register(
+    "interval_coverage",
+    ops=("W4", "W14", "A3"),
+    doc="Union-of-intervals coverage: each event opens a 15-min "
+    "presence interval per user; overlapping intervals are merged by "
+    "the running-max sweep (MAX(end) OVER preceding rows starts a new "
+    "island when the next start clears it) and rolled up to per-user "
+    "covered seconds — the interval-merge dual of sessionization "
+    "(ref consecutive-delay islands, `sql/analysis_queries.sql:252-271`). "
+    "One per-user sort; exact integer seconds.",
+    oracle=f"""
+WITH iv AS (
+  SELECT user_id, event_id, {_SQL_EPOCH_S} AS s,
+         {_SQL_EPOCH_S} + {INTERVAL_SECONDS} AS e
+  FROM events
+),
+m AS (
+  SELECT *, MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS prev_max_e
+  FROM iv
+),
+isl AS (
+  SELECT *, SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m
+),
+g AS (
+  SELECT user_id, island, MIN(s) AS i_start, MAX(e) AS i_end,
+         COUNT(*) AS n_ev
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(SUM(n_ev) AS BIGINT) AS n_events,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(i_end - i_start) AS BIGINT) AS covered_seconds,
+       CAST(MAX(i_end - i_start) AS BIGINT) AS max_interval_seconds
+FROM g
+GROUP BY user_id
+""",
+)
+def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000000000").alias("s"),
+    ).withColumn("e", F.col("s") + F.lit(INTERVAL_SECONDS))
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = iv.withColumn("prev_max_e", F.max("e").over(w_prev))
+    isl = m.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")),
+                1,
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    g = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("i_start"),
+        F.max("e").alias("i_end"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    return g.groupBy("user_id").agg(
+        F.sum("n_ev").cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("i_end") - F.col("i_start")).cast("long").alias("covered_seconds"),
+        F.max(F.col("i_end") - F.col("i_start")).cast("long").alias("max_interval_seconds"),
+    )
+
+
+@register(
+    "ohlc_bars",
+    ops=("W13", "A3", "F5"),
+    doc="OHLC bar resampling: per event-type per day, open/close from "
+    "first/last value in (ts, event_id) order over the full-frame "
+    "window, high/low/count/decimal-exact mean from the same frame — "
+    "the hypertable time_bucket + first()/last() rollup the reference "
+    "approximates with correlated min-timestamp lookups. One "
+    "partitioned sort per (type, day); no self-join, no UDF.",
+    oracle=f"""
+SELECT DISTINCT event_type,
+  strftime(CAST({SQL_EVENT_TIME} AS DATE), '%Y-%m-%d') AS bar_day,
+  first_value(value) OVER w AS open,
+  MAX(value) OVER w AS high,
+  MIN(value) OVER w AS low,
+  last_value(value) OVER w AS close,
+  COUNT(*) OVER w AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+    / COUNT(*) OVER w AS bar_avg
+FROM events
+WINDOW w AS (PARTITION BY event_type, CAST({SQL_EVENT_TIME} AS DATE)
+             ORDER BY {_SQL_EPOCH_S}, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").withColumn(
+        "bar_date", F.to_date("event_time")
+    )
+    w = (
+        Window.partitionBy("event_type", "bar_date")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "event_type",
+        F.date_format("bar_date", "yyyy-MM-dd").alias("bar_day"),
+        F.first("value").over(w).alias("open"),
+        F.max("value").over(w).alias("high"),
+        F.min("value").over(w).alias("low"),
+        F.last("value").over(w).alias("close"),
+        F.count(F.lit(1)).over(w).alias("n_events"),
+        (
+            F.sum(F.col("value").cast(N.DEC)).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("bar_avg"),
+    ).distinct()
+
+
+@register(
+    "time_weighted_avg",
+    ops=("W14", "A9", "A3"),
+    doc="Time-weighted average for irregularly-sampled series: each "
+    "value weighted by its holding duration (LEAD(ts) − ts seconds, "
+    "last observation per type carries no weight), TWA = Σ(value·dt) "
+    "/ Σ(dt) with the product summed in exact decimal — the IoT/"
+    "finance aggregate a plain AVG mis-states under bursty sampling. "
+    "Reported beside the unweighted mean so the sampling bias is "
+    "visible. One per-type sort, one hash agg.",
+    oracle=f"""
+WITH seq AS (
+  SELECT event_type, value, {_SQL_EPOCH_S} AS s,
+         LEAD({_SQL_EPOCH_S}) OVER (PARTITION BY event_type
+                                    ORDER BY {_SQL_EPOCH_S}, event_id) AS s_next
+  FROM events
+),
+d AS (SELECT event_type, value, s, s_next - s AS dt FROM seq)
+SELECT event_type,
+  COUNT(*) AS n_events,
+  CAST(MAX(s) - MIN(s) AS BIGINT) AS span_seconds,
+  CAST(SUM(CAST(value * dt AS DECIMAL(18,4))) AS DOUBLE)
+    / CAST(SUM(dt) AS DOUBLE) AS time_weighted_avg,
+  {N.sql_davg("value")} AS simple_avg
+FROM d
+GROUP BY event_type
+""",
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").withColumn(
+        "s", F.expr("ts div 1000000000")
+    )
+    w = Window.partitionBy("event_type").orderBy("s", "event_id")
+    d = e.withColumn("dt", F.lead("s").over(w) - F.col("s"))
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("s") - F.min("s")).cast("long").alias("span_seconds"),
+        (
+            F.sum((F.col("value") * F.col("dt")).cast(N.DEC)).cast("double")
+            / F.sum("dt").cast("double")
+        ).alias("time_weighted_avg"),
+        N.davg("value").alias("simple_avg"),
     )
