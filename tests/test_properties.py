@@ -349,3 +349,112 @@ def test_shard_packing_respects_sequential_rule(spark, sf_dir):
         shards.sort(key=lambda r: r.shard_id)
         for a, b in zip(shards, shards[1:]):
             assert a.last_doc < b.first_doc, (src, a, b)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 60)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_interval_coverage_matches_sweep(spark, pairs):
+    """The running-max interval-merge window must produce the same
+    per-user covered length and interval count as a python sweep over
+    sorted [s, s+L) intervals (L=10), including touching-but-not-
+    overlapping intervals (s == prev end starts a NEW island: the
+    operator merges only true overlap, s > prev_max_e tests strict)."""
+    from pyspark.sql import Window
+
+    L = 10
+    rows = [(u, i, s) for i, (u, s) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, s int")
+    iv = df.withColumn("e", F.col("s") + F.lit(L))
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = iv.withColumn("prev_max_e", F.max("e").over(w_prev)).withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    g = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("i_start"), F.max("e").alias("i_end")
+    )
+    got = {
+        r.user_id: (r.n, r.cov)
+        for r in g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("i_end") - F.col("i_start")).alias("cov"),
+        )
+        .collect()
+    }
+    expect = {}
+    for u in sorted({u for u, _ in pairs}):
+        starts = sorted(s for uu, s in pairs if uu == u)
+        merged = []
+        for s in starts:
+            if merged and s <= merged[-1][1]:  # s == end stays in island
+                merged[-1][1] = max(merged[-1][1], s + L)
+            else:
+                merged.append([s, s + L])
+        expect[u] = (len(merged), sum(e - s for s, e in merged))
+    assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100), st.integers(-50, 50)),
+        min_size=2,
+        max_size=20,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_time_weighted_avg_matches_bruteforce(spark, triples):
+    """TWA over integer values/timestamps must equal the exact
+    fraction Σ(v·dt)/Σ(dt) computed in python (integer arithmetic —
+    no float tolerance needed); keys with a single observation yield
+    NULL (no holding intervals)."""
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    rows = [(k, i, s, float(v)) for i, (k, s, v) in enumerate(triples)]
+    df = spark.createDataFrame(rows, "k int, event_id int, s long, value double")
+    w = Window.partitionBy("k").orderBy("s", "event_id")
+    d = df.withColumn("dt", F.lead("s").over(w) - F.col("s"))
+    got = {
+        r.k: r.twa
+        for r in d.groupBy("k")
+        .agg(
+            (
+                F.sum((F.col("value") * F.col("dt")).cast(N.DEC)).cast("double")
+                / F.sum("dt").cast("double")
+            ).alias("twa")
+        )
+        .collect()
+    }
+    by_k = {}
+    for k, s, v in triples:
+        by_k.setdefault(k, []).append((s, v))
+    for k, obs in by_k.items():
+        obs.sort()
+        num = sum(Fraction(v) * (s2 - s1) for (s1, v), (s2, _) in zip(obs, obs[1:]))
+        den = sum(s2 - s1 for (s1, _), (s2, _) in zip(obs, obs[1:]))
+        if den == 0:
+            assert got[k] is None or got[k] != got[k]  # NULL or NaN (0/0)
+        else:
+            assert abs(got[k] - float(Fraction(num, den))) < 1e-9, (k, got[k])
