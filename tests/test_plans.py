@@ -468,6 +468,12 @@ def test_attribution_window_is_user_partitioned(spark, sf_dir):
         "feature_hashing",
         "tokenizer_fertility",
         "compaction_binpack",
+        "ab_test_zscore",
+        "pareto_frontier",
+        "ks_two_sample",
+        "mutual_information",
+        "benford_audit",
+        "layout_run_length",
     ],
 )
 def test_round5_ops_have_no_cartesian(spark, sf_dir, name):

@@ -896,3 +896,102 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("mad_rate").alias("mad_rate"),
         F.sum(is_anom).cast("bigint").alias("n_anomalous_hours"),
     )
+
+
+@register(
+    "ab_test_zscore",
+    ops=("A5", "A9", "P5"),
+    doc="Two-proportion A/B significance test: users assigned to "
+    "variant A/B by the stateless md5 parity split (same recipe as "
+    "hash_split_3way — reproducible on any cluster layout), "
+    "conversion = ≥15 purchase events, z = (pA − pB) / "
+    "sqrt(p̄(1−p̄)(1/nA+1/nB)). Counts are exact integers; the z "
+    "arithmetic is per-row IEEE (sqrt is correctly rounded), so the "
+    "single output row is bitwise deterministic. One user-level "
+    "aggregate shuffles; the test itself runs on 2 rows.",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+    CASE WHEN (instr('0123456789abcdef',
+                substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+         THEN 'A' ELSE 'B' END AS variant,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15 AS INT)
+      AS converted
+  FROM events GROUP BY 1
+),
+v AS (
+  SELECT variant, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS conv
+  FROM per_user GROUP BY 1
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN variant = 'A' THEN n END) AS n_a,
+    MAX(CASE WHEN variant = 'B' THEN n END) AS n_b,
+    MAX(CASE WHEN variant = 'A' THEN conv END) AS conv_a,
+    MAX(CASE WHEN variant = 'B' THEN conv END) AS conv_b
+  FROM v
+)
+SELECT n_a, n_b, conv_a, conv_b,
+  CAST(conv_a AS DOUBLE) / n_a AS p_a,
+  CAST(conv_b AS DOUBLE) / n_b AS p_b,
+  (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+           * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+           * (1.0 / n_a + 1.0 / n_b)) AS z_score,
+  abs((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+           * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+           * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant
+FROM w
+""",
+)
+def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    variant = F.when(
+        (
+            F.expr(
+                "instr('0123456789abcdef',"
+                " substring(md5(cast(user_id as string)), 1, 1)) - 1"
+            )
+            % 2
+        )
+        == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    per_user = e.groupBy("user_id", variant.alias("variant")).agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 15
+        )
+        .cast("int")
+        .alias("converted")
+    )
+    v = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == "A", F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("conv"))).alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (p_a - p_b) / F.sqrt(
+        p_pool
+        * (F.lit(1.0) - p_pool)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return w.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        z.alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -408,4 +408,97 @@ def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.round(F.log(F.col("share_cur") / F.col("share_base")), 4),
             6,
         ).alias("psi_contrib"),
+    )
+
+
+@register(
+    "ks_two_sample",
+    ops=("W11", "A9", "P5"),
+    doc="Two-sample Kolmogorov–Smirnov statistic between the "
+    "o_totalprice distributions of urgent (1-URGENT/2-HIGH) and "
+    "normal orders — the distribution-shift test that complements "
+    "feature_drift_psi's binned PSI with a bin-free supremum. "
+    "Computed EXACTLY in integer space: per distinct price, "
+    "cumulative counts cumA/cumB via one value-ordered window, "
+    "D·nA·nB = max|cumA·nB − cumB·nA| as a bigint; the single "
+    "division happens once on the final row. The value-level "
+    "pre-aggregate bounds the window at distinct values; at 100 TB "
+    "swap the global value sort for a range-partitioned sort "
+    "(the cum-merge is associative).",
+    oracle="""
+WITH tagged AS (
+  SELECT o_totalprice AS v,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS is_a
+  FROM orders
+),
+per_v AS (
+  SELECT v, CAST(SUM(is_a) AS BIGINT) AS a,
+         CAST(SUM(1 - is_a) AS BIGINT) AS b
+  FROM tagged GROUP BY v
+),
+cum AS (
+  SELECT v,
+    CAST(SUM(a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+    CAST(SUM(b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+  FROM per_v
+),
+tot AS (SELECT MAX(cum_a) AS n_a, MAX(cum_b) AS n_b FROM cum),
+sc AS (
+  SELECT abs(cum_a * t.n_b - cum_b * t.n_a) AS ds FROM cum, tot t
+)
+SELECT t.n_a, t.n_b,
+       CAST(MAX(ds) AS BIGINT) AS d_scaled,
+       CAST(MAX(ds) AS DOUBLE) / (t.n_a * t.n_b) AS ks_d
+FROM sc, tot t
+GROUP BY t.n_a, t.n_b
+""",
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    tagged = o.select(
+        F.col("o_totalprice").alias("v"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("is_a"),
+    )
+    per_v = tagged.groupBy("v").agg(
+        F.sum("is_a").cast("long").alias("a"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("long").alias("b"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_v.select(
+        "v",
+        F.sum("a").over(w).cast("long").alias("cum_a"),
+        F.sum("b").over(w).cast("long").alias("cum_b"),
+    )
+    w_all = Window.partitionBy()
+    scaled = cum.select(
+        "cum_a",
+        "cum_b",
+        F.max("cum_b").over(w_all).alias("n_b_all"),
+        F.max("cum_a").over(w_all).alias("n_a_all"),
+    ).select(
+        "cum_a",
+        "cum_b",
+        "n_a_all",
+        "n_b_all",
+        F.abs(
+            F.col("cum_a") * F.col("n_b_all") - F.col("cum_b") * F.col("n_a_all")
+        ).alias("ds"),
+    )
+    tot = scaled.agg(
+        F.max("cum_a").alias("n_a"),
+        F.max("cum_b").alias("n_b"),
+        F.max("ds").cast("long").alias("d_scaled"),
+    )
+    return tot.select(
+        "n_a",
+        "n_b",
+        "d_scaled",
+        (F.col("d_scaled").cast("double") / (F.col("n_a") * F.col("n_b"))).alias(
+            "ks_d"
+        ),
     )

@@ -893,3 +893,65 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("w").alias("n_distinct_tokens"),
         F.sum("sgn").cast("long").alias("signed_count"),
     )
+
+
+@register(
+    "mutual_information",
+    ops=("A1", "J10", "W12"),
+    doc="Mutual information between order priority and status, the "
+    "information-theoretic twin of chi2_feature_relevance (same "
+    "contingency grid, margins from the same 15-row window pass): "
+    "MI = Σ (o/N)·ln(o·N/(R·C)) over observed cells. The ln result "
+    "is rounded to 4 decimals BEFORE the exact-decimal multiply-"
+    "accumulate (ln is the one non-IEEE-pinned op between JVM and "
+    "libm — same recipe as text_bigram_perplexity), o·N and R·C are "
+    "exact bigints, so the score is bitwise reproducible. Output in "
+    "nats, per priority, with the per-priority cell count.",
+    oracle="""
+WITH cells AS (
+  SELECT o_orderpriority AS p, o_orderstatus AS st, COUNT(*) AS o
+  FROM orders GROUP BY 1, 2
+),
+m AS (
+  SELECT p, st, o,
+         CAST(SUM(o) OVER (PARTITION BY p) AS BIGINT) AS r,
+         CAST(SUM(o) OVER (PARTITION BY st) AS BIGINT) AS c,
+         CAST(SUM(o) OVER () AS BIGINT) AS n
+  FROM cells
+)
+SELECT p AS priority,
+  COUNT(*) AS n_cells,
+  CAST(SUM(CAST(
+    o * ROUND(LN(CAST(o AS DOUBLE) * n / (CAST(r AS DOUBLE) * c)), 4)
+    AS DECIMAL(28,8))) AS DOUBLE) / MAX(n) AS mi_contrib_nats
+FROM m
+GROUP BY p
+""",
+)
+def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("st")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    m = cells.select(
+        "p",
+        "st",
+        "o",
+        F.sum("o").over(Window.partitionBy("p")).alias("r"),
+        F.sum("o").over(Window.partitionBy("st")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    term = F.col("o") * F.round(
+        F.log(
+            F.col("o").cast("double")
+            * F.col("n")
+            / (F.col("r").cast("double") * F.col("c"))
+        ),
+        4,
+    )
+    return m.groupBy(F.col("p").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            F.sum(term.cast("decimal(28,8)")).cast("double") / F.max("n")
+        ).alias("mi_contrib_nats"),
+    )

@@ -7,7 +7,7 @@ cluster-reproducible replacement for ORDER BY RANDOM(), O2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -1050,4 +1050,136 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.col("rank").cast("bigint").alias("rank_int"),
         (F.col("rank").cast("double") / F.lit(float(_PR_SCALE))).alias("rank_share"),
+    )
+
+
+@register(
+    "benford_audit",
+    ops=("F13", "A9", "P5"),
+    doc="Benford's-law first-digit audit over order prices — the "
+    "fraud/synthetic-data screen: leading significant digit taken "
+    "from the EXACT integer cents (string of a bigint — never "
+    "double→string formatting, which engines render differently), "
+    "observed share in exact ppm (n·1e6 DIV total), Benford expected "
+    "share ln(1+1/d)/ln(10) rounded to 6 decimals, and the absolute "
+    "deviation. One aggregate pass; the audit itself is 9 rows.",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(substring(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS INT) AS d
+  FROM orders
+  WHERE o_totalprice > 0
+),
+cnt AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt)
+SELECT d AS first_digit,
+  CAST(n AS BIGINT) AS n,
+  CAST((n * 1000000) // t.total AS BIGINT) AS observed_ppm,
+  ROUND(LN(1.0 + 1.0 / d) / LN(10.0), 6) AS benford_share,
+  abs(CAST(n AS DOUBLE) / t.total - ROUND(LN(1.0 + 1.0 / d) / LN(10.0), 6))
+    AS abs_deviation
+FROM cnt, tot t
+""",
+)
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    d = (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("d")
+        )
+    )
+    cnt = d.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(F.sum("n").cast("long").alias("total"))
+    benford = F.round(F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0)), 6)
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("first_digit"),
+        F.col("n").cast("long").alias("n"),
+        F.expr("(n * 1000000) div total").cast("long").alias("observed_ppm"),
+        benford.alias("benford_share"),
+        F.abs(F.col("n").cast("double") / F.col("total") - benford).alias(
+            "abs_deviation"
+        ),
+    )
+
+
+#: Candidate sort keys evaluated by the layout advisor.
+_RLE_KEYS = ("o_orderdate", "o_custkey")
+
+
+@register(
+    "layout_run_length",
+    ops=("W14", "A3", "F5"),
+    doc="Write-layout advisor, the sort-key companion to "
+    "zorder_key_layout: for each candidate sort key, count the "
+    "value runs o_orderstatus would form if the table were written "
+    "sorted by (month, key) — runs = Σ[LAG IS DISTINCT FROM value] per month partition "
+    "(the NULL lag counts each partition's first run) — and report the implied RLE compression ratio. "
+    "Month-partitioned windows (the file-level sort a real writer "
+    "does), so no global sort; output = candidate keys, not rows.",
+    oracle=f"""
+WITH base AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         o_orderdate, o_custkey, o_orderkey, o_orderstatus
+  FROM orders
+),
+{','.join(f'''
+r_{k} AS (
+  SELECT month,
+    CASE WHEN LAG(o_orderstatus) OVER (PARTITION BY month
+           ORDER BY {k}, o_orderkey) IS DISTINCT FROM o_orderstatus
+         THEN 1 ELSE 0 END AS is_break
+  FROM base
+),
+s_{k} AS (
+  SELECT '{k}' AS sort_key, COUNT(*) AS n_rows,
+         CAST(SUM(is_break) AS BIGINT) AS n_runs
+  FROM r_{k}
+)''' for k in _RLE_KEYS)}
+SELECT sort_key, n_rows, n_runs,
+  CAST(n_rows AS DOUBLE) / n_runs AS avg_run_len
+FROM (SELECT * FROM s_o_orderdate UNION ALL SELECT * FROM s_o_custkey)
+""",
+)
+def layout_run_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        ),
+        "o_orderdate",
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+    )
+    parts = []
+    for k in _RLE_KEYS:
+        w = Window.partitionBy("month").orderBy(k, "o_orderkey")
+        breaks = base.select(
+            F.when(
+                ~F.lag("o_orderstatus").over(w).eqNullSafe(F.col("o_orderstatus")),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_break")
+        )
+        parts.append(
+            breaks.agg(
+                F.lit(k).alias("sort_key"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("is_break").cast("long").alias("n_runs"),
+            )
+        )
+    out = parts[0].unionAll(parts[1])
+    return out.select(
+        "sort_key",
+        "n_rows",
+        "n_runs",
+        (F.col("n_rows").cast("double") / F.col("n_runs")).alias("avg_run_len"),
     )

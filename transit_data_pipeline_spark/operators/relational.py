@@ -1054,3 +1054,67 @@ def weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("cw") >= 0.50 * F.col("tw"), F.col("v"))).alias("w_median"),
         F.min(F.when(F.col("cw") >= 0.75 * F.col("tw"), F.col("v"))).alias("w_p75"),
     )
+
+
+@register(
+    "pareto_frontier",
+    ops=("W12", "A3", "J6"),
+    doc="Pareto frontier (skyline) over per-customer (total spend, "
+    "order count): a customer is dominated when another is ≥ on both "
+    "axes and strictly > on one. Computed with two windows over the "
+    "customer AGGREGATE (not the fact table): max(orders) over the "
+    "strictly-greater-spend RANGE frame, and max(orders) within the "
+    "equal-spend partition — no pairwise self-join, O(n log n) where "
+    "n = customers. Spend is exact integer cents so the RANGE frame "
+    "boundary (spend + 1) is well-defined and cross-engine identical. "
+    "The multi-objective top-k the reference approximates with two "
+    "separate ORDER BY LIMIT lists (`sql/analysis_queries.sql`).",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS spend_cents,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+m AS (
+  SELECT *,
+    MAX(n_orders) OVER (ORDER BY spend_cents DESC
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS best_orders_richer,
+    MAX(n_orders) OVER (PARTITION BY spend_cents) AS best_orders_equal
+  FROM cust
+)
+SELECT o_custkey, spend_cents, CAST(n_orders AS BIGINT) AS n_orders
+FROM m
+WHERE (best_orders_richer IS NULL OR best_orders_richer < n_orders)
+  AND best_orders_equal = n_orders
+""",
+)
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("spend_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w_richer = (
+        Window.orderBy(F.col("spend_cents").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_equal = Window.partitionBy("spend_cents")
+    m = cust.select(
+        "o_custkey",
+        "spend_cents",
+        "n_orders",
+        F.max("n_orders").over(w_richer).alias("best_orders_richer"),
+        F.max("n_orders").over(w_equal).alias("best_orders_equal"),
+    )
+    return m.filter(
+        (
+            F.col("best_orders_richer").isNull()
+            | (F.col("best_orders_richer") < F.col("n_orders"))
+        )
+        & (F.col("best_orders_equal") == F.col("n_orders"))
+    ).select("o_custkey", "spend_cents", F.col("n_orders").cast("long").alias("n_orders"))
