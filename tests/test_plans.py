@@ -474,6 +474,8 @@ def test_attribution_window_is_user_partitioned(spark, sf_dir):
         "mutual_information",
         "benford_audit",
         "layout_run_length",
+        "rolling_regression_slope",
+        "category_entropy_profile",
     ],
 )
 def test_round5_ops_have_no_cartesian(spark, sf_dir, name):

@@ -1183,3 +1183,71 @@ def layout_run_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_runs",
         (F.col("n_rows").cast("double") / F.col("n_runs")).alias("avg_run_len"),
     )
+
+
+#: Categorical columns profiled by category_entropy_profile.
+_ENTROPY_COLS = ("o_orderpriority", "o_orderstatus")
+
+
+@register(
+    "category_entropy_profile",
+    ops=("A1", "A9", "U1"),
+    doc="Categorical distribution profiler, the information dual of "
+    "column_profile: per categorical column, cardinality, Shannon "
+    "entropy in nats (per-category ln rounded to 4 decimals before "
+    "the exact-decimal multiply-accumulate — the perplexity recipe), "
+    "Gini impurity from EXACT integer Σn², and the modal share in "
+    "exact ppm. Flags near-constant columns (entropy ≈ 0) a skew "
+    "planner should salt and near-uniform ones safe to hash-"
+    "partition. One aggregate per column over counts, unioned; "
+    "output = columns, not rows.",
+    oracle=f"""
+{' UNION ALL '.join(f'''
+(WITH cnt AS (
+  SELECT {c} AS v, COUNT(*) AS n FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt)
+SELECT '{c}' AS column_name,
+  COUNT(*) AS n_categories,
+  CAST(SUM(CAST(n * ROUND(LN(CAST(n AS DOUBLE) / t.total), 4)
+                AS DECIMAL(28,8))) AS DOUBLE) / (-1.0 * MAX(t.total))
+    AS entropy_nats,
+  1.0 - CAST(SUM(n * n) AS DOUBLE) / (MAX(t.total) * MAX(t.total))
+    AS gini_impurity,
+  CAST((MAX(n) * 1000000) // MAX(t.total) AS BIGINT) AS modal_share_ppm
+FROM cnt, tot t
+GROUP BY t.total)''' for c in _ENTROPY_COLS)}
+""",
+)
+def category_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    parts = []
+    for c in _ENTROPY_COLS:
+        cnt = o.groupBy(F.col(c).alias("v")).agg(F.count(F.lit(1)).alias("n"))
+        tot = cnt.agg(F.sum("n").cast("long").alias("total"))
+        j = cnt.crossJoin(F.broadcast(tot))
+        term = F.col("n") * F.round(
+            F.log(F.col("n").cast("double") / F.col("total")), 4
+        )
+        parts.append(
+            j.agg(
+                F.lit(c).alias("column_name"),
+                F.count(F.lit(1)).alias("n_categories"),
+                (
+                    F.sum(term.cast("decimal(28,8)")).cast("double")
+                    / (F.lit(-1.0) * F.max("total"))
+                ).alias("entropy_nats"),
+                (
+                    F.lit(1.0)
+                    - F.sum(F.col("n") * F.col("n")).cast("double")
+                    / (F.max("total") * F.max("total"))
+                ).alias("gini_impurity"),
+                F.expr("(max(n) * 1000000) div max(total)")
+                .cast("long")
+                .alias("modal_share_ppm"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -487,3 +487,72 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("time_weighted_avg"),
         N.davg("value").alias("simple_avg"),
     )
+
+
+@register(
+    "rolling_regression_slope",
+    ops=("W9", "A3", "A9"),
+    doc="Rolling 28-day OLS trend slope of daily revenue per order "
+    "priority: slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) with x = epoch "
+    "day and y = daily revenue, every Σ an exact-decimal window sum "
+    "over a 28-row ROWS frame, so the one double division per row is "
+    "bitwise deterministic. The windowed linear-trend detector the "
+    "reference fakes with week-over-week LAG deltas "
+    "(`sql/analysis_queries.sql:88-116`); slope units are revenue per "
+    "day. Daily pre-aggregate bounds the window at days; one "
+    "priority-keyed sort.",
+    oracle=f"""
+WITH daily AS ({_DAILY_SQL}),
+e AS (
+  SELECT o_orderpriority, d, day_revenue,
+         date_diff('day', DATE '1970-01-01', d) AS x
+  FROM daily
+),
+s AS (
+  SELECT o_orderpriority, d, day_revenue,
+    COUNT(*) OVER w AS n,
+    CAST(SUM(CAST(x AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sx,
+    CAST(CAST(SUM(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(18,4))) OVER w
+         AS VARCHAR) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(day_revenue AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sy,
+    CAST(CAST(SUM(CAST(x AS DECIMAL(19,4)) * CAST(day_revenue AS DECIMAL(18,4))) OVER w
+         AS VARCHAR) AS DOUBLE) AS sxy
+  FROM e
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY x
+               ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+)
+SELECT o_orderpriority,
+  strftime(d, '%Y-%m-%d') AS order_day,
+  n AS window_days,
+  CASE WHEN n >= 14 AND (n * sxx - sx * sx) <> 0
+       THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+  END AS slope_per_day
+FROM s
+""",
+)
+def rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir).withColumn(
+        "x", F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("x")
+        .rowsBetween(-27, 0)
+    )
+    xd = F.col("x").cast(N.DEC)
+    yd = F.col("day_revenue").cast(N.DEC)
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum(xd).over(w).cast("double")
+    sxx = F.sum(xd * xd).over(w).cast("double")
+    sy = F.sum(yd).over(w).cast("double")
+    sxy = F.sum(xd * yd).over(w).cast("double")
+    denom = n * sxx - sx * sx
+    slope = F.when(
+        (n >= 14) & (denom != 0), (n * sxy - sx * sy) / denom
+    )
+    return daily.select(
+        "o_orderpriority",
+        F.date_format("d", "yyyy-MM-dd").alias("order_day"),
+        n.alias("window_days"),
+        slope.alias("slope_per_day"),
+    )
