@@ -63,6 +63,39 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_events(stream)
 
 
+#: Shuffle-partition count pinned for the micro-batch queries below.
+#: Stateful streaming cost scales with the number of state-store
+#: instances (one per shuffle partition per stateful operator — a
+#: stream-stream join keeps FOUR stores per partition), and the
+#: partition count is frozen into the checkpoint at first start, so it
+#: must be sized to the keyspace, not inherited from the batch default:
+#: the fixture streams carry ~150 users / ~5 types, where 32 partitions
+#: are pure state-store overhead (measured 6.0 s → 2.4 s on the
+#: stream-stream join at sf0.1). At 100 TB/day this constant is the
+#: knob you RAISE (with a fresh checkpoint) to spread state.
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
+class _stream_conf:
+    """Scoped shuffle-partition override for one streaming query:
+    the setting is read when the query STARTS, so only the stream
+    plan is affected; the batch default is restored on exit even if
+    the query fails."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
+        )
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+        return False
+
+
 def _scratch(sf_dir: str, tag: str) -> str:
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     return os.path.join(tempfile.gettempdir(), f"tdps_stream_{tag}_{h}")
@@ -95,14 +128,15 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "tdps_stream_rollup"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         F.col("w.start").alias("window_start"),
         "event_type",
@@ -152,14 +186,15 @@ def streaming_feature_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         feats.write.mode("append").partitionBy("event_date").parquet(sink)
 
-    q = (
-        _event_stream(spark, sf_dir)
-        .writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark):
+        q = (
+            _event_stream(spark, sf_dir)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     back = spark.read.parquet(sink)
     # The partition column round-trips as DATE; the oracle speaks
     # timestamps (like every date column in the driver tables).
@@ -246,14 +281,15 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "tdps_stream_sessions"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -300,13 +336,14 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "append"
         ).parquet(sink)
 
-    q = (
-        stream.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark):
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(sink)
         .groupBy("event_type")
@@ -347,14 +384,15 @@ def streaming_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "tdps_stream_sliding"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         F.col("w.start").alias("window_start"),
         "n_events",
@@ -441,14 +479,15 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     name = "tdps_stream_late_drop"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # Boundary-insensitive emission check: exclude a window whose end
     # equals the watermark (the oracle's strict < mirrors this), so the
     # result doesn't depend on Spark's eviction predicate at ==.
@@ -518,14 +557,15 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     name = "tdps_stream_ssjoin"
-    q = (
-        pairs.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark):
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # Batch rollup of the drained pair stream (one row per matched
     # click): counts per purchase.
     return (
@@ -592,14 +632,15 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "tdps_stream_sesswin"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "user_id",
         "session_start_us",
