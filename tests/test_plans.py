@@ -476,6 +476,8 @@ def test_attribution_window_is_user_partitioned(spark, sf_dir):
         "layout_run_length",
         "rolling_regression_slope",
         "category_entropy_profile",
+        "welch_ttest",
+        "cross_corr_lagged",
     ],
 )
 def test_round5_ops_have_no_cartesian(spark, sf_dir, name):

@@ -502,3 +502,96 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_d"
         ),
     )
+
+
+@register(
+    "welch_ttest",
+    ops=("A4", "A5", "A9"),
+    doc="Welch's unequal-variance t-test on o_totalprice between "
+    "urgent (1-URGENT/2-HIGH) and normal orders — the means "
+    "companion to ab_test_zscore's proportions and ks_two_sample's "
+    "distributions. One conditional-aggregate pass builds both "
+    "groups' exact sufficient statistics (decimal Σx and Σx², the "
+    "dstddev recipe), then t and the Welch–Satterthwaite df are "
+    "per-row IEEE arithmetic on the single stats row — bitwise "
+    "deterministic, no second scan.",
+    oracle="""
+WITH s AS (
+  SELECT
+    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS s_a,
+    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             THEN NULL ELSE CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS s_b,
+    CAST(CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+         THEN CAST(o_totalprice AS DECIMAL(19,4)) * CAST(o_totalprice AS DECIMAL(18,4))
+         END) AS VARCHAR) AS DOUBLE) AS q_a,
+    CAST(CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+         THEN NULL ELSE CAST(o_totalprice AS DECIMAL(19,4)) * CAST(o_totalprice AS DECIMAL(18,4))
+         END) AS VARCHAR) AS DOUBLE) AS q_b
+  FROM orders
+),
+v AS (
+  SELECT n_a, n_b,
+    s_a / n_a AS mean_a, s_b / n_b AS mean_b,
+    (q_a - s_a * s_a / n_a) / (n_a - 1.0) AS var_a,
+    (q_b - s_b * s_b / n_b) / (n_b - 1.0) AS var_b
+  FROM s
+)
+SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+  (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) AS t_stat,
+  (var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+    / ((var_a / n_a) * (var_a / n_a) / (n_a - 1.0)
+       + (var_b / n_b) * (var_b / n_b) / (n_b - 1.0)) AS df_welch,
+  abs((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b)) > 1.96
+    AS significant
+FROM v
+""",
+)
+def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import numeric as N
+
+    o = table(spark, sf_dir, "orders")
+    is_a = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    xd = F.col("o_totalprice").cast(N.DEC)
+    s = o.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(is_a, 0).otherwise(1)).cast("long").alias("n_b"),
+        F.sum(F.when(is_a, xd)).cast("double").alias("s_a"),
+        F.sum(F.when(~is_a, xd)).cast("double").alias("s_b"),
+        F.sum(F.when(is_a, xd * xd)).cast("double").alias("q_a"),
+        F.sum(F.when(~is_a, xd * xd)).cast("double").alias("q_b"),
+    )
+    v = s.select(
+        "n_a",
+        "n_b",
+        (F.col("s_a") / F.col("n_a")).alias("mean_a"),
+        (F.col("s_b") / F.col("n_b")).alias("mean_b"),
+        (
+            (F.col("q_a") - F.col("s_a") * F.col("s_a") / F.col("n_a"))
+            / (F.col("n_a") - F.lit(1.0))
+        ).alias("var_a"),
+        (
+            (F.col("q_b") - F.col("s_b") * F.col("s_b") / F.col("n_b"))
+            / (F.col("n_b") - F.lit(1.0))
+        ).alias("var_b"),
+    )
+    se2_a = F.col("var_a") / F.col("n_a")
+    se2_b = F.col("var_b") / F.col("n_b")
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2_a + se2_b)
+    df = (se2_a + se2_b) * (se2_a + se2_b) / (
+        se2_a * se2_a / (F.col("n_a") - F.lit(1.0))
+        + se2_b * se2_b / (F.col("n_b") - F.lit(1.0))
+    )
+    return v.select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        "var_a",
+        "var_b",
+        t.alias("t_stat"),
+        df.alias("df_welch"),
+        (F.abs(t) > 1.96).alias("significant"),
+    )

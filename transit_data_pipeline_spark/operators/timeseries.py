@@ -556,3 +556,67 @@ def rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("window_days"),
         slope.alias("slope_per_day"),
     )
+
+
+#: Lead/lag offsets scanned by the cross-correlation operator.
+XCORR_LAGS = (-3, -2, -1, 0, 1, 2, 3)
+
+
+@register(
+    "cross_corr_lagged",
+    ops=("W2", "A3", "J10"),
+    doc="Lead-lag cross-correlation between the daily click and "
+    "purchase value series: for each lag in ±3 days, Pearson r of "
+    "(clicks on day d, purchases on day d+lag) using the "
+    "deterministic decimal-exact correlation (functions/numeric "
+    "dcorr) — the does-traffic-lead-revenue probe. Two daily "
+    "pre-aggregates bound everything at days; the 7-lag grid is a "
+    "broadcast cross join against the day-keyed series, one hash "
+    "agg per lag. No window over the fact table at all.",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST({SQL_EVENT_TIME} AS DATE) AS d, event_type,
+         {N.sql_dsum("value")} AS v
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+),
+c AS (SELECT d, v FROM daily WHERE event_type = 'click'),
+p AS (SELECT d, v FROM daily WHERE event_type = 'purchase'),
+lags AS (SELECT UNNEST([{', '.join(str(l) for l in XCORR_LAGS)}]) AS lag),
+joined AS (
+  SELECT g.lag, c.v AS x, p.v AS y
+  FROM lags g
+  JOIN c ON TRUE
+  JOIN p ON p.d = c.d + CAST(g.lag AS INTEGER)
+)
+SELECT lag, COUNT(*) AS n_days, {N.sql_dcorr("x", "y")} AS xcorr
+FROM joined
+GROUP BY lag
+""",
+)
+def cross_corr_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            F.to_date("event_time").alias("d"),
+            "event_type",
+        )
+        .agg(N.dsum("value").alias("v"))
+    )
+    c = daily.filter(F.col("event_type") == "click").select(
+        F.col("d").alias("cd"), F.col("v").alias("x")
+    )
+    p = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("d").alias("pd"), F.col("v").alias("y")
+    )
+    lags = spark.createDataFrame([(l,) for l in XCORR_LAGS], "lag int")
+    joined = (
+        c.crossJoin(F.broadcast(lags))
+        .join(p, F.expr("pd = date_add(cd, lag)"))
+    )
+    return joined.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        N.dcorr("x", "y").alias("xcorr"),
+    )
