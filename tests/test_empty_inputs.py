@@ -36,6 +36,19 @@ _OPS = [
     "embedding_centroid_drift",
     "multimodal_shard_packing",
     "salted_skew_join",
+    "chi2_feature_relevance",
+    "mutual_information",
+    "feature_hashing",
+    "tokenizer_fertility",
+    "compaction_binpack",
+    "pareto_frontier",
+    "ks_two_sample",
+    "benford_audit",
+    "layout_run_length",
+    "rolling_regression_slope",
+    "category_entropy_profile",
+    "welch_ttest",
+    "multimodal_audio_energy",
 ]
 
 _TABLES = (

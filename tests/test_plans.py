@@ -478,6 +478,7 @@ def test_attribution_window_is_user_partitioned(spark, sf_dir):
         "category_entropy_profile",
         "welch_ttest",
         "cross_corr_lagged",
+        "multimodal_audio_energy",
     ],
 )
 def test_round5_ops_have_no_cartesian(spark, sf_dir, name):

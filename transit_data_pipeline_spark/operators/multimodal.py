@@ -349,3 +349,88 @@ def multimodal_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+#: Audio framing geometry: 4 analysis frames, 4 digest bytes each.
+AUDIO_FRAMES = 4
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_id", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("is_silence", T.BooleanType()),
+    ]
+)
+
+
+def _fake_pcm_frames(payload: bytes):
+    """Deterministic stand-in for a real audio decode + framing.
+
+    STUB: the container ships no audio codecs. On a real cluster,
+    replace with e.g. soundfile/librosa frame extraction over the
+    decoded PCM; the Arrow plumbing, schema and per-frame shape are
+    unchanged. The fake derives 4 frames of 4 'samples' each from the
+    md5 digest of the payload, so every number is exactly
+    reproducible (and oracle-checkable) from the payload bytes alone.
+    """
+    import hashlib
+    import math
+
+    h = hashlib.md5(payload).digest()
+    out = []
+    for f in range(AUDIO_FRAMES):
+        b = h[4 * f : 4 * f + 4]
+        rms = math.sqrt(sum(x * x for x in b) / 4.0) / 255.0
+        peak = max(b) / 255.0
+        out.append((f, rms, peak, rms < 0.3))
+    return out
+
+
+@register(
+    "multimodal_audio_energy",
+    ops=("D6", "A3"),
+    doc="Audio-modality plumbing: mapInPandas frame-energy extraction "
+    "over opaque audio payloads — per analysis frame, RMS energy, "
+    "peak amplitude, and a silence flag (the VAD/silence-trim "
+    "precursor every speech-data pipeline runs before ASR or audio "
+    "tokenization). The decode is the deterministic md5 fake "
+    "(_fake_pcm_frames — no codecs in the container) so the whole "
+    "Python path is exactly oracle-checkable; rms = sqrt of an exact "
+    "integer sum, bitwise deterministic. Arrow-batched, "
+    "row-per-frame output, embarrassingly parallel.",
+    oracle=f"""
+WITH frames AS (
+  SELECT doc_id, text, CAST(f AS INT) AS frame_id
+  FROM documents, range(0, {AUDIO_FRAMES}) t(f)
+),
+b AS (
+  SELECT doc_id, frame_id,
+    CAST(concat('0x', substr(md5(text), 8 * frame_id + 1, 2)) AS INTEGER) AS b0,
+    CAST(concat('0x', substr(md5(text), 8 * frame_id + 3, 2)) AS INTEGER) AS b1,
+    CAST(concat('0x', substr(md5(text), 8 * frame_id + 5, 2)) AS INTEGER) AS b2,
+    CAST(concat('0x', substr(md5(text), 8 * frame_id + 7, 2)) AS INTEGER) AS b3
+  FROM frames
+)
+SELECT doc_id, frame_id,
+  sqrt((b0*b0 + b1*b1 + b2*b2 + b3*b3) / 4.0) / 255.0 AS rms,
+  GREATEST(b0, b1, b2, b3) / 255.0 AS peak,
+  sqrt((b0*b0 + b1*b1 + b2*b2 + b3*b3) / 4.0) / 255.0 < 0.3 AS is_silence
+FROM b
+""",
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    payloads = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for f, rms, peak, sil in _fake_pcm_frames(payload):
+                    rows.append((doc_id, f, rms, peak, sil))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_id", "rms", "peak", "is_silence"]
+            )
+
+    return payloads.mapInPandas(extract, schema=_AUDIO_SCHEMA)
