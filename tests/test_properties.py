@@ -458,3 +458,82 @@ def test_time_weighted_avg_matches_bruteforce(spark, triples):
             assert got[k] is None or got[k] != got[k]  # NULL or NaN (0/0)
         else:
             assert abs(got[k] - float(Fraction(num, den))) < 1e-9, (k, got[k])
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(1, 8)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_pareto_frontier_matches_bruteforce(spark, points):
+    """The two-window skyline must equal the O(n²) dominance check:
+    keep (s, o) iff no other point is >= on both axes and > on one."""
+    from pyspark.sql import Window
+
+    rows = [(i, s, o) for i, (s, o) in enumerate(points)]
+    df = spark.createDataFrame(rows, "id int, spend long, orders long")
+    w_richer = (
+        Window.orderBy(F.col("spend").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_equal = Window.partitionBy("spend")
+    m = df.select(
+        "id",
+        "spend",
+        "orders",
+        F.max("orders").over(w_richer).alias("br"),
+        F.max("orders").over(w_equal).alias("be"),
+    )
+    got = {
+        r.id
+        for r in m.filter(
+            (F.col("br").isNull() | (F.col("br") < F.col("orders")))
+            & (F.col("be") == F.col("orders"))
+        ).collect()
+    }
+    expect = set()
+    for i, (s, o) in enumerate(points):
+        dominated = any(
+            (s2 >= s and o2 >= o and (s2 > s or o2 > o))
+            for j, (s2, o2) in enumerate(points)
+            if j != i
+        )
+        if not dominated:
+            expect.add(i)
+    assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(1, 40), min_size=1, max_size=30),
+)
+def test_binpack_next_fit_invariants(spark, sizes):
+    """Next-fit packing by cumulative sum: bin ids are contiguous from
+    0, files stay in order, and every bin except possibly ones holding
+    a single oversized file closes within target + max_file."""
+    from pyspark.sql import Window
+
+    target = 50
+    rows = [(i, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "seq int, bytes long")
+    w = Window.orderBy("seq").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = df.withColumn(
+        "bin_id",
+        F.floor((F.sum("bytes").over(w) - F.col("bytes")) / F.lit(target)).cast(
+            "long"
+        ),
+    ).collect()
+    by_bin = {}
+    for r in sorted(packed, key=lambda r: r.seq):
+        by_bin.setdefault(r.bin_id, []).append(r)
+    bins = sorted(by_bin)
+    assert bins[0] == 0
+    # bins are non-decreasing along the file order
+    order = [r.bin_id for r in sorted(packed, key=lambda r: r.seq)]
+    assert order == sorted(order)
+    for b, rs in by_bin.items():
+        total = sum(r.bytes for r in rs)
+        assert total < target + max(r.bytes for r in rs), (b, total)
