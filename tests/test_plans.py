@@ -488,3 +488,22 @@ def test_round5_ops_have_no_cartesian(spark, sf_dir, name):
     aggregates is fine; CartesianProduct is not)."""
     plan = _plan(spark, sf_dir, name)
     assert "CartesianProduct" not in plan, name
+
+
+def test_global_no_cartesian_across_registry(spark, sf_dir):
+    """Repo-wide plan invariant: NO registered query may plan a
+    CartesianProduct — every join in the engine is an equi-join or an
+    explicitly broadcast-tiny cross (BroadcastNestedLoopJoin over
+    one-row/grid aggregates). Streaming queries execute eagerly and
+    are asserted per-op in test_streaming; the GBT run trains a model
+    and is excluded for runtime. One loop, one session — the global
+    version of the per-op spot checks above, so a future operator
+    can't silently regress to a pair generator."""
+    offenders = []
+    for name, s in sorted(SPECS.items()):
+        if name.startswith("streaming_") or name == "ml_gbt_cv_metrics":
+            continue
+        plan = s.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
