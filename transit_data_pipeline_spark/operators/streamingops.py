@@ -647,3 +647,63 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.expr("(max_us - session_start_us) div 1000000").alias("duration_sec"),
     )
+
+
+@register(
+    "streaming_topk_trending",
+    ops=("W4", "A1", "F5"),
+    doc="Streaming trending detector: tumbling 1-hour windowed counts "
+    "per event type maintained by the engine (complete mode — the "
+    "windowed-agg state is hours × types, watermark-free because the "
+    "drain is a full snapshot), then the drained snapshot is ranked "
+    "per hour and only the top-3 types survive, ties broken by type "
+    "name — the 'what's trending right now' dashboard query. The "
+    "rank runs BATCH-side on the drained aggregate (hours × types "
+    "rows), so the streaming state never holds per-event data.",
+    oracle=f"""
+WITH hourly AS (
+  SELECT strftime(date_trunc('hour', {SQL_EVENT_TIME}), '%Y-%m-%d %H:00')
+           AS hour_bucket,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY hour_bucket
+              ORDER BY n_events DESC, event_type) AS rnk
+  FROM hourly
+)
+SELECT hour_bucket, event_type, n_events, rnk AS trend_rank
+FROM ranked WHERE rnk <= 3
+""",
+)
+def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _event_stream(spark, sf_dir)
+        .groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = "tdps_stream_trending"
+    with _stream_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    hourly = spark.table(name).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00").alias("hour_bucket"),
+        "event_type",
+        "n_events",
+    )
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(
+        W.partitionBy("hour_bucket").orderBy(
+            F.col("n_events").desc(), F.col("event_type")
+        )
+    )
+    return hourly.select(
+        "hour_bucket", "event_type", "n_events", rnk.alias("trend_rank")
+    ).filter(F.col("trend_rank") <= 3)
