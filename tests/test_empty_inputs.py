@@ -49,6 +49,14 @@ _OPS = [
     "category_entropy_profile",
     "welch_ttest",
     "multimodal_audio_energy",
+    "dedup_semdedup",
+    "data_mix_temperature",
+    "script_char_classes",
+    "keyword_tag_taxonomy",
+    "multimodal_scene_segments",
+    "l_diversity_audit",
+    "curriculum_phases",
+    "contrastive_pair_mining",
 ]
 
 _TABLES = (

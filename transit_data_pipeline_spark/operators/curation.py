@@ -447,3 +447,98 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("people_share"),
         )
     )
+
+
+@register(
+    "l_diversity_audit",
+    ops=("A2", "A1", "A9"),
+    doc="l-diversity release audit — the companion gate to "
+    "k_anonymity_audit: equivalence classes over the quasi-identifier "
+    "(nation, balance band) are scored by how many DISTINCT sensitive "
+    "values (market segment) they contain; a class that is k-anonymous "
+    "but 1-diverse still leaks the sensitive attribute outright. "
+    "Reports the class count, people covered, and l<3 violations per "
+    "diversity level. One aggregate over the quasi-id key, then a "
+    "grouping over the (tiny) per-class frame — same shape at 100 TB.",
+    oracle="""
+WITH classes AS (
+  SELECT c_nationkey AS nation,
+    CAST(FLOOR(c_acctbal / 1000.0) AS INTEGER) AS bal_band,
+    COUNT(*) AS class_size,
+    COUNT(DISTINCT c_mktsegment) AS l_diversity
+  FROM customer GROUP BY 1, 2
+)
+SELECT l_diversity,
+  CAST(COUNT(*) AS BIGINT) AS n_classes,
+  CAST(SUM(class_size) AS BIGINT) AS n_people,
+  l_diversity < 3 AS violates_l3,
+  CAST(MIN(class_size) AS BIGINT) AS smallest_class,
+  CAST(MAX(class_size) AS BIGINT) AS largest_class
+FROM classes
+GROUP BY 1
+""",
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct("c_mktsegment").alias("l_diversity"),
+    )
+    return classes.groupBy("l_diversity").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("class_size").cast("bigint").alias("n_people"),
+        (F.col("l_diversity") < 3).alias("violates_l3"),
+        F.min("class_size").cast("bigint").alias("smallest_class"),
+        F.max("class_size").cast("bigint").alias("largest_class"),
+    )
+
+
+@register(
+    "curriculum_phases",
+    ops=("W8", "A3", "W4"),
+    doc="Curriculum-learning phase planner: documents ranked by THE "
+    "shared quality formula (textops.quality_score_col — same weights "
+    "as the funnel and the data card), NTILE(4) from highest to "
+    "lowest quality forms training phases 1..4 (clean data first), "
+    "and each phase reports its doc count, token budget and quality "
+    "band. One global window — at 100 TB replace NTILE with "
+    "hash-bucketed quantile boundaries (sketch_histogram_quantiles) "
+    "and assign phases by threshold; the output contract is identical.",
+    oracle=f"""
+WITH q AS ({_SQL_QUALITY}),
+tok AS (SELECT doc_id, len({SQL_TOKENS}) AS n_tokens FROM documents),
+phased AS (
+  SELECT q.doc_id, tok.n_tokens, q.quality_score AS q,
+    NTILE(4) OVER (ORDER BY q.quality_score DESC, q.doc_id) AS phase
+  FROM q JOIN tok USING (doc_id)
+)
+SELECT phase,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS phase_tokens,
+  MIN(q) AS min_quality,
+  MAX(q) AS max_quality
+FROM phased
+GROUP BY 1
+""",
+)
+def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from .textops import tokens_col
+
+    d = table(spark, sf_dir, "documents", spread=True)
+    feat = d.select(
+        "doc_id",
+        F.size(tokens_col()).cast("long").alias("n_tokens"),
+        quality_score_col().alias("q"),
+    )
+    w = Window.orderBy(F.desc("q"), "doc_id")
+    phased = feat.withColumn("phase", F.ntile(4).over(w))
+    return phased.groupBy("phase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("phase_tokens"),
+        F.min("q").alias("min_quality"),
+        F.max("q").alias("max_quality"),
+    )

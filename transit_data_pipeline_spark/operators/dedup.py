@@ -1433,3 +1433,319 @@ def lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_true_jaccard"),
     )
 
+
+
+# --- SemDeDup: semantic dedup scoped to k-means clusters --------------------
+
+#: Cosine-compare quantization grid (2^-10). Unit-norm embeddings give
+#: Σq² ≈ 2^20 per vector, so 100·dot² and τ²num·na·nb stay < 2^47 —
+#: exact long arithmetic in both engines.
+SEM_Q = 1024.0
+#: τ = 0.4 on the quantized grid, compared as 25·dot² ≥ 4·na·nb.
+SEM_TAU_NUM2, SEM_TAU_DEN2 = 4, 25
+
+_SQL_SEMQ = (
+    "list_transform(embedding, "
+    f"x -> CAST(trunc(CAST(x AS DOUBLE) * {SEM_Q!r}) AS BIGINT))"
+)
+
+#: Target cluster population: K = max(KMEANS_K, ceil(n / SEM_TARGET)),
+#: so within-cluster pairwise work is ≈ n·SEM_TARGET/2 — LINEAR in n.
+#: (Verified by the ×8 probe: with K pinned the pair count grows n²/K;
+#: growing K ∝ n flattened 66 s back to ~linear.)
+SEM_TARGET = 250
+
+
+@register(
+    "dedup_semdedup",
+    ops=("J10", "J2", "W4", "A3"),
+    doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic "
+    "dedup scoped to k-means clusters. Reuses the deterministic "
+    "2-round Lloyd assignment from kmeans_semantic_clusters (K=8, "
+    "centroids seeded from the first K vectors), then drops any "
+    "vector whose cosine similarity to a LOWER-id vector in the SAME "
+    "cluster is ≥ τ=0.4. Cosine is compared in exact long arithmetic "
+    "on a 2^-10 quantized grid (25·dot² ≥ 4·‖a‖²·‖b‖² with dot>0), so "
+    "Spark and the oracle agree bitwise. This is the scale path the "
+    "all-pairs dedup_embedding_cosine can't be: pairwise work is "
+    "confined within clusters (O(Σ nᵢ²), with K grown ∝ n to bound "
+    "nᵢ), the pair join is an equi-join on cluster id, and the "
+    "centroid set stays broadcast-sized. K grows with the corpus "
+    "(K = max(8, ⌈n/250⌉), centroids seeded from the K smallest "
+    "vec_ids), so pairwise work is ≈ n·250/2 — linear in n.",
+    oracle=None,  # set below — shares the kmeans CTE chain
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .mlprep import KMEANS_K, _q_col, _sqdist
+
+    e = table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id",
+        F.transform(_q_col(F.col("embedding")), lambda q: q.cast("double")).alias("v"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: (x.cast("double") * F.lit(SEM_Q)).cast("long"),
+        ).alias("q"),
+    )
+    # One cheap count sizes K (vec_ids are dense from 0 in every
+    # fixture layout; the oracle computes the same K from COUNT(*)).
+    n = e.count()
+    k = max(KMEANS_K, -(-n // SEM_TARGET))
+    c0 = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        scored = e.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "cid", "v", "q", _sqdist(F.col("v"), F.col("c")).alias("dist")
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "v", "q")
+        )
+
+    a1 = assign(c0)
+    comps = (
+        a1.select("cid", F.posexplode(F.col("v")).alias("dim0", "qv"))
+        .groupBy("cid", (F.col("dim0") + 1).alias("dim"))
+        .agg((F.sum("qv").cast("double") / F.count(F.lit(1))).alias("comp"))
+    )
+    c1 = comps.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "comp"))),
+            lambda s: s["comp"],
+        ).alias("c")
+    )
+    norm2 = F.aggregate(
+        F.transform(F.col("q"), lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    m = assign(c1).select("vec_id", "cid", "q", norm2.alias("nq"))
+    a = m.select(
+        F.col("vec_id").alias("vec_a"), "cid",
+        F.col("q").alias("qa"), F.col("nq").alias("na"),
+    )
+    b = m.select(
+        F.col("vec_id").alias("vec_b"), "cid",
+        F.col("q").alias("qb"), F.col("nq").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dominated = (
+        a.join(b, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(SEM_TAU_DEN2) * F.col("dot") * F.col("dot")
+                >= F.lit(SEM_TAU_NUM2) * F.col("na") * F.col("nb")
+            )
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        m.join(dominated, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster_id"),
+            F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def _semdedup_oracle() -> str:
+    from .mlprep import KMEANS_DIM, KMEANS_K, _SQL_QVEC, _sql_assign
+
+    sql_dot = (
+        "list_reduce(list_transform(generate_series(1, "
+        f"{KMEANS_DIM}), i -> a.q[i] * b.q[i]), (x, y) -> x + y)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform({_SQL_QVEC}, q -> CAST(q AS DOUBLE)) AS v,
+         {_SQL_SEMQ} AS q
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cid, v AS c FROM e
+  WHERE vec_id < (SELECT GREATEST({KMEANS_K},
+                                  (COUNT(*) + {SEM_TARGET - 1}) // {SEM_TARGET})
+                  FROM e)
+),
+a1 AS ({_sql_assign("e.v", "c0.c", "e", "c0")}),
+c1 AS (
+  SELECT cid, list(comp ORDER BY dim) AS c FROM (
+    SELECT cid, dim, CAST(SUM(v[dim]) AS DOUBLE) / COUNT(*) AS comp
+    FROM a1, generate_series(1, {KMEANS_DIM}) AS t(dim)
+    GROUP BY cid, dim
+  ) GROUP BY cid
+),
+a2 AS ({_sql_assign("e.v", "c1.c", "e", "c1")}),
+m AS (
+  SELECT a2.vec_id, a2.cid, e.q,
+         list_reduce(list_transform(e.q, x -> x * x), (x, y) -> x + y) AS nq
+  FROM a2 JOIN e USING (vec_id)
+),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {sql_dot} > 0
+    AND {SEM_TAU_DEN2} * {sql_dot} * {sql_dot}
+        >= {SEM_TAU_NUM2} * a.nq * b.nq
+)
+SELECT m.vec_id, m.cid AS cluster_id, (d.vec_id IS NULL) AS keep
+FROM m LEFT JOIN dup d ON m.vec_id = d.vec_id
+"""
+
+
+from .registry import _REGISTRY as _REG  # noqa: E402  (oracle backfill)
+
+_REG["dedup_semdedup"].oracle = _semdedup_oracle()
+
+
+@register(
+    "contrastive_pair_mining",
+    ops=("J1", "J2", "W4", "A3"),
+    doc="Contrastive-pair mining for embedding-model training: "
+    "positives are verified near-dup pairs (exact Jaccard ≥ 0.5 on "
+    "LSH candidates — the dedup_lsh_verified plan, re-used as a "
+    "miner); negatives pair documents that land adjacent in a keyed-"
+    "md5 shuffle within 64 hash buckets, keeping only cross-source "
+    "pairs not already positive (anti-join). Both labels report pair "
+    "count, distinct docs touched, and decimal-exact mean Jaccard "
+    "(verified on the mined pairs only — linear in pairs, never "
+    "all-pairs). Every stage is an equi-join or a bucket-local "
+    "window, so mining cost tracks candidate volume at 100 TB.",
+    oracle=f"""
+WITH sh AS ({SQL_DOC_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+posint AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pos AS (
+  SELECT i.doc_a, i.doc_b
+  FROM posint i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+),
+ranked AS (
+  SELECT doc_id, source,
+    CAST('0x' || substr(md5('cpm:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS bkt,
+    ROW_NUMBER() OVER (
+      PARTITION BY CAST('0x' || substr(md5('cpm:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 64
+      ORDER BY md5('cpm:' || CAST(doc_id AS VARCHAR)), doc_id
+    ) AS rn
+  FROM documents
+),
+negraw AS (
+  SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+         GREATEST(a.doc_id, b.doc_id) AS doc_b
+  FROM ranked a JOIN ranked b
+    ON a.bkt = b.bkt AND b.rn = a.rn + 1 AND a.rn % 2 = 1
+  WHERE a.source <> b.source
+),
+neg AS (
+  SELECT n.doc_a, n.doc_b FROM negraw n
+  ANTI JOIN pos p ON n.doc_a = p.doc_a AND n.doc_b = p.doc_b
+),
+pairs AS (
+  SELECT doc_a, doc_b, 'pos' AS label FROM pos
+  UNION ALL
+  SELECT doc_a, doc_b, 'neg' AS label FROM neg
+),
+inter AS (
+  SELECT p.label, p.doc_a, p.doc_b, COUNT(b.sh) AS n_inter
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  LEFT JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2, 3
+),
+jac AS (
+  SELECT i.label, i.doc_a, i.doc_b,
+    CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS j
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+)
+SELECT label,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(SUM(CAST(j AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean_jaccard
+FROM jac
+GROUP BY 1
+""",
+)
+def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Positives: the LSH-verified near-dup pairs (identical result to
+    # the exact pairwise set — certified by dedup_lsh_verified's gate).
+    pos = dedup_lsh_verified(spark, sf_dir).select("doc_a", "doc_b")
+    d = table(spark, sf_dir, "documents", spread=True)
+    key = F.md5(F.concat(F.lit("cpm:"), F.col("doc_id").cast("string")))
+    bkt = F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % 64
+    ranked = d.select(
+        "doc_id", "source", bkt.alias("bkt"), key.alias("k")
+    ).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("bkt").orderBy("k", "doc_id"))
+    )
+    a = ranked.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"), "bkt", "rn"
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"),
+        F.col("bkt").alias("bkt_b"), F.col("rn").alias("rn_b"),
+    )
+    negraw = (
+        a.join(b, (F.col("bkt") == F.col("bkt_b")) & (F.col("rn_b") == F.col("rn") + 1))
+        .filter((F.col("rn") % 2 == 1) & (F.col("src_a") != F.col("src_b")))
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+        )
+    )
+    neg = negraw.join(pos, ["doc_a", "doc_b"], "left_anti")
+    pairs = pos.withColumn("label", F.lit("pos")).unionByName(
+        neg.withColumn("label", F.lit("neg"))
+    )
+    # Exact Jaccard on the mined pairs only.
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
+    inter = (
+        pairs.join(sh_a, "doc_a")
+        .join(
+            sh_b,
+            (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh_a") == F.col("sh_b")),
+            "left",
+        )
+        .groupBy("label", "doc_a", "doc_b")
+        .agg(F.count(F.col("sh_b")).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "label",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_inter"))
+            ).alias("j"),
+        )
+    )
+    return jac.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        (
+            F.sum(F.col("j").cast(DEC_J)).cast("double") / F.count(F.lit(1))
+        ).alias("mean_jaccard"),
+    )

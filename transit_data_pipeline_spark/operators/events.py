@@ -995,3 +995,38 @@ def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_score"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+@register(
+    "next_event_features",
+    ops=("W1", "W3", "P6", "F5"),
+    doc="Training-example assembly for next-event prediction: per "
+    "user, each event becomes one example with lagged features "
+    "(previous event type, previous value, gap to previous event in "
+    "exact integer seconds) and the current event type as label — "
+    "the sequence-model feature layout. One user-partitioned window "
+    "sort produces every feature; no self-joins. User partitions are "
+    "independent, so the plan scales with the user-key shuffle.",
+    oracle="""
+SELECT event_id, user_id,
+  COALESCE(LAG(event_type) OVER w, 'NONE') AS prev_type,
+  LAG(value) OVER w AS prev_value,
+  (epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w) // 1000000000 AS gap_sec,
+  event_type AS label
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+""",
+)
+def next_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.lag("event_type").over(w), F.lit("NONE")).alias("prev_type"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.expr(
+            "(ts - lag(ts) over (partition by user_id order by ts, event_id)) div 1000000000"
+        ).alias("gap_sec"),
+        F.col("event_type").alias("label"),
+    )

@@ -955,3 +955,60 @@ def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term.cast("decimal(28,8)")).cast("double") / F.max("n")
         ).alias("mi_contrib_nats"),
     )
+
+
+@register(
+    "robust_scale_iqr",
+    ops=("A8", "A3", "P8"),
+    doc="Robust (median/IQR) feature scaling — the outlier-resistant "
+    "alternative to zscore_normalize: per-event-type exact "
+    "median/quartiles, scaled value (v − median)/IQR with a NULLIF "
+    "guard for degenerate IQR=0 groups, and per-type outlier counts "
+    "at |scaled| > 3. Aggregate outputs stick to comparisons and "
+    "min/max (no double re-summation), so cross-engine bitwise "
+    "equality holds without decimal routing. Two passes: one exact-"
+    "percentile agg (dimension-sized result, broadcast back) + one "
+    "scan — same shape at 100 TB.",
+    oracle="""
+WITH q AS (
+  SELECT event_type,
+    quantile_cont(value, 0.25) AS p25,
+    quantile_cont(value, 0.5) AS med,
+    quantile_cont(value, 0.75) AS p75
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT e.event_type, q.p25, q.med, q.p75,
+    (e.value - q.med) / NULLIF(q.p75 - q.p25, 0) AS scaled
+  FROM events e JOIN q USING (event_type)
+)
+SELECT event_type, p25, med, p75,
+  (p75 - p25) AS iqr,
+  COUNT(*) AS n_events,
+  COUNT(CASE WHEN abs(scaled) > 3 THEN 1 END) AS n_outliers,
+  MIN(scaled) AS scaled_min,
+  MAX(scaled) AS scaled_max
+FROM s
+GROUP BY 1, 2, 3, 4, 5
+""",
+)
+def robust_scale_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events", spread=True)
+    q = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("p25"),
+        F.expr("percentile(value, 0.5)").alias("med"),
+        F.expr("percentile(value, 0.75)").alias("p75"),
+    )
+    scaled = (F.col("value") - F.col("med")) / F.nullif(
+        F.col("p75") - F.col("p25"), F.lit(0)
+    )
+    s = e.join(F.broadcast(q), "event_type").select(
+        "event_type", "p25", "med", "p75", scaled.alias("scaled")
+    )
+    return s.groupBy("event_type", "p25", "med", "p75").agg(
+        (F.col("p75") - F.col("p25")).alias("iqr"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.abs(F.col("scaled")) > 3, 1)).alias("n_outliers"),
+        F.min("scaled").alias("scaled_min"),
+        F.max("scaled").alias("scaled_max"),
+    )

@@ -434,3 +434,92 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInPandas(extract, schema=_AUDIO_SCHEMA)
+
+
+@register(
+    "multimodal_scene_segments",
+    ops=("F7", "W1", "W4", "A3"),
+    doc="Video scene-change segmentation over the fake-decode frame "
+    "stream: per-frame luminance (STUB: md5-derived — swap for a real "
+    "frame-mean-luma kernel on a real cluster), a per-video LAG "
+    "window marks cuts where |Δluma| > 64, a running cut count forms "
+    "gaps-and-islands segment ids, and per-video stats (segments, "
+    "longest run, mean luma) come from one hash agg. Frames are "
+    "generated, not materialized from payload bytes — the window is "
+    "partitioned per video so the sort never crosses documents.",
+    oracle=f"""
+WITH vids AS (
+  SELECT doc_id, 1 + {_sql_md5_byte(2)} % 32 AS n_frames, text FROM documents
+),
+frames AS (
+  SELECT doc_id, n_frames, UNNEST(generate_series(0, n_frames - 1)) AS f, text
+  FROM vids
+),
+luma AS (
+  SELECT doc_id, n_frames, f,
+    CAST(concat('0x', substr(md5(text || ':' || CAST(f AS VARCHAR)), 1, 2)) AS INTEGER) AS luma
+  FROM frames
+),
+cuts AS (
+  SELECT doc_id, n_frames, f, luma,
+    CASE WHEN abs(luma - LAG(luma) OVER (PARTITION BY doc_id ORDER BY f)) > 64
+         THEN 1 ELSE 0 END AS is_cut
+  FROM luma
+),
+segs AS (
+  SELECT doc_id, n_frames, luma,
+    SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY f
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+  FROM cuts
+),
+seg_len AS (
+  SELECT doc_id, n_frames, seg_id, COUNT(*) AS seg_frames,
+    CAST(SUM(luma) AS BIGINT) AS seg_luma
+  FROM segs GROUP BY 1, 2, 3
+)
+SELECT doc_id, n_frames,
+  COUNT(*) AS n_segments,
+  CAST(MAX(seg_frames) AS BIGINT) AS longest_segment,
+  CAST(SUM(seg_luma) AS DOUBLE) / n_frames AS mean_luma
+FROM seg_len
+GROUP BY 1, 2
+""",
+)
+def multimodal_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents", spread=True)
+    nf = 1 + F.conv(F.substring(F.md5("text"), 5, 2), 16, 10).cast("int") % 32
+    frames = d.select(
+        "doc_id", nf.alias("n_frames"), "text"
+    ).select(
+        "doc_id",
+        "n_frames",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("f"),
+        "text",
+    )
+    luma = F.conv(
+        F.substring(F.md5(F.concat(F.col("text"), F.lit(":"), F.col("f").cast("string"))), 1, 2),
+        16,
+        10,
+    ).cast("int")
+    w = Window.partitionBy("doc_id").orderBy("f")
+    cuts = frames.select("doc_id", "n_frames", "f", luma.alias("luma")).withColumn(
+        "is_cut",
+        F.when(
+            F.abs(F.col("luma") - F.lag("luma").over(w)) > 64, F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    segs = cuts.withColumn(
+        "seg_id",
+        F.sum("is_cut").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    seg_len = segs.groupBy("doc_id", "n_frames", "seg_id").agg(
+        F.count(F.lit(1)).alias("seg_frames"),
+        F.sum("luma").cast("bigint").alias("seg_luma"),
+    )
+    return seg_len.groupBy("doc_id", "n_frames").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.max("seg_frames").cast("bigint").alias("longest_segment"),
+        (F.sum("seg_luma").cast("double") / F.col("n_frames")).alias("mean_luma"),
+    )

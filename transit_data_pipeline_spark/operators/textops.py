@@ -1176,3 +1176,239 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_bpe_token"
         ),
     )
+
+
+# --- temperature sampling, script profile, taxonomy tagging -----------------
+
+#: Temperature exponent for source-balanced sampling (τ = 0.5 →
+#: p_i ∝ √n_i, the multilingual-LM sampling rule of Conneau & Lample
+#: 2019, arXiv:1901.07291). √ is IEEE-correctly-rounded in both
+#: engines; the normalizer folds the per-source terms in sorted
+#: source order so the double sum is bitwise reproducible.
+TEMP_BUDGET = 0.5  #: overall corpus keep fraction
+
+
+@register(
+    "data_mix_temperature",
+    ops=("A1", "A9", "F12", "O2"),
+    doc="Temperature-based mixture sampling: per-source sampling "
+    "weights p_i ∝ n_i^0.5 (τ=0.5 upsamples low-resource sources, "
+    "downsamples the head), normalized by a fold over the per-source "
+    "√counts in sorted source order (deterministic double sum), then "
+    "a keyed-md5 uniform draw selects documents at keep_frac = "
+    "min(1, budget·N·p_i/n_i). The per-source plan is a "
+    "dimension-sized aggregate; membership is a per-row hash test — "
+    "one corpus scan + one broadcast join at any scale.",
+    oracle=f"""
+WITH counts AS (SELECT source, COUNT(*) AS n_avail FROM documents GROUP BY 1),
+norm AS (
+  SELECT list_reduce(list(sqrt(CAST(n_avail AS DOUBLE)) ORDER BY source),
+                     (x, y) -> x + y) AS s,
+         SUM(n_avail) AS n_total
+  FROM counts
+),
+plan AS (
+  SELECT c.source, c.n_avail,
+    CAST(c.n_avail AS DOUBLE) / n.n_total AS raw_share,
+    sqrt(CAST(c.n_avail AS DOUBLE)) / n.s AS temp_weight,
+    LEAST(1.0, CAST(n.n_total AS DOUBLE) * {TEMP_BUDGET}
+                 * (sqrt(CAST(c.n_avail AS DOUBLE)) / n.s) / c.n_avail)
+      AS keep_frac
+  FROM counts c, norm n
+),
+draw AS (
+  SELECT source, doc_id,
+    CAST(concat('0x', substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      / 1152921504606846976.0 AS u
+  FROM documents
+)
+SELECT p.source, p.n_avail, ROUND(p.raw_share, 9) AS raw_share,
+  ROUND(p.temp_weight, 9) AS temp_weight, p.keep_frac,
+  COUNT(CASE WHEN d.u < p.keep_frac THEN 1 END) AS n_kept
+FROM draw d JOIN plan p USING (source)
+GROUP BY 1, 2, 3, 4, 5
+""",
+)
+def data_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_avail"))
+    norm = counts.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("source", F.sqrt(F.col("n_avail").cast("double")).alias("r")))
+                ),
+                lambda s: s["r"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s"),
+        F.sum("n_avail").alias("n_total"),
+    )
+    rt = F.sqrt(F.col("n_avail").cast("double"))
+    plan = counts.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_avail",
+        F.round(F.col("n_avail").cast("double") / F.col("n_total"), 9).alias("raw_share"),
+        F.round(rt / F.col("s"), 9).alias("temp_weight"),
+        F.least(
+            F.lit(1.0),
+            F.col("n_total").cast("double")
+            * F.lit(TEMP_BUDGET)
+            * (rt / F.col("s"))
+            / F.col("n_avail"),
+        ).alias("keep_frac"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("bigint")
+        / F.lit(1152921504606846976.0)
+    )
+    draw = d.select("source", "doc_id", u.alias("u"))
+    return (
+        draw.join(F.broadcast(plan), "source")
+        .groupBy("source", "n_avail", "raw_share", "temp_weight", "keep_frac")
+        .agg(F.count(F.when(F.col("u") < F.col("keep_frac"), 1)).alias("n_kept"))
+    )
+
+
+@register(
+    "script_char_classes",
+    ops=("P1", "P5", "A3", "F9"),
+    doc="Character-class / script profile per document: letter, "
+    "digit, whitespace, punctuation and non-ASCII ratios via "
+    "regexp strip-and-measure (length of the class-only residue), "
+    "plus a dominant-class verdict — the code/prose/noise router "
+    "that decides which cleaning pipeline a crawled doc enters. "
+    "Pure codegen regexp expressions, embarrassingly parallel.",
+    oracle="""
+WITH cls AS (
+  SELECT doc_id, lang, length(text) AS n_chars,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_letter,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+    length(regexp_replace(text, '[^ \\t\\n]', '', 'g')) AS n_space,
+    length(regexp_replace(text, '[A-Za-z0-9 \\t\\n]', '', 'g')) AS n_other
+  FROM documents
+)
+SELECT doc_id, lang, n_chars,
+  CAST(n_letter AS DOUBLE) / n_chars AS letter_ratio,
+  CAST(n_digit AS DOUBLE) / n_chars AS digit_ratio,
+  CAST(n_space AS DOUBLE) / n_chars AS space_ratio,
+  CAST(n_other AS DOUBLE) / n_chars AS other_ratio,
+  CASE WHEN n_letter >= n_digit AND n_letter >= n_other THEN 'prose'
+       WHEN n_digit > n_letter AND n_digit >= n_other THEN 'numeric'
+       ELSE 'symbolic' END AS char_class
+FROM cls
+""",
+)
+def script_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+
+    def residue(pat: str):
+        return F.length(F.regexp_replace(F.col("text"), pat, ""))
+
+    cls = d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        residue(r"[^A-Za-z]").alias("n_letter"),
+        residue(r"[^0-9]").alias("n_digit"),
+        residue("[^ \t\n]").alias("n_space"),
+        residue("[A-Za-z0-9 \t\n]").alias("n_other"),
+    )
+    return cls.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.col("n_letter").cast("double") / F.col("n_chars")).alias("letter_ratio"),
+        (F.col("n_digit").cast("double") / F.col("n_chars")).alias("digit_ratio"),
+        (F.col("n_space").cast("double") / F.col("n_chars")).alias("space_ratio"),
+        (F.col("n_other").cast("double") / F.col("n_chars")).alias("other_ratio"),
+        F.when(
+            (F.col("n_letter") >= F.col("n_digit"))
+            & (F.col("n_letter") >= F.col("n_other")),
+            F.lit("prose"),
+        )
+        .when(
+            (F.col("n_digit") > F.col("n_letter"))
+            & (F.col("n_digit") >= F.col("n_other")),
+            F.lit("numeric"),
+        )
+        .otherwise(F.lit("symbolic"))
+        .alias("char_class"),
+    )
+
+
+#: Tiny keyword taxonomy (category → trigger words). A production
+#: pipeline broadcasts a dictionary of thousands of FlashText-style
+#: triggers; the plan shape — broadcast list, per-row token-set
+#: membership count, explode only matching (doc, category) pairs — is
+#: identical at that size.
+TAXONOMY = (
+    ("engine", ("spark", "hash", "scan", "sort", "merge")),
+    ("storage", ("table", "row", "part", "batch", "line")),
+    ("query", ("key", "value", "agg", "window", "filter")),
+)
+
+
+@register(
+    "keyword_tag_taxonomy",
+    ops=("F10", "A1", "A3", "P5"),
+    doc="Keyword-taxonomy tagging: each document is scored against a "
+    "broadcast category→keywords dictionary by counting token hits "
+    "(with multiplicity) inside a codegen filter lambda; only "
+    "matching (doc, category) pairs survive. Per-category reach "
+    "(docs tagged, total hits, hit rate) comes out of one hash agg. "
+    "The dictionary is driver-side literal — no join against the "
+    "corpus, one scan at any scale.",
+    oracle=f"""
+WITH tax(category, kws) AS (VALUES {", ".join(f"('{c}', {list(k)!r}::VARCHAR[])".replace('"', "'") for c, k in TAXONOMY)}),
+tok AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+hits AS (
+  SELECT t.doc_id, x.category,
+         len(list_filter(t.w, tk -> list_contains(x.kws, tk))) AS n_hits
+  FROM tok t CROSS JOIN tax x
+)
+SELECT category,
+  COUNT(CASE WHEN n_hits > 0 THEN 1 END) AS n_docs_tagged,
+  CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+  CAST(COUNT(CASE WHEN n_hits > 0 THEN 1 END) AS DOUBLE) / COUNT(*) AS doc_hit_rate
+FROM hits
+GROUP BY 1
+""",
+)
+def keyword_tag_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    w = tokens_col()
+    hits = d.select(
+        "doc_id",
+        *[
+            F.size(
+                F.expr(
+                    f"filter(split(trim(text), '\\\\s+'), t -> t IN ({_sql_list(kws)}))"
+                )
+            ).alias(f"h_{cat}")
+            for cat, kws in TAXONOMY
+        ],
+    )
+    long = hits.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(cat).alias("category"), F.col(f"h_{cat}").alias("n_hits")
+                    )
+                    for cat, _ in TAXONOMY
+                ]
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.category", "x.n_hits")
+    return long.groupBy("category").agg(
+        F.count(F.when(F.col("n_hits") > 0, 1)).alias("n_docs_tagged"),
+        F.sum("n_hits").cast("bigint").alias("total_hits"),
+        (
+            F.count(F.when(F.col("n_hits") > 0, 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("doc_hit_rate"),
+    )
