@@ -57,6 +57,10 @@ _OPS = [
     "l_diversity_audit",
     "curriculum_phases",
     "contrastive_pair_mining",
+    "simhash_eval_pr",
+    "doc_ngram_novelty",
+    "join_skew_advisor",
+    "percentile_disc_suite",
 ]
 
 _TABLES = (

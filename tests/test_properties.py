@@ -537,3 +537,65 @@ def test_binpack_next_fit_invariants(spark, sizes):
     for b, rs in by_bin.items():
         total = sum(r.bytes for r in rs)
         assert total < target + max(r.bytes for r in rs), (b, total)
+
+
+def test_semdedup_invariants(spark, sf_dir):
+    """SemDeDup keep-set invariants: the smallest vec_id in every
+    cluster is always kept (nothing precedes it), every vector appears
+    exactly once, and the guard on the eval harness fires as designed."""
+    from transit_data_pipeline_spark.operators.dedup import dedup_semdedup
+
+    out = dedup_semdedup(spark, sf_dir).collect()
+    seen = {}
+    by_cluster_min = {}
+    for r in out:
+        assert r.vec_id not in seen, "vector appears twice"
+        seen[r.vec_id] = r
+        cur = by_cluster_min.get(r.cluster_id)
+        if cur is None or r.vec_id < cur.vec_id:
+            by_cluster_min[r.cluster_id] = r
+    for r in by_cluster_min.values():
+        assert r.keep, f"cluster {r.cluster_id} min vec {r.vec_id} was dropped"
+
+
+def test_simhash_eval_guard_refuses_blowup(spark, sf_dir):
+    from transit_data_pipeline_spark.operators.dedup import simhash_eval_pr
+
+    import pytest
+
+    with pytest.raises(ValueError, match="blow-up"):
+        simhash_eval_pr(spark, sf_dir, max_join_rows=10)
+
+
+def test_novelty_bounds_and_first_doc(spark, sf_dir):
+    """Novelty ratios are in [0,1]; the earliest doc with shingles is
+    fully novel (nothing precedes it)."""
+    from transit_data_pipeline_spark.operators.dedup import doc_ngram_novelty
+
+    rows = doc_ngram_novelty(spark, sf_dir).collect()
+    assert rows
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.novelty_ratio == 1.0
+    for r in rows:
+        assert 0.0 <= r.novelty_ratio <= 1.0
+        assert r.n_novel <= r.n_shingles
+
+
+def test_percentile_disc_members_of_group(spark, sf_dir):
+    """Discrete percentiles must be actual members of their group —
+    the defining property vs interpolated percentile_cont."""
+    from transit_data_pipeline_spark.operators.relational import (
+        percentile_disc_suite,
+    )
+    from transit_data_pipeline_spark.catalog import table
+
+    rows = percentile_disc_suite(spark, sf_dir).collect()
+    o = table(spark, sf_dir, "orders")
+    vals = {
+        r.status: {x.o_totalprice for x in g}
+        for r in rows
+        for g in [o.filter(F.col("o_orderstatus") == r.status).select("o_totalprice").collect()]
+    }
+    for r in rows:
+        for p in (r.p25_disc, r.p50_disc, r.p75_disc):
+            assert p in vals[r.status]

@@ -1749,3 +1749,165 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("j").cast(DEC_J)).cast("double") / F.count(F.lit(1))
         ).alias("mean_jaccard"),
     )
+
+
+@register(
+    "simhash_eval_pr",
+    ops=("J1", "A1", "A9", "P8"),
+    doc="Blocking-quality evaluation harness: SimHash candidates "
+    "(top-8-bit block, Hamming ≤ 2 — the dedup_simhash plan) scored "
+    "against exact-Jaccard ≥ 0.5 ground truth as TP/FP/FN with "
+    "precision/recall/F1 — the measurement every near-dup pipeline "
+    "needs before trusting a blocking scheme at 100 TB. Truth is "
+    "the shingle-equi-join exact pass (bounded corpora); predictions "
+    "and truth meet in one full-outer pair join.",
+    oracle=f"""
+WITH sh AS ({SQL_DOC_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+posint AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.doc_a, i.doc_b
+  FROM posint i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+),
+tok AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS t
+  FROM documents
+),
+th AS (SELECT doc_id, CAST('0x' || substr(md5(t),1,8) AS BIGINT) AS h FROM tok),
+bits AS (
+  SELECT doc_id, b.b AS b,
+         SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS w
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
+  GROUP BY 1, 2
+),
+sim AS (
+  SELECT doc_id,
+         SUM(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+  FROM bits GROUP BY 1
+),
+blocked AS (SELECT doc_id, simhash, simhash >> 24 AS block FROM sim),
+pred AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocked a JOIN blocked b
+    ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+),
+conf AS (
+  SELECT
+    COUNT(CASE WHEN t.doc_a IS NOT NULL AND p.doc_a IS NOT NULL THEN 1 END) AS tp,
+    COUNT(CASE WHEN t.doc_a IS NULL THEN 1 END) AS fp,
+    COUNT(CASE WHEN p.doc_a IS NULL THEN 1 END) AS fn
+  FROM truth t FULL JOIN pred p
+    ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+  CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0) AS precision_,
+  CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0) AS recall_
+FROM conf
+""",
+)
+def simhash_eval_pr(
+    spark: SparkSession, sf_dir: str, max_join_rows: int = 100_000_000
+) -> DataFrame:
+    pred = dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    # Exact-Jaccard ground truth (same construction as the
+    # dedup_lsh_verified ORACLE — the full pairwise pass, Spark-side).
+    # Ground truth is inherently quadratic: this harness is for
+    # bounded evaluation SAMPLES, and carries the same Σdf²
+    # blast-radius guard as dedup_ngram_jaccard.
+    sh = _doc_shingles(spark, sf_dir)
+    est = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.sum(F.col("df") * F.col("df")).alias("s2"))
+        .first()[0]
+    )
+    if est is not None and est > max_join_rows:
+        raise ValueError(
+            f"simhash_eval_pr: estimated truth-join blow-up Σdf²={est:,} "
+            f"exceeds max_join_rows={max_join_rows:,}; evaluate blocking "
+            "quality on a bounded sample (exact ground truth is quadratic "
+            "by definition), or raise max_join_rows explicitly."
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("s"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("s"))
+    posint = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    truth = (
+        posint.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            >= 0.5
+        )
+        .select("doc_a", "doc_b")
+    )
+    t = truth.withColumn("in_t", F.lit(1))
+    p = pred.withColumn("in_p", F.lit(1))
+    conf = t.join(p, ["doc_a", "doc_b"], "full").agg(
+        F.count(F.when(F.col("in_t").isNotNull() & F.col("in_p").isNotNull(), 1))
+        .cast("bigint")
+        .alias("tp"),
+        F.count(F.when(F.col("in_t").isNull(), 1)).cast("bigint").alias("fp"),
+        F.count(F.when(F.col("in_p").isNull(), 1)).cast("bigint").alias("fn"),
+    )
+    return conf.select(
+        "tp",
+        "fp",
+        "fn",
+        (F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0))).alias("precision_"),
+        (F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0))).alias("recall_"),
+    )
+
+
+@register(
+    "doc_ngram_novelty",
+    ops=("A1", "A9", "J1"),
+    doc="Corpus-order novelty curve: for each document (in doc_id "
+    "ingest order), the fraction of its distinct 3-gram shingles "
+    "never seen in any earlier document — the dataset-freshness "
+    "signal that drives dedup-aware data selection (a doc whose "
+    "novelty → 0 adds nothing to training). First-seen owner = "
+    "min(doc_id) per shingle: one shingle-keyed aggregate joined "
+    "back to the shingle stream — two shuffles on the shingle key, "
+    "linear at any corpus size.",
+    oracle=f"""
+WITH sh AS ({SQL_DOC_SHINGLES}),
+first_seen AS (SELECT sh, MIN(doc_id) AS owner FROM sh GROUP BY 1)
+SELECT s.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+  CAST(COUNT(CASE WHEN f.owner = s.doc_id THEN 1 END) AS BIGINT) AS n_novel,
+  CAST(COUNT(CASE WHEN f.owner = s.doc_id THEN 1 END) AS DOUBLE) / COUNT(*)
+    AS novelty_ratio
+FROM sh s JOIN first_seen f USING (sh)
+GROUP BY 1
+""",
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    first_seen = sh.groupBy("sh").agg(F.min("doc_id").alias("owner"))
+    novel = F.count(F.when(F.col("owner") == F.col("doc_id"), 1))
+    return (
+        sh.join(first_seen, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            novel.cast("bigint").alias("n_novel"),
+            (novel.cast("double") / F.count(F.lit(1))).alias("novelty_ratio"),
+        )
+    )

@@ -1257,3 +1257,87 @@ def category_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@register(
+    "join_skew_advisor",
+    ops=("A1", "A3", "O1", "P5"),
+    doc="Join-skew advisor — the planning audit run before a big "
+    "fact⋈fact join: per-key probe-side row counts (lineitem by "
+    "l_orderkey) reduced to corpus skew stats (max/avg rows per key, "
+    "skew factor) plus the top-5 heaviest keys, each carrying a "
+    "strategy recommendation (broadcast when the build side is "
+    "dimension-sized, salt when the key's share is > 10× the mean, "
+    "plain shuffle otherwise). One hash agg + one 5-row sort; the "
+    "decision CASE mirrors what AQE's skew-join handling would do, "
+    "made inspectable.",
+    oracle="""
+WITH per_key AS (
+  SELECT l_orderkey, COUNT(*) AS n_rows FROM lineitem GROUP BY 1
+),
+stats AS (
+  SELECT COUNT(*) AS n_keys,
+    CAST(MAX(n_rows) AS BIGINT) AS max_rows,
+    CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+    CAST(MAX(n_rows) AS DOUBLE) / (CAST(SUM(n_rows) AS DOUBLE) / COUNT(*))
+      AS skew_factor
+  FROM per_key
+),
+build AS (SELECT COUNT(*) AS build_rows FROM orders),
+top5 AS (
+  SELECT l_orderkey, n_rows,
+    ROW_NUMBER() OVER (ORDER BY n_rows DESC, l_orderkey) AS rnk
+  FROM per_key
+)
+SELECT t.rnk, t.l_orderkey AS hot_key, CAST(t.n_rows AS BIGINT) AS key_rows,
+  s.n_keys, s.max_rows, s.skew_factor, b.build_rows,
+  CASE WHEN b.build_rows <= 100000 THEN 'broadcast'
+       WHEN CAST(t.n_rows AS DOUBLE) * s.n_keys / s.total_rows > 10.0 THEN 'salt'
+       ELSE 'shuffle' END AS advice
+FROM top5 t, stats s, build b
+WHERE t.rnk <= 5
+""",
+)
+def join_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem", spread=True)
+    per_key = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n_rows").cast("bigint").alias("max_rows"),
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+        (
+            F.max("n_rows").cast("double")
+            / (F.sum("n_rows").cast("double") / F.count(F.lit(1)))
+        ).alias("skew_factor"),
+    )
+    build = table(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("build_rows")
+    )
+    top5 = (
+        per_key.withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.desc("n_rows"), "l_orderkey")),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+    return (
+        top5.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(build))
+        .select(
+            "rnk",
+            F.col("l_orderkey").alias("hot_key"),
+            F.col("n_rows").cast("bigint").alias("key_rows"),
+            "n_keys",
+            "max_rows",
+            "skew_factor",
+            "build_rows",
+            F.when(F.col("build_rows") <= 100_000, F.lit("broadcast"))
+            .when(
+                F.col("n_rows").cast("double") * F.col("n_keys") / F.col("total_rows")
+                > 10.0,
+                F.lit("salt"),
+            )
+            .otherwise(F.lit("shuffle"))
+            .alias("advice"),
+        )
+    )

@@ -1118,3 +1118,57 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         & (F.col("best_orders_equal") == F.col("n_orders"))
     ).select("o_custkey", "spend_cents", F.col("n_orders").cast("long").alias("n_orders"))
+
+
+@register(
+    "percentile_disc_suite",
+    ops=("A8", "W4", "W13"),
+    doc="Exact DISCRETE percentiles (the value actually present in "
+    "the data, vs percentile_cont's interpolation): per order-status "
+    "group, the p25/p50/p75 member selected by the explicit index "
+    "rule rn == ceil(q·n) over a (value, key)-ordered window — no "
+    "per-group array materialization, so group size is unbounded at "
+    "100 TB (the window sort is the same shuffle the groupBy needs).",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderstatus AS status, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                       ORDER BY o_totalprice, o_orderkey) AS rn,
+    COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders
+)
+SELECT status,
+  MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN o_totalprice END) AS p25_disc,
+  MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN o_totalprice END) AS p50_disc,
+  MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN o_totalprice END) AS p75_disc,
+  CAST(MAX(n) AS BIGINT) AS n_rows
+FROM ranked
+GROUP BY 1
+""",
+)
+def percentile_disc_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders", spread=True)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        F.col("o_orderstatus").alias("status"),
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_orderstatus"))
+        .alias("n"),
+    )
+
+    def pick(q: float):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+                F.col("o_totalprice"),
+            )
+        )
+
+    return ranked.groupBy("status").agg(
+        pick(0.25).alias("p25_disc"),
+        pick(0.50).alias("p50_disc"),
+        pick(0.75).alias("p75_disc"),
+        F.max("n").cast("bigint").alias("n_rows"),
+    )
