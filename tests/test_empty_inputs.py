@@ -61,6 +61,7 @@ _OPS = [
     "doc_ngram_novelty",
     "join_skew_advisor",
     "percentile_disc_suite",
+    "consistent_hash_shards",
 ]
 
 _TABLES = (

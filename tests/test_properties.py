@@ -599,3 +599,43 @@ def test_percentile_disc_members_of_group(spark, sf_dir):
     for r in rows:
         for p in (r.p25_disc, r.p50_disc, r.p75_disc):
             assert p in vals[r.status]
+
+
+def test_consistent_hash_moves_only_to_new_shard(spark, sf_dir):
+    """The defining consistent-hashing property: adding a shard only
+    steals keys — no key moves between pre-existing shards — and the
+    stolen fraction stays near 1/(N+1), far from mod-N's (N-1)/N."""
+    from transit_data_pipeline_spark.operators.pipelineops import (
+        consistent_hash_shards,
+    )
+
+    rows = consistent_hash_shards(spark, sf_dir).collect()
+    assert rows
+    assert all(r.n_moved_elsewhere == 0 for r in rows)
+    total = sum(r.n_docs for r in rows)
+    moved = sum(r.n_moved for r in rows)
+    assert moved / total < 0.35  # expected ≈ 1/9
+
+
+def test_cdc_upsert_matches_batch_argmax(spark, sf_dir):
+    """The streamed store equals the batch latest-wins argmax, and
+    per-user event counts are conserved across micro-batches."""
+    from transit_data_pipeline_spark.catalog import table
+    from transit_data_pipeline_spark.operators.streamingops import (
+        streaming_cdc_upsert,
+    )
+
+    got = {r.user_id: r for r in streaming_cdc_upsert(spark, sf_dir).collect()}
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts").collect()
+    from collections import defaultdict
+
+    best, counts = {}, defaultdict(int)
+    for r in ev:
+        counts[r.user_id] += 1
+        k = (r.ts, r.event_id)
+        if r.user_id not in best or k > best[r.user_id]:
+            best[r.user_id] = k
+    assert set(got) == set(counts)
+    for uid, (ts, eid) in best.items():
+        assert got[uid].last_event_id == eid
+        assert got[uid].n_events == counts[uid]

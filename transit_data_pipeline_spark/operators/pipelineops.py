@@ -1341,3 +1341,96 @@ def join_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("advice"),
         )
     )
+
+
+def _ring_case(n_shards: int, vnodes: int = 8) -> str:
+    """Consistent-hash ring as one branchy CASE expression, identical
+    SQL text in Spark and DuckDB: vnode positions are md5-derived
+    48-bit constants computed driver-side (pure Python hashlib — no
+    data dependence), sorted ascending; a key owned by the first vnode
+    position ≥ its hash, wrapping to the ring's first vnode."""
+    import hashlib as _hl
+
+    ring = sorted(
+        (
+            int(_hl.md5(f"ring:{s}:{v}".encode()).hexdigest()[:12], 16),
+            s,
+        )
+        for s in range(n_shards)
+        for v in range(vnodes)
+    )
+    arms = "\n".join(
+        f"WHEN _hk <= {pos} THEN {shard}" for pos, shard in ring
+    )
+    return f"CASE {arms} ELSE {ring[0][1]} END"
+
+
+@register(
+    "consistent_hash_shards",
+    ops=("A1", "A9", "P5", "F12"),
+    doc="Consistent-hash shard assignment with virtual nodes — the "
+    "layout primitive behind shard-stable corpus storage: 8 shards × "
+    "8 vnodes on a 48-bit md5 ring, each document owned by the next "
+    "vnode clockwise. Reports per-shard balance AND the rebalance "
+    "cost of adding a 9th shard: only keys whose ring successor is a "
+    "new vnode move (every move lands on the new shard — the defining "
+    "consistent-hashing property, ~1/9 expected movement vs ~8/9 for "
+    "mod-N resharding). The ring is a driver-side constant folded "
+    "into one codegen CASE — no join, one corpus scan.",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id,
+    CAST('0x' || substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS _hk
+  FROM documents
+),
+assigned AS (
+  SELECT doc_id, {_ring_case(8)} AS shard, {_ring_case(9)} AS shard_after
+  FROM keyed
+),
+tot AS (SELECT COUNT(*) AS n FROM assigned)
+SELECT shard,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS DOUBLE) / t.n AS share,
+  CAST(COUNT(CASE WHEN shard <> shard_after THEN 1 END) AS BIGINT) AS n_moved,
+  CAST(COUNT(CASE WHEN shard <> shard_after AND shard_after <> 8 THEN 1 END) AS BIGINT)
+    AS n_moved_elsewhere
+FROM assigned, tot t
+GROUP BY shard, t.n
+""",
+)
+def consistent_hash_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    hk = F.conv(
+        F.substring(F.md5(F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    assigned = d.select(
+        "doc_id",
+        hk.alias("_hk"),
+    ).select(
+        "doc_id",
+        F.expr(_ring_case(8)).alias("shard"),
+        F.expr(_ring_case(9)).alias("shard_after"),
+    )
+    tot = assigned.agg(F.count(F.lit(1)).alias("n"))
+    moved = F.count(F.when(F.col("shard") != F.col("shard_after"), 1))
+    return (
+        assigned.crossJoin(F.broadcast(tot))
+        .groupBy("shard", "n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (F.count(F.lit(1)).cast("double") / F.first("n")).alias("share"),
+            moved.cast("bigint").alias("n_moved"),
+            F.count(
+                F.when(
+                    (F.col("shard") != F.col("shard_after"))
+                    & (F.col("shard_after") != 8),
+                    1,
+                )
+            )
+            .cast("bigint")
+            .alias("n_moved_elsewhere"),
+        )
+        .drop("n")
+    )

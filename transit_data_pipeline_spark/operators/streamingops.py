@@ -707,3 +707,123 @@ def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly.select(
         "hour_bucket", "event_type", "n_events", rnk.alias("trend_rank")
     ).filter(F.col("trend_rank") <= 3)
+
+
+@register(
+    "streaming_cdc_upsert",
+    ops=("S4", "S3", "W4", "A3"),
+    doc="Streaming CDC upsert (keyed latest-wins materialization): "
+    "each micro-batch folds into a per-user state store — read the "
+    "current store, union the batch's per-user latest rows, re-pick "
+    "the winner by (event_time, event_id), accumulate event counts, "
+    "then ATOMICALLY swap the store directory (stage-write + rename, "
+    "so a crashed batch can never publish a half-written store). The "
+    "result equals the batch argmax over the whole stream regardless "
+    "of how the source splits into micro-batches: latest-wins is "
+    "associative and counts are additive. State is one row per key — "
+    "the 100 TB knob is partitioning the store by key range.",
+    oracle=f"""
+WITH ranked AS (
+  SELECT user_id, event_type, value,
+    epoch_ns(ts) // 1000 AS ts_us, event_id,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn,
+    COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+SELECT user_id, event_type AS last_type, value AS last_value,
+  CAST(ts_us AS BIGINT) AS last_ts_us,
+  CAST(event_id AS BIGINT) AS last_event_id,
+  CAST(n_events AS BIGINT) AS n_events
+FROM ranked WHERE rn = 1
+""",
+)
+def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    store = _scratch(sf_dir, "cdc_store")
+    stage = _scratch(sf_dir, "cdc_stage")
+    ckpt = _scratch(sf_dir, "cdc_ckpt")
+    for d in (store, stage, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    state_schema = (
+        "user_id bigint, last_type string, last_value double, "
+        "last_ts_us bigint, last_event_id bigint, n_events bigint"
+    )
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts_ns"), F.desc("event_id")
+        )
+        incoming = (
+            batch.select(
+                "user_id",
+                "event_type",
+                "value",
+                F.col("ts_ns"),
+                "event_id",
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn(
+                "n_new", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_type").alias("last_type"),
+                F.col("value").alias("last_value"),
+                F.expr("ts_ns div 1000").cast("bigint").alias("last_ts_us"),
+                F.col("event_id").cast("bigint").alias("last_event_id"),
+                F.col("n_new").cast("bigint").alias("n_events"),
+            )
+        )
+        spark_ = batch.sparkSession
+        if os.path.isdir(store):
+            cur = spark_.read.schema(state_schema).parquet(store)
+            merged = cur.unionByName(incoming)
+            # Cross-batch tiebreak mirrors the in-batch one: the
+            # store keeps last_event_id so latest-wins stays a total
+            # order even when two events share a timestamp.
+            w2 = Window.partitionBy("user_id").orderBy(
+                F.desc("last_ts_us"), F.desc("last_event_id")
+            )
+            nxt = (
+                merged.withColumn("rn", F.row_number().over(w2))
+                .withColumn(
+                    "n_total",
+                    F.sum("n_events").over(Window.partitionBy("user_id")),
+                )
+                .filter(F.col("rn") == 1)
+                .select(
+                    "user_id",
+                    "last_type",
+                    "last_value",
+                    "last_ts_us",
+                    "last_event_id",
+                    F.col("n_total").alias("n_events"),
+                )
+            )
+        else:
+            nxt = incoming
+        # Stage-write then atomic publish: the store is never half-new.
+        shutil.rmtree(stage, ignore_errors=True)
+        nxt.write.mode("overwrite").parquet(stage)
+        old = store + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(store):
+            os.rename(store, old)
+        os.rename(stage, store)
+        shutil.rmtree(old, ignore_errors=True)
+
+    with _stream_conf(spark):
+        q = (
+            _event_stream(spark, sf_dir)
+            .withColumn("ts_ns", F.col("ts"))
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.schema(state_schema).parquet(store)
