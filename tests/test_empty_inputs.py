@@ -62,6 +62,7 @@ _OPS = [
     "join_skew_advisor",
     "percentile_disc_suite",
     "consistent_hash_shards",
+    "embedding_knn_outliers",
 ]
 
 _TABLES = (

@@ -639,3 +639,16 @@ def test_cdc_upsert_matches_batch_argmax(spark, sf_dir):
     for uid, (ts, eid) in best.items():
         assert got[uid].last_event_id == eid
         assert got[uid].n_events == counts[uid]
+
+
+def test_knn_outliers_rank_is_contiguous(spark, sf_dir):
+    """Top-15 loneliest vectors: ranks are 1..15 with no gaps, and
+    non-null distances are non-increasing down the ranking."""
+    from transit_data_pipeline_spark.operators.similarity import (
+        embedding_knn_outliers,
+    )
+
+    rows = sorted(embedding_knn_outliers(spark, sf_dir).collect(), key=lambda r: r.rnk)
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    ds = [r.nn_d2 for r in rows if r.nn_d2 is not None]
+    assert ds == sorted(ds, reverse=True)

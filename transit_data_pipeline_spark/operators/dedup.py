@@ -1520,6 +1520,10 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm2 = F.aggregate(
         F.transform(F.col("q"), lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
     )
+    # Three consumers (both pair-join sides + the output frame);
+    # Catalyst's ReusedExchange computes the shared subplan once — a
+    # forced localCheckpoint here measured 1.5× SLOWER on the ×8 probe
+    # by breaking that reuse.
     m = assign(c1).select("vec_id", "cid", "q", norm2.alias("nq"))
     a = m.select(
         F.col("vec_id").alias("vec_a"), "cid",

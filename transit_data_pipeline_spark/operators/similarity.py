@@ -479,3 +479,142 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_odd.alias("mean_odd"),
         F.abs(mean_even - mean_odd).alias("abs_drift"),
     )
+
+
+@register(
+    "embedding_knn_outliers",
+    ops=("J10", "A3", "W4", "O1"),
+    doc="Embedding outlier scoring for corpus curation (prune "
+    "mislabeled / off-distribution vectors before training): each "
+    "vector's 1-NN squared distance WITHIN its k-means cluster "
+    "(same deterministic 2-round Lloyd assignment and corpus-scaled "
+    "K as dedup_semdedup — pairwise work stays ≈ n·250/2, linear), "
+    "computed in exact long arithmetic on the 2^-20 integer grid. "
+    "Reports the global top-15 loneliest vectors (largest 1-NN "
+    "distance, id tiebreak) with their cluster context — the "
+    "candidates a curation pass reviews first. Singleton clusters "
+    "surface as NULL-distance rows ranked last.",
+    oracle=None,  # backfilled below — shares the kmeans CTE chain
+)
+def embedding_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import SEM_TARGET
+    from .mlprep import KMEANS_K, _q_col, _sqdist
+
+    e = table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id",
+        F.transform(_q_col(F.col("embedding")), lambda q: q.cast("double")).alias("v"),
+        _q_col(F.col("embedding")).alias("q"),
+    )
+    n = e.count()
+    k = max(KMEANS_K, -(-n // SEM_TARGET))
+    c0 = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        # Window argmin (not min_by-over-structs: carrying the two
+        # 64-dim arrays through hash-agg partial buffers measured
+        # 1.8× slower on the ×8 probe than the sort-based window).
+        scored = e.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "cid", "v", "q", _sqdist(F.col("v"), F.col("c")).alias("dist")
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "v", "q")
+        )
+
+    a1 = assign(c0)
+    comps = (
+        a1.select("cid", F.posexplode(F.col("v")).alias("dim0", "qv"))
+        .groupBy("cid", (F.col("dim0") + 1).alias("dim"))
+        .agg((F.sum("qv").cast("double") / F.count(F.lit(1))).alias("comp"))
+    )
+    c1 = comps.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "comp"))),
+            lambda s: s["comp"],
+        ).alias("c")
+    )
+    # The final assignment feeds three consumers (both self-join sides
+    # and the output frame); Catalyst's ReusedExchange computes the
+    # shared subplan once (verified: forcing a localCheckpoint here
+    # BROKE the reuse and ran 1.5× slower on the ×8 probe).
+    m = assign(c1).select("vec_id", "cid", "q")
+    a = m.select(F.col("vec_id").alias("va"), "cid", F.col("q").alias("qa"))
+    b = m.select(F.col("vec_id").alias("vb"), "cid", F.col("q").alias("qb"))
+    # Exact integer squared distance on the 2^-20 grid: |Δ| ≤ 2^21 per
+    # dim → Σ over 64 dims ≤ 2^48, exact in long.
+    d2 = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nn = (
+        a.join(b, "cid")
+        .filter(F.col("va") != F.col("vb"))
+        .groupBy(F.col("va").alias("vec_id"), "cid")
+        .agg(F.min(d2).alias("nn_d2"))
+    )
+    scored = m.join(nn.select("vec_id", "nn_d2"), "vec_id", "left").select(
+        "vec_id", F.col("cid").alias("cluster_id"), "nn_d2"
+    )
+    # TopK via sort+limit (a distributed take-ordered), THEN rank the
+    # 15-row result — never a global row_number window over n rows.
+    top = scored.orderBy(F.desc_nulls_last("nn_d2"), "vec_id").limit(15)
+    w = Window.orderBy(F.desc_nulls_last("nn_d2"), "vec_id")
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "rnk", "vec_id", "cluster_id", F.col("nn_d2").cast("bigint").alias("nn_d2")
+    )
+
+
+def _knn_outliers_oracle() -> str:
+    from .dedup import SEM_TARGET
+    from .mlprep import KMEANS_DIM, KMEANS_K, _SQL_QVEC, _sql_assign
+
+    sql_d2 = (
+        f"list_reduce(list_transform(generate_series(1, {KMEANS_DIM}), "
+        "i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i])), (x, y) -> x + y)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform({_SQL_QVEC}, q -> CAST(q AS DOUBLE)) AS v,
+         {_SQL_QVEC} AS q
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cid, v AS c FROM e
+  WHERE vec_id < (SELECT GREATEST({KMEANS_K},
+                                  (COUNT(*) + {SEM_TARGET - 1}) // {SEM_TARGET})
+                  FROM e)
+),
+a1 AS ({_sql_assign("e.v", "c0.c", "e", "c0")}),
+c1 AS (
+  SELECT cid, list(comp ORDER BY dim) AS c FROM (
+    SELECT cid, dim, CAST(SUM(v[dim]) AS DOUBLE) / COUNT(*) AS comp
+    FROM a1, generate_series(1, {KMEANS_DIM}) AS t(dim)
+    GROUP BY cid, dim
+  ) GROUP BY cid
+),
+a2 AS ({_sql_assign("e.v", "c1.c", "e", "c1")}),
+m AS (SELECT a2.vec_id, a2.cid, e.q FROM a2 JOIN e USING (vec_id)),
+nn AS (
+  SELECT a.vec_id, a.cid, MIN({sql_d2}) AS nn_d2
+  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT m.vec_id, m.cid AS cluster_id, nn.nn_d2,
+    ROW_NUMBER() OVER (ORDER BY nn.nn_d2 DESC NULLS LAST, m.vec_id) AS rnk
+  FROM m LEFT JOIN nn ON m.vec_id = nn.vec_id
+)
+SELECT rnk, vec_id, cluster_id, CAST(nn_d2 AS BIGINT) AS nn_d2
+FROM scored WHERE rnk <= 15
+"""
+
+
+from .registry import _REGISTRY as _REG_SIM  # noqa: E402  (oracle backfill)
+
+_REG_SIM["embedding_knn_outliers"].oracle = _knn_outliers_oracle()
