@@ -63,6 +63,10 @@ _OPS = [
     "percentile_disc_suite",
     "consistent_hash_shards",
     "embedding_knn_outliers",
+    "data_contract_validator",
+    "retrieval_maxsim_late_interaction",
+    "quality_weighted_sampling",
+    "late_arriving_dim_handling",
 ]
 
 _TABLES = (

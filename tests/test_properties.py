@@ -652,3 +652,66 @@ def test_knn_outliers_rank_is_contiguous(spark, sf_dir):
     assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
     ds = [r.nn_d2 for r in rows if r.nn_d2 is not None]
     assert ds == sorted(ds, reverse=True)
+
+
+def test_contract_validator_fixture_is_clean(spark, sf_dir):
+    """The driver fixtures satisfy every contract rule — a violation
+    here means either the fixture changed shape or a rule regressed."""
+    from transit_data_pipeline_spark.operators.pipelineops import (
+        data_contract_validator,
+    )
+
+    rows = data_contract_validator(spark, sf_dir).collect()
+    assert len(rows) == 6
+    bad = [r.rule_id for r in rows if not r.passed]
+    assert not bad, bad
+
+
+def test_kmv_union_bounds(spark, sf_dir):
+    """Merged sketch can never estimate above the naive sum of parts
+    (the sum double-counts cross-sketch overlap)."""
+    from transit_data_pipeline_spark.operators.sketches import sketch_kmv_union
+
+    r = sketch_kmv_union(spark, sf_dir).collect()[0]
+    assert r.merged_estimate <= r.sum_of_parts + 1e-9
+    assert r.n_sketches >= 2
+
+
+def test_maxsim_scores_bounded_and_ranked(spark, sf_dir):
+    """MaxSim over 4 unit-normalized query tokens is bounded by 4;
+    ranking is dense and score-ordered."""
+    from transit_data_pipeline_spark.operators.similarity import (
+        retrieval_maxsim_late_interaction,
+    )
+
+    rows = sorted(
+        retrieval_maxsim_late_interaction(spark, sf_dir).collect(),
+        key=lambda r: r.rnk,
+    )
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r.maxsim_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(-4.1 <= s <= 4.1 for s in scores)
+
+
+def test_late_dim_funnel_conserves_counts(spark, sf_dir):
+    from transit_data_pipeline_spark.operators.sources import (
+        late_arriving_dim_handling,
+    )
+
+    r = late_arriving_dim_handling(spark, sf_dir).collect()[0]
+    assert r.n_matched_initial + r.n_quarantined == r.n_facts
+    assert r.n_recovered + r.n_unresolved == r.n_quarantined
+    assert r.n_unresolved == 0  # fixture FK integrity holds
+
+
+def test_quality_weighted_sampling_tracks_expectation(spark, sf_dir):
+    """Realized keep rate concentrates around the expected rate
+    (independent per-doc draws → loose Chernoff-style tolerance)."""
+    from transit_data_pipeline_spark.operators.curation import (
+        quality_weighted_sampling,
+    )
+
+    for r in quality_weighted_sampling(spark, sf_dir).collect():
+        assert 0.0 < r.expected_rate <= 1.0
+        assert abs(r.keep_rate - r.expected_rate) < 0.2

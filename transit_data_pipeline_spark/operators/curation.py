@@ -542,3 +542,77 @@ def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("q").alias("min_quality"),
         F.max("q").alias("max_quality"),
     )
+
+
+@register(
+    "quality_weighted_sampling",
+    ops=("F12", "A9", "O2"),
+    doc="Importance sampling by quality: each document's keep "
+    "probability is proportional to ITS OWN quality score (the shared "
+    "formula — better docs oversampled smoothly, instead of the "
+    "funnel's hard threshold), scaled so the expected kept volume "
+    "matches a 40% budget: p = min(1, budget · q / mean(q)). The "
+    "mean-quality normalizer is one global aggregate (decimal-exact) "
+    "broadcast back; membership is the keyed-md5 uniform per row. "
+    "Per-source acceptance stats out — one corpus scan either way.",
+    oracle=f"""
+WITH q AS ({_SQL_QUALITY}),
+norm AS (
+  SELECT CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+    AS mean_q
+  FROM q
+),
+draw AS (
+  SELECT d.source, d.doc_id, q.quality_score,
+    LEAST(1.0, 0.4 * q.quality_score / n.mean_q) AS p_keep,
+    CAST(concat('0x', substr(md5('qws:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      / 1152921504606846976.0 AS u
+  FROM documents d JOIN q ON d.doc_id = q.doc_id, norm n
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(CASE WHEN u < p_keep THEN 1 END) AS BIGINT) AS n_kept,
+  CAST(COUNT(CASE WHEN u < p_keep THEN 1 END) AS DOUBLE) / COUNT(*) AS keep_rate,
+  CAST(SUM(CAST(p_keep AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS expected_rate
+FROM draw
+GROUP BY 1
+""",
+)
+def quality_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    scored = d.select("source", "doc_id", quality_score_col().alias("quality_score"))
+    norm = scored.agg(
+        (
+            F.sum(F.col("quality_score").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_q")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("qws:"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(1152921504606846976.0)
+    )
+    draw = scored.crossJoin(F.broadcast(norm)).select(
+        "source",
+        F.least(
+            F.lit(1.0), F.lit(0.4) * F.col("quality_score") / F.col("mean_q")
+        ).alias("p_keep"),
+        u.alias("u"),
+    )
+    return draw.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count(F.when(F.col("u") < F.col("p_keep"), 1)).cast("bigint").alias("n_kept"),
+        (
+            F.count(F.when(F.col("u") < F.col("p_keep"), 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("keep_rate"),
+        (
+            F.sum(F.col("p_keep").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("expected_rate"),
+    )

@@ -1030,3 +1030,53 @@ def next_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gap_sec"),
         F.col("event_type").alias("label"),
     )
+
+
+@register(
+    "event_path_analysis",
+    ops=("W1", "W3", "A1", "O1"),
+    doc="Top user paths: consecutive 3-step event sequences per user "
+    "(two LAGs over the user-keyed order), counted corpus-wide and "
+    "ranked — the path-mining view behind funnel design (which "
+    "3-step flows dominate). One window sort shared by both LAGs, "
+    "one hash count, a 10-row take-ordered tail; paths are strings "
+    "so the count shuffle is key-bounded by observed path variety.",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+    LAG(event_type, 2) OVER w AS s1,
+    LAG(event_type, 1) OVER w AS s2,
+    event_type AS s3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+),
+paths AS (
+  SELECT s1 || '>' || s2 || '>' || s3 AS path, COUNT(*) AS n_walks,
+         COUNT(DISTINCT user_id) AS n_users
+  FROM seq WHERE s1 IS NOT NULL
+  GROUP BY 1
+)
+SELECT path, n_walks, n_users,
+  ROW_NUMBER() OVER (ORDER BY n_walks DESC, path) AS rnk
+FROM paths
+QUALIFY rnk <= 10
+""",
+)
+def event_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.lag("event_type", 2).over(w).alias("s1"),
+        F.lag("event_type", 1).over(w).alias("s2"),
+        F.col("event_type").alias("s3"),
+    ).filter(F.col("s1").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(">", "s1", "s2", "s3").alias("path")
+    ).agg(
+        F.count(F.lit(1)).alias("n_walks"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    top = paths.orderBy(F.desc("n_walks"), "path").limit(10)
+    wr = Window.orderBy(F.desc("n_walks"), "path")
+    return top.withColumn("rnk", F.row_number().over(wr))

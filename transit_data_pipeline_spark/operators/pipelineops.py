@@ -1434,3 +1434,110 @@ def consistent_hash_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("n")
     )
+
+
+#: Known-good enumerations for the contract audit.
+_CONTRACT_LANGS = ("en", "es", "de", "fr", "zh")
+
+
+@register(
+    "data_contract_validator",
+    ops=("A1", "A5", "J2", "U1"),
+    doc="Data-contract audit (the expectation-suite pattern): each "
+    "contract rule — range checks, enum membership, derived-column "
+    "consistency, referential integrity — compiles to one conditional "
+    "aggregate over its table, multiple rules per table share one "
+    "scan, and the FK rule is a broadcast anti-join count. One row "
+    "per rule with checked/violation counts and a pass verdict; at "
+    "100 TB the audit costs one pass per table regardless of how "
+    "many rules the contract carries.",
+    oracle=f"""
+SELECT 'orders.totalprice_positive' AS rule_id, 'orders' AS table_name,
+  COUNT(*) AS n_checked,
+  COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS n_violations,
+  COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) = 0 AS passed
+FROM orders
+UNION ALL
+SELECT 'orders.custkey_fk_customer', 'orders', COUNT(*),
+  COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END),
+  COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) = 0
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem.quantity_range', 'lineitem', COUNT(*),
+  COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END),
+  COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.discount_unit_interval', 'lineitem', COUNT(*),
+  COUNT(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END),
+  COUNT(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'documents.lang_enum', 'documents', COUNT(*),
+  COUNT(CASE WHEN lang NOT IN ({", ".join(f"'{x}'" for x in _CONTRACT_LANGS)}) THEN 1 END),
+  COUNT(CASE WHEN lang NOT IN ({", ".join(f"'{x}'" for x in _CONTRACT_LANGS)}) THEN 1 END) = 0
+FROM documents
+UNION ALL
+SELECT 'documents.n_chars_consistent', 'documents', COUNT(*),
+  COUNT(CASE WHEN n_chars <> length(text) THEN 1 END),
+  COUNT(CASE WHEN n_chars <> length(text) THEN 1 END) = 0
+FROM documents
+""",
+)
+def data_contract_validator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders", spread=True)
+    li = table(spark, sf_dir, "lineitem", spread=True)
+    c = table(spark, sf_dir, "customer")
+    d = table(spark, sf_dir, "documents")
+
+    def rule(df, rule_id, tbl, viol_cond):
+        n_viol = F.count(F.when(viol_cond, 1))
+        return df.agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            n_viol.alias("n_violations"),
+            (n_viol == 0).alias("passed"),
+        ).select(
+            F.lit(rule_id).alias("rule_id"),
+            F.lit(tbl).alias("table_name"),
+            "n_checked",
+            "n_violations",
+            "passed",
+        )
+
+    fk = o.join(
+        F.broadcast(c.select("c_custkey")),
+        o.o_custkey == F.col("c_custkey"),
+        "left",
+    )
+    frames = [
+        rule(o, "orders.totalprice_positive", "orders", F.col("o_totalprice") <= 0),
+        rule(fk, "orders.custkey_fk_customer", "orders", F.col("c_custkey").isNull()),
+        rule(
+            li,
+            "lineitem.quantity_range",
+            "lineitem",
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+        ),
+        rule(
+            li,
+            "lineitem.discount_unit_interval",
+            "lineitem",
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+        ),
+        rule(
+            d,
+            "documents.lang_enum",
+            "documents",
+            ~F.col("lang").isin(*_CONTRACT_LANGS),
+        ),
+        rule(
+            d,
+            "documents.n_chars_consistent",
+            "documents",
+            F.col("n_chars") != F.length("text"),
+        ),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

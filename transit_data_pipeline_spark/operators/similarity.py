@@ -618,3 +618,60 @@ FROM scored WHERE rnk <= 15
 from .registry import _REGISTRY as _REG_SIM  # noqa: E402  (oracle backfill)
 
 _REG_SIM["embedding_knn_outliers"].oracle = _knn_outliers_oracle()
+
+
+#: Late-interaction query: the first 4 vectors act as one query's
+#: token embeddings (ColBERT's MaxSim uses ~32 query tokens; the plan
+#: shape is identical at that width).
+_MAXSIM_NQ = 4
+
+
+@register(
+    "retrieval_maxsim_late_interaction",
+    ops=("J10", "A3", "W4", "O1"),
+    doc="ColBERT-style late-interaction retrieval (Khattab & Zaharia "
+    "2020, arXiv:2004.12832): a query is a SET of token vectors; each "
+    "candidate document (label group) scores Σ_q max_d cos(q, d) — "
+    "per query token, the best-matching doc token. The 4-row query "
+    "set broadcasts against the corpus (candidate work linear in "
+    "corpus size), per-(doc, token) maxima fold in one hash agg, and "
+    "the per-doc sum runs over decimal-cast rounded cosines in exact "
+    "arithmetic. The full-corpus scan stands in for the ANN-restricted "
+    "candidate fetch (similarity_ivf_ann) a production deployment "
+    "would run first.",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id < {_MAXSIM_NQ}
+),
+per_tok AS (
+  SELECT c.label, q.qid,
+    MAX(ROUND({V.sql_cosine("q.qe", "c.embedding")}, 6)) AS best
+  FROM embeddings c CROSS JOIN q
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT label,
+    CAST(SUM(CAST(best AS DECIMAL(18,6))) AS DOUBLE) AS maxsim_score
+  FROM per_tok GROUP BY 1
+)
+SELECT label, maxsim_score,
+  ROW_NUMBER() OVER (ORDER BY maxsim_score DESC, label) AS rnk
+FROM scored
+""",
+)
+def retrieval_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings", spread=True)
+    q = e.filter(F.col("vec_id") < _MAXSIM_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    per_tok = (
+        e.crossJoin(F.broadcast(q))
+        .groupBy("label", "qid")
+        .agg(F.max(F.round(V.cosine(F.col("qe"), F.col("embedding")), 6)).alias("best"))
+    )
+    scored = per_tok.groupBy("label").agg(
+        F.sum(F.col("best").cast("decimal(18,6)")).cast("double").alias("maxsim_score")
+    )
+    w = Window.orderBy(F.desc("maxsim_score"), "label")
+    return scored.withColumn("rnk", F.row_number().over(w))

@@ -648,3 +648,95 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_join_rows"),
         )
     )
+
+
+@register(
+    "sketch_kmv_union",
+    ops=("A2", "A9", "U1"),
+    doc="Mergeability — the property that makes sketches work on a "
+    "cluster: per-event-type KMV sketches of the user population are "
+    "built independently (as map-side partials would be), then MERGED "
+    "by keeping the k smallest of the union — and the merged estimate "
+    "is compared against (a) the exact corpus-wide distinct and (b) "
+    "the naive sum of per-type estimates, which overcounts exactly "
+    "the cross-type overlap. One row out; the union never reships "
+    "raw values, only k-bounded sketch state — the 100 TB merge "
+    "pattern.",
+    oracle=f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      / {_DENOM!r} AS u
+  FROM events
+),
+per_type AS (
+  SELECT event_type, u,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u) AS rn
+  FROM hashed
+),
+kept AS (SELECT event_type, u FROM per_type WHERE rn <= {_K}),
+part_est AS (
+  SELECT event_type,
+    CASE WHEN COUNT(*) < {_K} THEN CAST(COUNT(*) AS DOUBLE)
+         ELSE ({_K} - 1) / MAX(u) END AS est
+  FROM kept GROUP BY 1
+),
+merged AS (
+  SELECT u, ROW_NUMBER() OVER (ORDER BY u) AS rn
+  FROM (SELECT DISTINCT u FROM kept)
+),
+merged_kth AS (
+  SELECT MAX(u) AS u_k, COUNT(*) AS n_kept FROM merged WHERE rn <= {_K}
+),
+exact AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events)
+SELECT
+  (SELECT COUNT(*) FROM part_est) AS n_sketches,
+  e.exact_distinct,
+  CASE WHEN m.n_kept < {_K} THEN CAST(m.n_kept AS DOUBLE)
+       ELSE ({_K} - 1) / m.u_k END AS merged_estimate,
+  (SELECT CAST(SUM(CAST(est AS DECIMAL(18,4))) AS DOUBLE) FROM part_est)
+    AS sum_of_parts
+FROM exact e, merged_kth m
+""",
+)
+def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    u = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(_DENOM)
+    )
+    hashed = e.select("event_type", u.alias("u")).distinct()
+    kept = hashed.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("u"))
+    ).filter(F.col("rn") <= _K)
+    part_est = kept.groupBy("event_type").agg(
+        F.when(F.count(F.lit(1)) < _K, F.count(F.lit(1)).cast("double"))
+        .otherwise(F.lit(_K - 1) / F.max("u"))
+        .alias("est")
+    )
+    merged = (
+        kept.select("u")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("u")))
+        .filter(F.col("rn") <= _K)
+        .agg(F.max("u").alias("u_k"), F.count(F.lit(1)).alias("n_kept"))
+    )
+    exact = e.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    parts = part_est.agg(
+        F.count(F.lit(1)).alias("n_sketches"),
+        F.sum(F.col("est").cast("decimal(18,4)")).cast("double").alias("sum_of_parts"),
+    )
+    return (
+        parts.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(merged))
+        .select(
+            "n_sketches",
+            "exact_distinct",
+            F.when(F.col("n_kept") < _K, F.col("n_kept").cast("double"))
+            .otherwise(F.lit(_K - 1) / F.col("u_k"))
+            .alias("merged_estimate"),
+            "sum_of_parts",
+        )
+    )

@@ -802,3 +802,60 @@ def compaction_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("month").alias("first_month"),
         F.max("month").alias("last_month"),
     )
+
+
+@register(
+    "late_arriving_dim_handling",
+    ops=("J2", "J5", "A1", "U1"),
+    doc="Late-arriving dimension protocol — the warehouse-loading "
+    "pattern for facts that reference dim rows not yet delivered: "
+    "load facts against the current dim snapshot (here: the even-key "
+    "half of customer, a deterministic stand-in for a stale copy), "
+    "QUARANTINE non-matching facts instead of dropping or failing, "
+    "then reprocess the quarantine when the full dim lands and report "
+    "the funnel (matched / quarantined / recovered / unresolved). "
+    "Both passes are broadcast-dim left joins; the quarantine retry "
+    "touches only the quarantined slice, not the fact table.",
+    oracle="""
+WITH snap AS (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0),
+first_pass AS (
+  SELECT o.o_orderkey, o.o_custkey, s.c_custkey AS hit
+  FROM orders o LEFT JOIN snap s ON o.o_custkey = s.c_custkey
+),
+retry AS (
+  SELECT f.o_orderkey, c.c_custkey AS hit2
+  FROM first_pass f LEFT JOIN customer c ON f.o_custkey = c.c_custkey
+  WHERE f.hit IS NULL
+)
+SELECT
+  (SELECT COUNT(*) FROM first_pass) AS n_facts,
+  (SELECT COUNT(*) FROM first_pass WHERE hit IS NOT NULL) AS n_matched_initial,
+  (SELECT COUNT(*) FROM retry) AS n_quarantined,
+  (SELECT COUNT(*) FROM retry WHERE hit2 IS NOT NULL) AS n_recovered,
+  (SELECT COUNT(*) FROM retry WHERE hit2 IS NULL) AS n_unresolved
+""",
+)
+def late_arriving_dim_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders", spread=True)
+    c = table(spark, sf_dir, "customer")
+    snap = c.filter(F.col("c_custkey") % 2 == 0).select("c_custkey")
+    first_pass = o.select("o_orderkey", "o_custkey").join(
+        F.broadcast(snap), o.o_custkey == snap.c_custkey, "left"
+    )
+    quarantine = first_pass.filter(F.col("c_custkey").isNull()).select(
+        "o_orderkey", "o_custkey"
+    )
+    full_dim = c.select(F.col("c_custkey").alias("k2"))
+    retry = quarantine.join(
+        F.broadcast(full_dim), quarantine.o_custkey == F.col("k2"), "left"
+    )
+    stats_first = first_pass.agg(
+        F.count(F.lit(1)).alias("n_facts"),
+        F.count("c_custkey").alias("n_matched_initial"),
+    )
+    stats_retry = retry.agg(
+        F.count(F.lit(1)).alias("n_quarantined"),
+        F.count("k2").alias("n_recovered"),
+        F.count(F.when(F.col("k2").isNull(), 1)).alias("n_unresolved"),
+    )
+    return stats_first.crossJoin(F.broadcast(stats_retry))
