@@ -67,6 +67,10 @@ _OPS = [
     "retrieval_maxsim_late_interaction",
     "quality_weighted_sampling",
     "late_arriving_dim_handling",
+    "dedup_cluster_stats",
+    "vocab_oov_rate",
+    "model_calibration_bins",
+    "target_encode_loo",
 ]
 
 _TABLES = (

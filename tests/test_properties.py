@@ -715,3 +715,38 @@ def test_quality_weighted_sampling_tracks_expectation(spark, sf_dir):
     for r in quality_weighted_sampling(spark, sf_dir).collect():
         assert 0.0 < r.expected_rate <= 1.0
         assert abs(r.keep_rate - r.expected_rate) < 0.2
+
+
+def test_calibration_gaps_are_small(spark, sf_dir):
+    """Outcomes are drawn FROM the model on an independent hash
+    channel, so every decile's observed rate must track its mean
+    predicted probability within sampling noise."""
+    from transit_data_pipeline_spark.operators.mlops import model_calibration_bins
+
+    rows = model_calibration_bins(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # Sampling noise scales ~1/√n: well-populated bins must be
+        # tight; a 9-cell tail bin may legitimately wobble.
+        tol = 0.06 if r.n_cells >= 100 else 0.25
+        assert abs(r.calibration_gap) < tol, r
+        # Brier for a calibrated bin ≈ p̄(1−p̄) ≤ 0.25 + small-sample slack.
+        assert 0.0 <= r.brier <= 0.30
+
+
+def test_target_encode_loo_excludes_self(spark, sf_dir):
+    """LOO property: two rows of the same segment with different
+    targets get different encodings (the self-label is excluded), and
+    every encoding stays inside (0, 1)."""
+    from transit_data_pipeline_spark.operators.mlprep import target_encode_loo
+
+    rows = target_encode_loo(spark, sf_dir).collect()
+    by_seg = {}
+    for r in rows:
+        assert 0.0 < r.te_loo < 1.0
+        by_seg.setdefault(r.segment, set()).add((r.y, round(r.te_loo, 12)))
+    some_seg = next(s for s in by_seg.values() if len({y for y, _ in s}) == 2)
+    te0 = {t for y, t in some_seg if y == 0}
+    te1 = {t for y, t in some_seg if y == 1}
+    assert te0 and te1 and te0.isdisjoint(te1)
+    assert min(te1) < max(te0)  # removing a positive lowers the rate

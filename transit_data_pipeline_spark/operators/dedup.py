@@ -1915,3 +1915,73 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (novel.cast("double") / F.count(F.lit(1))).alias("novelty_ratio"),
         )
     )
+
+
+@register(
+    "dedup_cluster_stats",
+    ops=("A1", "A9", "A11"),
+    doc="Near-dup cluster census — the report a dedup run ships: "
+    "component-size histogram (how many singletons / pairs / big "
+    "cliques), documents-in-duplicate-clusters mass, and the corpus "
+    "shrink factor if each cluster keeps one canonical. Composes "
+    "dedup_components; the census itself is two tiny aggregates over "
+    "the component frame.",
+    oracle=f"""
+WITH RECURSIVE sh AS ({SQL_DOC_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT doc_id AS a, doc_id AS b FROM documents
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+comp AS (SELECT a AS doc_id, MIN(b) AS canon FROM reach GROUP BY a),
+csizes AS (SELECT canon, COUNT(*) AS component_size FROM comp GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM comp)
+SELECT component_size,
+  CAST(COUNT(*) AS BIGINT) AS n_components,
+  CAST(COUNT(*) * component_size AS BIGINT) AS docs_in_size,
+  CAST(COUNT(*) * component_size AS DOUBLE) / t.n_docs AS corpus_share,
+  component_size > 1 AS is_duplicate_cluster
+FROM csizes, tot t
+GROUP BY component_size, t.n_docs
+""",
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = dedup_components(spark, sf_dir)
+    csizes = comp.groupBy("canonical_doc_id").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    tot = comp.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        csizes.crossJoin(F.broadcast(tot))
+        .groupBy("component_size", "n_docs")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_components"))
+        .select(
+            "component_size",
+            "n_components",
+            (F.col("n_components") * F.col("component_size"))
+            .cast("bigint")
+            .alias("docs_in_size"),
+            (
+                (F.col("n_components") * F.col("component_size")).cast("double")
+                / F.col("n_docs")
+            ).alias("corpus_share"),
+            (F.col("component_size") > 1).alias("is_duplicate_cluster"),
+        )
+    )

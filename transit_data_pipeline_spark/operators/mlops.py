@@ -595,3 +595,100 @@ def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.alias("df_welch"),
         (F.abs(t) > 1.96).alias("significant"),
     )
+
+
+#: Outcome-draw hash channel for the calibration audit (independent of
+#: the condition/magnitude channels _H1/_H2).
+_H3 = 3266489917
+
+
+@register(
+    "model_calibration_bins",
+    ops=("A3", "A9", "F13", "D4"),
+    doc="Model calibration audit (reliability diagram + Brier score): "
+    "outcomes are drawn per grid cell from the delay-probability "
+    "model itself on an independent hash channel, then bucketed by "
+    "predicted probability into deciles — per bin: mean predicted vs "
+    "observed rate, the calibration gap, and the decimal-exact "
+    "bin-level Brier score ((p−y)² carries 12 exact decimals). A "
+    "well-calibrated model shows gap ≈ 0 in every bin — the check "
+    "every risk-scoring deployment runs before trusting thresholds. "
+    "One pass over the simulation grid; bins are the only grouping.",
+    oracle=f"""
+WITH grid AS (
+  SELECT d.day_index, h.hour, d.day_index * 24 + h.hour + 1 AS cell_key
+  FROM range(0, {_GRID_DAYS}) d(day_index) CROSS JOIN range(0, 24) h(hour)
+), drawn AS (
+  SELECT day_index, hour, cell_key,
+    {_uniform_sql("cell_key", _H1)} AS u1,
+    {_uniform_sql("cell_key", _H3)} AS u3,
+    CASE WHEN hour IN (7, 8, 9, 17, 18, 19) THEN 1.8 ELSE 1.0 END AS rush_mult,
+    CASE WHEN day_index = 0 THEN 0.7 ELSE 1.0 END AS holiday_mult
+  FROM grid
+), cond AS (
+  SELECT *, {_COND_CASE} AS condition FROM drawn
+), model AS (
+  SELECT *, {_MULT_CASE} AS weather_mult FROM cond
+), scored AS (
+  SELECT
+    LEAST(0.8, ROUND(0.15 * rush_mult * weather_mult * holiday_mult, 6)) AS p,
+    CASE WHEN u3 < LEAST(0.8, ROUND(0.15 * rush_mult * weather_mult * holiday_mult, 6))
+         THEN 1 ELSE 0 END AS y
+  FROM model
+)
+SELECT CAST(FLOOR(p * 10) AS INTEGER) AS prob_bin,
+  CAST(COUNT(*) AS BIGINT) AS n_cells,
+  CAST(SUM(CAST(p AS DECIMAL(8,6))) AS DOUBLE) / COUNT(*) AS mean_predicted,
+  CAST(SUM(y) AS DOUBLE) / COUNT(*) AS observed_rate,
+  CAST(SUM(y) AS DOUBLE) / COUNT(*)
+    - CAST(SUM(CAST(p AS DECIMAL(8,6))) AS DOUBLE) / COUNT(*) AS calibration_gap,
+  CAST(SUM(CAST(p - y AS DECIMAL(8,6)) * CAST(p - y AS DECIMAL(8,6))) AS DOUBLE)
+    / COUNT(*) AS brier
+FROM scored
+GROUP BY 1
+""",
+)
+def model_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = spark.range(_GRID_DAYS).select(F.col("id").alias("day_index"))
+    hours = spark.range(24).select(F.col("id").alias("hour"))
+    grid = days.crossJoin(hours).withColumn(
+        "cell_key", F.col("day_index") * 24 + F.col("hour") + 1
+    )
+    drawn = grid.select(
+        "day_index",
+        "hour",
+        _uniform_col(F.col("cell_key"), _H1).alias("u1"),
+        _uniform_col(F.col("cell_key"), _H3).alias("u3"),
+        F.when(F.col("hour").isin(7, 8, 9, 17, 18, 19), 1.8)
+        .otherwise(1.0)
+        .alias("rush_mult"),
+        F.when(F.col("day_index") == 0, 0.7).otherwise(1.0).alias("holiday_mult"),
+    )
+    model = drawn.withColumn("condition", F.expr(_COND_CASE)).withColumn(
+        "weather_mult", F.expr(_MULT_CASE)
+    )
+    p = F.least(
+        F.lit(0.8),
+        F.round(
+            0.15 * F.col("rush_mult") * F.col("weather_mult") * F.col("holiday_mult"),
+            6,
+        ),
+    )
+    scored = model.select(
+        p.alias("p"),
+        F.when(F.col("u3") < p, 1).otherwise(0).alias("y"),
+    )
+    pd_ = F.col("p").cast("decimal(8,6)")
+    diff = (F.col("p") - F.col("y")).cast("decimal(8,6)")
+    return scored.groupBy(
+        F.floor(F.col("p") * 10).cast("int").alias("prob_bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        (F.sum(pd_).cast("double") / F.count(F.lit(1))).alias("mean_predicted"),
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("observed_rate"),
+        (
+            F.sum("y").cast("double") / F.count(F.lit(1))
+            - F.sum(pd_).cast("double") / F.count(F.lit(1))
+        ).alias("calibration_gap"),
+        (F.sum(diff * diff).cast("double") / F.count(F.lit(1))).alias("brier"),
+    )

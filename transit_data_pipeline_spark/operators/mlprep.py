@@ -1012,3 +1012,71 @@ def robust_scale_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("scaled").alias("scaled_min"),
         F.max("scaled").alias("scaled_max"),
     )
+
+
+#: Leave-one-out target-encoding smoothing strength.
+TE_SMOOTH_M = 10.0
+
+
+@register(
+    "target_encode_loo",
+    ops=("J1", "A5", "A9", "P8"),
+    doc="Leave-one-out target encoding with prior smoothing — the "
+    "high-cardinality-categorical feature transform: each order's "
+    "market segment is encoded as the segment's target rate computed "
+    "WITHOUT the row itself (LOO kills the self-leakage that makes "
+    "naive target encoding overfit), shrunk toward the global prior "
+    "by m=10 virtual samples. Target = high-value order flag. "
+    "Integer sufficient statistics (n, Σy) per segment + one global "
+    "prior broadcast back; the per-row encode is pure arithmetic — "
+    "two dimension-sized aggregates and one scan at any scale.",
+    oracle=f"""
+WITH base AS (
+  SELECT o.o_orderkey, c.c_mktsegment AS segment,
+    CASE WHEN o.o_totalprice > 150000 THEN 1 ELSE 0 END AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+seg AS (
+  SELECT segment, COUNT(*) AS n_seg, CAST(SUM(y) AS BIGINT) AS sum_y
+  FROM base GROUP BY 1
+),
+prior AS (
+  SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) AS p FROM base
+)
+SELECT b.o_orderkey, b.segment, b.y,
+  (CAST(s.sum_y - b.y AS DOUBLE) + {TE_SMOOTH_M!r} * pr.p)
+    / (CAST(s.n_seg - 1 AS DOUBLE) + {TE_SMOOTH_M!r}) AS te_loo
+FROM base b JOIN seg s ON b.segment = s.segment, prior pr
+""",
+)
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders", spread=True)
+    c = table(spark, sf_dir, "customer")
+    base = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == F.col("c_custkey"),
+    ).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("o_totalprice") > 150000, 1).otherwise(0).alias("y"),
+    )
+    seg = base.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_seg"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+    )
+    prior = base.agg(
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("p")
+    )
+    return (
+        base.join(F.broadcast(seg), "segment")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "o_orderkey",
+            "segment",
+            "y",
+            (
+                ((F.col("sum_y") - F.col("y")).cast("double") + F.lit(TE_SMOOTH_M) * F.col("p"))
+                / ((F.col("n_seg") - 1).cast("double") + F.lit(TE_SMOOTH_M))
+            ).alias("te_loo"),
+        )
+    )

@@ -827,3 +827,62 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.read.schema(state_schema).parquet(store)
+
+
+@register(
+    "streaming_backfill_bridge",
+    ops=("U1", "A3", "F5", "S3"),
+    doc="Kappa-architecture backfill bridge: history BEFORE an "
+    "hour-aligned cutoff is served by a batch rollup over the "
+    "warehouse, the tail FROM the cutoff by the live windowed "
+    "stream, and the union equals the full batch rollup exactly — "
+    "the correctness contract every backfill+stream unification "
+    "must satisfy. The cutoff is hour-aligned so no window straddles "
+    "the seam (each (hour, type) cell is owned by exactly one side; "
+    "no partial-aggregate re-merge, no double rounding). Oracle: the "
+    "seamless full-corpus rollup.",
+    oracle=f"""
+SELECT date_trunc('hour', {SQL_EVENT_TIME}) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {N.sql_dsum("value")} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def streaming_backfill_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import table as _table
+
+    batch = _table(spark, sf_dir, "events")
+    b = batch.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    # Hour-aligned cutoff at ~3/4 of the corpus span (ns arithmetic).
+    cut = b.lo + (b.hi - b.lo) * 3 // 4
+    cut -= cut % 3_600_000_000_000
+    history = (
+        batch.filter(F.col("ts") < cut)
+        .groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), N.dsum("value").alias("total_value"))
+    )
+    tail_agg = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("ts") >= cut)
+        .groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), N.dsum("value").alias("total_value"))
+    )
+    name = "tdps_backfill_bridge"
+    with _stream_conf(spark):
+        q = (
+            tail_agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    pick = lambda df: df.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+    return pick(history).unionByName(pick(spark.table(name)))

@@ -1412,3 +1412,69 @@ def keyword_tag_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("doc_hit_rate"),
     )
+
+
+#: "Tokenizer vocabulary" size for the OOV audit: the top-V corpus
+#: tokens by (count desc, token) — deterministic, stands in for a
+#: shipped tokenizer's vocab file.
+OOV_VOCAB_SIZE = 40
+
+
+@register(
+    "vocab_oov_rate",
+    ops=("A1", "A9", "J9", "O1"),
+    doc="Out-of-vocabulary audit: token stream joined (broadcast "
+    "semi) against a top-V frequency vocabulary — per (lang, source) "
+    "slice, the token-level and type-level OOV rates that decide "
+    "whether a tokenizer's vocab transfers to a new corpus slice. "
+    "The vocab is dimension-sized by construction (V entries); the "
+    "audit is one scan + one hash agg.",
+    oracle=f"""
+WITH tok AS (
+  SELECT lang, source, unnest({SQL_TOKENS}) AS t FROM documents
+),
+vocab AS (
+  SELECT t FROM (
+    SELECT t, COUNT(*) AS n FROM tok GROUP BY 1
+    ORDER BY n DESC, t LIMIT {OOV_VOCAB_SIZE}
+  )
+),
+marked AS (
+  SELECT tok.lang, tok.source, tok.t, v.t IS NOT NULL AS in_vocab
+  FROM tok LEFT JOIN vocab v ON tok.t = v.t
+)
+SELECT lang, source,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(COUNT(CASE WHEN NOT in_vocab THEN 1 END) AS BIGINT) AS n_oov,
+  CAST(COUNT(CASE WHEN NOT in_vocab THEN 1 END) AS DOUBLE) / COUNT(*)
+    AS oov_token_rate,
+  CAST(COUNT(DISTINCT CASE WHEN NOT in_vocab THEN t END) AS BIGINT)
+    AS n_oov_types
+FROM marked
+GROUP BY 1, 2
+""",
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    tok = d.select("lang", "source", F.explode(tokens_col()).alias("t"))
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "t")
+        .limit(OOV_VOCAB_SIZE)
+        .select("t")
+    )
+    marked = tok.join(
+        F.broadcast(vocab.withColumnRenamed("t", "vt")),
+        tok.t == F.col("vt"),
+        "left",
+    ).select("lang", "source", "t", F.col("vt").isNotNull().alias("in_vocab"))
+    oov = F.count(F.when(~F.col("in_vocab"), 1))
+    return marked.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        oov.cast("bigint").alias("n_oov"),
+        (oov.cast("double") / F.count(F.lit(1))).alias("oov_token_rate"),
+        F.countDistinct(F.when(~F.col("in_vocab"), F.col("t")))
+        .cast("bigint")
+        .alias("n_oov_types"),
+    )
