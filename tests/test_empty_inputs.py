@@ -71,6 +71,7 @@ _OPS = [
     "vocab_oov_rate",
     "model_calibration_bins",
     "target_encode_loo",
+    "woe_encoding",
 ]
 
 _TABLES = (

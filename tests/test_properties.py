@@ -750,3 +750,25 @@ def test_target_encode_loo_excludes_self(spark, sf_dir):
     te1 = {t for y, t in some_seg if y == 1}
     assert te0 and te1 and te0.isdisjoint(te1)
     assert min(te1) < max(te0)  # removing a positive lowers the rate
+
+
+def test_srm_counts_conserve_users(spark, sf_dir):
+    from transit_data_pipeline_spark.catalog import table
+    from transit_data_pipeline_spark.operators.events import ab_srm_check
+
+    r = ab_srm_check(spark, sf_dir).collect()[0]
+    n_users = table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert r.n_a + r.n_b == n_users
+    assert r.chi2 >= 0.0
+    assert r.expected_each == (r.n_a + r.n_b) / 2
+
+
+def test_woe_information_value_nonnegative(spark, sf_dir):
+    """(ps−ns) and ln(ps/ns) always share sign, so every segment's
+    IV contribution is ≥ 0; WoE sign tracks the share comparison."""
+    from transit_data_pipeline_spark.operators.mlprep import woe_encoding
+
+    rows = woe_encoding(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.iv_contrib >= -1e-12, r

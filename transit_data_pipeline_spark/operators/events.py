@@ -1080,3 +1080,67 @@ def event_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = paths.orderBy(F.desc("n_walks"), "path").limit(10)
     wr = Window.orderBy(F.desc("n_walks"), "path")
     return top.withColumn("rnk", F.row_number().over(wr))
+
+
+@register(
+    "ab_srm_check",
+    ops=("A1", "A9", "P5"),
+    doc="Sample-ratio-mismatch guardrail — the pre-test every A/B "
+    "readout must pass before its p-value means anything: observed "
+    "variant populations vs the designed 50/50 split, χ²(1) = "
+    "Σ(obs−exp)²/exp, flagged when χ² > 3.841 (α=0.05) or > 6.635 "
+    "(α=0.01). Same md5-parity assignment as ab_test_zscore, exact "
+    "integer counts, one user-level aggregate — the verdict row is "
+    "computed on two cells.",
+    oracle="""
+WITH per_user AS (
+  SELECT DISTINCT user_id,
+    CASE WHEN (instr('0123456789abcdef',
+                substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+         THEN 'A' ELSE 'B' END AS variant
+  FROM events
+),
+v AS (
+  SELECT
+    COUNT(CASE WHEN variant = 'A' THEN 1 END) AS n_a,
+    COUNT(CASE WHEN variant = 'B' THEN 1 END) AS n_b
+  FROM per_user
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  CAST(n_a + n_b AS DOUBLE) / 2 AS expected_each,
+  (n_a - CAST(n_a + n_b AS DOUBLE) / 2) * (n_a - CAST(n_a + n_b AS DOUBLE) / 2)
+    / (CAST(n_a + n_b AS DOUBLE) / 2)
+  + (n_b - CAST(n_a + n_b AS DOUBLE) / 2) * (n_b - CAST(n_a + n_b AS DOUBLE) / 2)
+    / (CAST(n_a + n_b AS DOUBLE) / 2) AS chi2,
+  ((n_a - CAST(n_a + n_b AS DOUBLE) / 2) * (n_a - CAST(n_a + n_b AS DOUBLE) / 2)
+    / (CAST(n_a + n_b AS DOUBLE) / 2)
+  + (n_b - CAST(n_a + n_b AS DOUBLE) / 2) * (n_b - CAST(n_a + n_b AS DOUBLE) / 2)
+    / (CAST(n_a + n_b AS DOUBLE) / 2)) > 3.841 AS srm_at_05
+FROM v
+""",
+)
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    variant = F.when(
+        F.expr(
+            "(instr('0123456789abcdef', substring(md5(cast(user_id as string)), 1, 1)) - 1) % 2"
+        )
+        == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    per_user = e.select("user_id").distinct().select(variant.alias("variant"))
+    v = per_user.agg(
+        F.count(F.when(F.col("variant") == "A", 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(F.col("variant") == "B", 1)).cast("bigint").alias("n_b"),
+    )
+    exp = (F.col("n_a") + F.col("n_b")).cast("double") / 2
+    chi2 = (F.col("n_a") - exp) * (F.col("n_a") - exp) / exp + (
+        F.col("n_b") - exp
+    ) * (F.col("n_b") - exp) / exp
+    return v.select(
+        "n_a",
+        "n_b",
+        exp.alias("expected_each"),
+        chi2.alias("chi2"),
+        (chi2 > 3.841).alias("srm_at_05"),
+    )

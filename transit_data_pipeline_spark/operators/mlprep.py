@@ -1080,3 +1080,68 @@ def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("te_loo"),
         )
     )
+
+
+@register(
+    "woe_encoding",
+    ops=("A5", "A9", "J1", "P8"),
+    doc="Weight-of-evidence categorical encoding (the credit-scoring "
+    "standard): per market segment, WoE = ln(share-of-positives / "
+    "share-of-negatives) with 0.5 Laplace smoothing, plus each "
+    "segment's information-value contribution. ln is the one "
+    "libm-dependent op, so WoE is rounded to 4 decimals before any "
+    "downstream arithmetic (the engine-wide recipe for "
+    "transcendentals); counts are exact integers from one aggregate.",
+    oracle="""
+WITH base AS (
+  SELECT c.c_mktsegment AS segment,
+    CASE WHEN o.o_totalprice > 150000 THEN 1 ELSE 0 END AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+seg AS (
+  SELECT segment,
+    CAST(SUM(y) AS BIGINT) AS n_pos,
+    CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+  FROM base GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_pos) AS BIGINT) AS pos_t, CAST(SUM(n_neg) AS BIGINT) AS neg_t
+  FROM seg
+)
+SELECT s.segment, s.n_pos, s.n_neg,
+  ROUND(LN(((s.n_pos + 0.5) / (t.pos_t + 0.5))
+         / ((s.n_neg + 0.5) / (t.neg_t + 0.5))), 4) AS woe,
+  ROUND(((s.n_pos + 0.5) / (t.pos_t + 0.5) - (s.n_neg + 0.5) / (t.neg_t + 0.5))
+        * ROUND(LN(((s.n_pos + 0.5) / (t.pos_t + 0.5))
+                 / ((s.n_neg + 0.5) / (t.neg_t + 0.5))), 4), 6) AS iv_contrib
+FROM seg s, tot t
+""",
+)
+def woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders", spread=True)
+    c = table(spark, sf_dir, "customer")
+    base = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("o_totalprice") > 150000, 1).otherwise(0).alias("y"),
+    )
+    seg = base.groupBy("segment").agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("n_neg"),
+    )
+    tot = seg.agg(
+        F.sum("n_pos").cast("bigint").alias("pos_t"),
+        F.sum("n_neg").cast("bigint").alias("neg_t"),
+    )
+    ps = (F.col("n_pos") + 0.5) / (F.col("pos_t") + 0.5)
+    ns = (F.col("n_neg") + 0.5) / (F.col("neg_t") + 0.5)
+    woe = F.round(F.log(ps / ns), 4)
+    return seg.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        "n_pos",
+        "n_neg",
+        woe.alias("woe"),
+        F.round((ps - ns) * woe, 6).alias("iv_contrib"),
+    )
