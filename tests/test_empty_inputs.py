@@ -72,6 +72,7 @@ _OPS = [
     "model_calibration_bins",
     "target_encode_loo",
     "woe_encoding",
+    "multimodal_modality_mix",
 ]
 
 _TABLES = (

@@ -1144,3 +1144,75 @@ def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2"),
         (chi2 > 3.841).alias("srm_at_05"),
     )
+
+
+@register(
+    "event_mix_entropy_daily",
+    ops=("A3", "A9", "F5", "W2"),
+    doc="Distribution-shift monitor: daily Shannon entropy of the "
+    "event-type mix (plus day-over-day delta) — a collapsing mix "
+    "(entropy drop) or a sudden diversification flags upstream "
+    "breakage before any single-type alert fires. ln goes through "
+    "the engine's rounded-transcendental recipe (4 dp before "
+    "arithmetic); the per-day Σ p·ln p folds over a type-sorted "
+    "array so the sum order is pinned. Day×type aggregate → "
+    "day-sized frame.",
+    oracle="""
+WITH per AS (
+  SELECT CAST(date_trunc('day', make_timestamp(epoch_ns(ts) // 1000)) AS TIMESTAMP)
+           AS day, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT day, SUM(n) AS day_n FROM per GROUP BY 1),
+terms AS (
+  SELECT p.day, p.event_type,
+    -(CAST(p.n AS DOUBLE) / t.day_n)
+      * ROUND(LN(CAST(p.n AS DOUBLE) / t.day_n), 4) AS term
+  FROM per p JOIN tot t ON p.day = t.day
+),
+ent AS (
+  SELECT day,
+    ROUND(list_reduce(list(term ORDER BY event_type), (x, y) -> x + y), 6)
+      AS entropy_nats
+  FROM terms GROUP BY 1
+)
+SELECT day, entropy_nats,
+  ROUND(entropy_nats - LAG(entropy_nats) OVER (ORDER BY day), 6) AS delta_vs_prev
+FROM ent
+""",
+)
+def event_mix_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    per = e.groupBy(
+        F.date_trunc("day", "event_time").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = per.groupBy("day").agg(F.sum("n").alias("day_n"))
+    terms = per.join(tot, "day").select(
+        "day",
+        "event_type",
+        (
+            -(F.col("n").cast("double") / F.col("day_n"))
+            * F.round(F.log(F.col("n").cast("double") / F.col("day_n")), 4)
+        ).alias("term"),
+    )
+    ent = terms.groupBy("day").agg(
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("event_type", "term"))),
+                    lambda s: s["term"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("entropy_nats")
+    )
+    w = Window.orderBy("day")
+    return ent.select(
+        "day",
+        "entropy_nats",
+        F.round(F.col("entropy_nats") - F.lag("entropy_nats").over(w), 6).alias(
+            "delta_vs_prev"
+        ),
+    )

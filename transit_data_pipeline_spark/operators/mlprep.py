@@ -1145,3 +1145,72 @@ def woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         woe.alias("woe"),
         F.round((ps - ns) * woe, 6).alias("iv_contrib"),
     )
+
+
+#: Total sample budget for the Neyman allocation demo.
+NEYMAN_BUDGET = 1000
+
+
+@register(
+    "neyman_allocation",
+    ops=("A3", "A4", "A9"),
+    doc="Neyman-optimal stratified sampling allocation: sample budget "
+    "split across event-type strata ∝ N_h·σ_h (minimum-variance "
+    "allocation for a fixed budget — the statistically right way to "
+    "size per-stratum samples, vs proportional allocation which "
+    "over-samples low-variance strata). σ_h from exact decimal "
+    "sufficient statistics; the Σ N_h·σ_h normalizer folds in sorted "
+    "stratum order so the double sum is bitwise reproducible. "
+    "Dimension-sized output from one corpus aggregate.",
+    oracle=f"""
+WITH strata AS (
+  SELECT event_type, COUNT(*) AS n_h,
+    {N.sql_dstddev("value")} AS sigma_h
+  FROM events GROUP BY 1
+),
+norm AS (
+  SELECT list_reduce(list(n_h * sigma_h ORDER BY event_type),
+                     (x, y) -> x + y) AS denom
+  FROM strata
+)
+SELECT s.event_type, CAST(s.n_h AS BIGINT) AS n_h,
+  ROUND(s.sigma_h, 6) AS sigma_h,
+  CAST(s.n_h AS DOUBLE) * s.sigma_h / n.denom AS alloc_share,
+  CAST(ROUND({NEYMAN_BUDGET} * s.n_h * s.sigma_h / n.denom, 0) AS BIGINT)
+    AS alloc_n,
+  CAST(s.n_h AS DOUBLE) / (SELECT SUM(n_h) FROM strata) AS proportional_share
+FROM strata s, norm n
+""",
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events", spread=True)
+    strata = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        N.dstddev("value").alias("sigma_h"),
+    )
+    norm = strata.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("event_type", (F.col("n_h") * F.col("sigma_h")).alias("w"))
+                    )
+                ),
+                lambda s: s["w"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("denom"),
+        F.sum("n_h").alias("n_total"),
+    )
+    share = F.col("n_h").cast("double") * F.col("sigma_h") / F.col("denom")
+    return strata.crossJoin(F.broadcast(norm)).select(
+        "event_type",
+        F.col("n_h").cast("bigint").alias("n_h"),
+        F.round("sigma_h", 6).alias("sigma_h"),
+        share.alias("alloc_share"),
+        F.round(F.lit(NEYMAN_BUDGET) * F.col("n_h") * F.col("sigma_h") / F.col("denom"), 0)
+        .cast("bigint")
+        .alias("alloc_n"),
+        (F.col("n_h").cast("double") / F.col("n_total")).alias("proportional_share"),
+    )

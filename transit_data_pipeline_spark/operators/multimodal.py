@@ -523,3 +523,70 @@ def multimodal_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("seg_frames").cast("bigint").alias("longest_segment"),
         (F.sum("seg_luma").cast("double") / F.col("n_frames")).alias("mean_luma"),
     )
+
+
+@register(
+    "multimodal_modality_mix",
+    ops=("A1", "A3", "A9", "F13"),
+    doc="Multimodal corpus data card: every payload is typed by its "
+    "content signature (STUB: md5-derived modality — a real pipeline "
+    "sniffs magic bytes), and the card reports per-modality document "
+    "counts, byte budgets, frame totals (decode-cost proxy) and "
+    "corpus shares — the planning table a mixed image/audio/video "
+    "training run starts from. One scan, one hash agg; the card is "
+    "modality-sized.",
+    oracle=f"""
+WITH typed AS (
+  SELECT doc_id,
+    octet_length(encode(text)) AS n_bytes,
+    1 + {_sql_md5_byte(2)} % 32 AS n_frames,
+    CASE {_sql_md5_byte(4)} % 3
+      WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality
+  FROM documents
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_bytes) AS BIGINT) AS b FROM typed)
+SELECT modality,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+  CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+  CAST(COUNT(*) AS DOUBLE) / t.n AS doc_share,
+  CAST(SUM(n_bytes) AS DOUBLE) / t.b AS byte_share
+FROM typed, tot t
+GROUP BY modality, t.n, t.b
+""",
+)
+def multimodal_modality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    payload = F.encode(F.col("text"), "UTF-8")
+    byte2 = F.conv(F.substring(F.md5("text"), 5, 2), 16, 10).cast("int")
+    byte4 = F.conv(F.substring(F.md5("text"), 9, 2), 16, 10).cast("int")
+    typed = d.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        (1 + byte2 % 32).alias("n_frames"),
+        F.when(byte4 % 3 == 0, "image")
+        .when(byte4 % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+    )
+    tot = typed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_bytes").cast("bigint").alias("b"),
+    )
+    return (
+        typed.crossJoin(F.broadcast(tot))
+        .groupBy("modality", "n", "b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.sum("n_frames").cast("bigint").alias("total_frames"),
+        )
+        .select(
+            "modality",
+            "n_docs",
+            "total_bytes",
+            "total_frames",
+            (F.col("n_docs").cast("double") / F.col("n")).alias("doc_share"),
+            (F.col("total_bytes").cast("double") / F.col("b")).alias("byte_share"),
+        )
+    )
