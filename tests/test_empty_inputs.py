@@ -73,6 +73,7 @@ _OPS = [
     "target_encode_loo",
     "woe_encoding",
     "multimodal_modality_mix",
+    "source_distinctive_terms",
 ]
 
 _TABLES = (

@@ -1478,3 +1478,89 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_oov_types"),
     )
+
+
+#: Dirichlet prior strength for the log-odds-ratio comparison.
+LOR_ALPHA = 0.5
+
+
+@register(
+    "source_distinctive_terms",
+    ops=("A1", "A9", "W4", "O1"),
+    doc="Distinctive vocabulary per source via log-odds-ratio with an "
+    "informative Dirichlet prior (Monroe, Colaresi & Quinn 2008 — "
+    "'Fightin' Words'): each source's token counts are compared "
+    "against the rest of the corpus, the corpus-wide frequencies act "
+    "as the prior, and terms are ranked by the variance-normalized "
+    "log-odds z-score. Surfaces what makes each slice linguistically "
+    "different — the eyeball tool for source curation. ln and sqrt "
+    "go through the rounded-transcendental recipe; the count tables "
+    "are vocabulary-bounded, so the whole analysis runs on frames "
+    "orders of magnitude smaller than the corpus.",
+    oracle=f"""
+WITH tok AS (SELECT source, unnest({SQL_TOKENS}) AS t FROM documents),
+cnt AS (SELECT source, t, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+corpus AS (SELECT t, SUM(n) AS n_all FROM cnt GROUP BY 1),
+totals AS (SELECT source, SUM(n) AS n_src FROM cnt GROUP BY 1),
+grand AS (SELECT SUM(n_all) AS n_grand FROM corpus),
+scored AS (
+  SELECT c.source, c.t,
+    ROUND(
+      ROUND(LN((c.n + {LOR_ALPHA} * co.n_all)
+             / (ts.n_src + {LOR_ALPHA} * g.n_grand - c.n - {LOR_ALPHA} * co.n_all)), 4)
+      - ROUND(LN((co.n_all - c.n + {LOR_ALPHA} * co.n_all)
+             / (g.n_grand - ts.n_src + {LOR_ALPHA} * g.n_grand
+                - (co.n_all - c.n) - {LOR_ALPHA} * co.n_all)), 4), 4) AS delta,
+    ROUND(SQRT(1.0 / (c.n + {LOR_ALPHA} * co.n_all)
+             + 1.0 / (co.n_all - c.n + {LOR_ALPHA} * co.n_all)), 4) AS sd
+  FROM cnt c
+  JOIN corpus co ON c.t = co.t
+  JOIN totals ts ON c.source = ts.source
+  CROSS JOIN grand g
+),
+ranked AS (
+  SELECT source, t AS term, ROUND(delta / sd, 4) AS zscore,
+    ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY ROUND(delta / sd, 4) DESC, t) AS rnk
+  FROM scored
+)
+SELECT source, term, zscore, rnk FROM ranked WHERE rnk <= 5
+""",
+)
+def source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents", spread=True)
+    tok = d.select("source", F.explode(tokens_col()).alias("t"))
+    cnt = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("n"))
+    corpus = cnt.groupBy("t").agg(F.sum("n").alias("n_all"))
+    totals = cnt.groupBy("source").agg(F.sum("n").alias("n_src"))
+    grand = corpus.agg(F.sum("n_all").alias("n_grand"))
+    a = F.lit(LOR_ALPHA)
+    joined = (
+        cnt.join(corpus, "t")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(grand))
+    )
+    num1 = (F.col("n") + a * F.col("n_all"))
+    den1 = (
+        F.col("n_src") + a * F.col("n_grand") - F.col("n") - a * F.col("n_all")
+    )
+    rest = F.col("n_all") - F.col("n")
+    num2 = rest + a * F.col("n_all")
+    den2 = (
+        F.col("n_grand") - F.col("n_src") + a * F.col("n_grand")
+        - rest - a * F.col("n_all")
+    )
+    delta = F.round(
+        F.round(F.log(num1 / den1), 4) - F.round(F.log(num2 / den2), 4), 4
+    )
+    sd = F.round(F.sqrt(1.0 / num1 + 1.0 / num2), 4)
+    scored = joined.select(
+        "source", F.col("t").alias("term"), F.round(delta / sd, 4).alias("zscore")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("zscore"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+    )
