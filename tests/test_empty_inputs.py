@@ -74,6 +74,12 @@ _OPS = [
     "woe_encoding",
     "multimodal_modality_mix",
     "source_distinctive_terms",
+    "ewma_smoothing",
+    "cusum_changepoint",
+    "auc_mann_whitney",
+    "label_centroid_kappa",
+    "theilsen_trend",
+    "quantile_normalize_scores",
 ]
 
 _TABLES = (

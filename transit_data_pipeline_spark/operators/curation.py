@@ -616,3 +616,88 @@ def quality_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("expected_rate"),
     )
+
+
+@register(
+    "quantile_normalize_scores",
+    ops=("W7", "W4", "J1", "A1"),
+    doc="Cross-source quantile normalization of the corpus quality "
+    "score: each document's within-source percentile is mapped onto "
+    "the pooled score distribution (the value at the matching "
+    "position of the globally sorted scores), so heterogeneous "
+    "sources become comparable before a single quality threshold is "
+    "applied — the curation fix for 'source A's 0.6 means source "
+    "B's 0.8'. Position lookup is an integer equi-join (floor of "
+    "percent_rank × (N−1), half-up), never a per-row percentile "
+    "aggregate; at 100 TB the pooled reference would be a "
+    "fixed-size quantile sketch (sketch_histogram_quantiles) — the "
+    "join shape is identical. Ties map to positions by value only, "
+    "so row_number nondeterminism can't leak into the output.",
+    oracle=f"""
+WITH q AS ({_SQL_QUALITY}),
+d AS (
+  SELECT q.doc_id, doc.source, q.quality_score AS score
+  FROM q JOIN documents doc USING (doc_id)
+),
+n AS (SELECT COUNT(*) AS n_all FROM d),
+pooled AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY score) AS pos, score AS pooled_score
+  FROM d
+),
+pr AS (
+  SELECT doc_id, source, score,
+         COUNT(*) OVER (PARTITION BY source) AS n_src,
+         PERCENT_RANK() OVER (PARTITION BY source ORDER BY score) AS prk
+  FROM d
+),
+keyed AS (
+  SELECT doc_id, source, score,
+         CAST(FLOOR(
+           (CASE WHEN n_src = 1 THEN 0.5 ELSE prk END) * (n.n_all - 1) + 0.5
+         ) AS BIGINT) + 1 AS pos
+  FROM pr, n
+)
+SELECT k.doc_id, k.source,
+       ROUND(k.score, 4) AS score,
+       ROUND(p.pooled_score, 4) AS norm_score
+FROM keyed k JOIN pooled p USING (pos)
+""",
+)
+def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "source", quality_score_col().alias("score")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_all"))
+    pooled = d.select(
+        F.row_number().over(Window.orderBy("score")).alias("pos"),
+        F.col("score").alias("pooled_score"),
+    )
+    ws = Window.partitionBy("source")
+    pr = d.select(
+        "doc_id",
+        "source",
+        "score",
+        F.count(F.lit(1)).over(ws).alias("n_src"),
+        F.percent_rank().over(ws.orderBy("score")).alias("prk"),
+    )
+    keyed = pr.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "source",
+        "score",
+        (
+            F.floor(
+                F.when(F.col("n_src") == 1, 0.5).otherwise(F.col("prk"))
+                * (F.col("n_all") - 1)
+                + 0.5
+            ).cast("bigint")
+            + 1
+        ).alias("pos"),
+    )
+    return keyed.join(pooled, "pos").select(
+        "doc_id",
+        "source",
+        F.round("score", 4).alias("score"),
+        F.round("pooled_score", 4).alias("norm_score"),
+    )

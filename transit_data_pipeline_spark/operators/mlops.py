@@ -37,6 +37,15 @@ def _uniform_col(key, mult: int):
 
 
 _GRID_DAYS = 60
+
+# SQL twins shared with textops/mlprep (imported lazily to avoid
+# circular imports at module load; the f-string oracles need them at
+# definition time, so they are re-derived here from the same constants).
+from .textops import SQL_TOKENS as _SQL_TOKENS_AUC, STOPWORDS as _STOP_WORDS_AUC, _sql_list as _sql_list_auc
+from .mlprep import _SQL_QVEC as _SQL_QVEC_K, _sql_sqdist as _sql_sqdist_k, KMEANS_DIM as _KDIM_K
+
+_STOP_SQL_AUC = _sql_list_auc(_STOP_WORDS_AUC)
+_SQL_SQDIST_K = _sql_sqdist_k("e.v", "cent.c")
 _COND_CASE = """CASE
   WHEN u1 < 0.5 THEN 'clear'
   WHEN u1 < 0.7 THEN 'cloudy'
@@ -691,4 +700,234 @@ def model_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.sum(pd_).cast("double") / F.count(F.lit(1))
         ).alias("calibration_gap"),
         (F.sum(diff * diff).cast("double") / F.count(F.lit(1))).alias("brier"),
+    )
+
+
+@register(
+    "auc_mann_whitney",
+    ops=("W4", "A5", "A9", "J1"),
+    doc="Exact ROC-AUC per source via the Mann-Whitney rank formula: "
+    "AUC = (ΣR⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻), with midranks for score "
+    "ties — the score is the shared corpus quality formula "
+    "(textops.quality_score_col) and the positive class is "
+    "lang='en'. Midranks are exact halves (RANK + (ties−1)/2), so "
+    "the rank sum is exact dyadic arithmetic in DOUBLE — no order "
+    "dependence — and the single final division is IEEE-rounded "
+    "identically on both engines. One per-source sort (the rank "
+    "window) over a doc-count frame: linear shuffle, no all-pairs "
+    "comparison despite AUC's pairwise definition.",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, source, (lang = 'en') AS pos,
+    LEAST(1.0, CAST(len(w) AS DOUBLE) / 50.0) * 0.4
+      + LEAST(1.0, (CAST(len(list_filter(w, t -> t IN ({_STOP_SQL_AUC}))) AS DOUBLE) / len(w)) * 4.0) * 0.2
+      + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.4 AS score
+  FROM (SELECT doc_id, source, lang, {_SQL_TOKENS_AUC} AS w FROM documents)
+),
+ranked AS (
+  SELECT source, pos,
+         RANK() OVER (PARTITION BY source ORDER BY score)
+           + (COUNT(*) OVER (PARTITION BY source, score) - 1) / 2.0
+           AS avg_rank
+  FROM q
+),
+agg AS (
+  SELECT source,
+         SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+         SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS n_neg,
+         SUM(CASE WHEN pos THEN avg_rank ELSE 0.0 END) AS r_pos
+  FROM ranked GROUP BY source
+)
+SELECT source, n_pos, n_neg,
+       ROUND((r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 4) AS auc
+FROM agg WHERE n_pos > 0 AND n_neg > 0
+""",
+)
+def auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import quality_score_col
+
+    d = table(spark, sf_dir, "documents", spread=True)
+    q = d.select(
+        "source",
+        (F.col("lang") == "en").alias("pos"),
+        quality_score_col().alias("score"),
+    )
+    wr = Window.partitionBy("source").orderBy("score")
+    wt = Window.partitionBy("source", "score")
+    ranked = q.select(
+        "source",
+        "pos",
+        (
+            F.rank().over(wr)
+            + (F.count(F.lit(1)).over(wt) - 1) / F.lit(2.0)
+        ).alias("avg_rank"),
+    )
+    agg = ranked.groupBy("source").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("n_neg"),
+        F.sum(F.when(F.col("pos"), F.col("avg_rank")).otherwise(0.0)).alias(
+            "r_pos"
+        ),
+    )
+    return agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0)).select(
+        "source",
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / F.lit(2.0))
+            / (F.col("n_pos") * F.col("n_neg")),
+            4,
+        ).alias("auc"),
+    )
+
+
+@register(
+    "label_centroid_kappa",
+    ops=("J10", "A5", "A9", "W4"),
+    doc="Annotation-agreement audit: assign every embedding to its "
+    "nearest LABEL centroid (a nearest-class-mean classifier over "
+    "the gold labels) and measure agreement between gold and "
+    "assigned labels — per-label precision/recall plus global "
+    "Cohen's κ = (p_o − p_e)/(1 − p_e), the standard label-quality "
+    "gate before a labeled corpus enters training. Components are "
+    "quantized to the 2^-20 grid (mlprep._q_col recipe) so centroid "
+    "means are exact-int sums with one division; assignment is a "
+    "broadcast cross-join against n_labels rows; κ comes from exact "
+    "integer confusion counts. Linear in corpus size at fixed label "
+    "count — same plan family as kmeans_semantic_clusters.",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform({_SQL_QVEC_K}, q -> CAST(q AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS clabel, list(comp ORDER BY dim) AS c FROM (
+    SELECT label, dim, CAST(SUM(v[dim]) AS DOUBLE) / COUNT(*) AS comp
+    FROM e, generate_series(1, {_KDIM_K}) AS t(dim)
+    GROUP BY label, dim
+  ) GROUP BY label
+),
+assigned AS (
+  SELECT vec_id, label, clabel AS pred FROM (
+    SELECT e.vec_id, e.label, cent.clabel,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_SQL_SQDIST_K}, cent.clabel
+           ) AS rn
+    FROM e, cent
+  ) WHERE rn = 1
+),
+conf AS (SELECT label, pred, COUNT(*) AS n FROM assigned GROUP BY 1, 2),
+tot AS (
+  SELECT SUM(n) AS n_all,
+         SUM(CASE WHEN label = pred THEN n ELSE 0 END) AS n_diag
+  FROM conf
+),
+marg AS (
+  SELECT COALESCE(r.label, c.pred) AS label,
+         COALESCE(r.n_true, 0) AS n_true,
+         COALESCE(c.n_pred, 0) AS n_pred
+  FROM (SELECT label, SUM(n) AS n_true FROM conf GROUP BY 1) r
+  FULL JOIN (SELECT pred, SUM(n) AS n_pred FROM conf GROUP BY 1) c
+    ON r.label = c.pred
+),
+pe AS (SELECT SUM(n_true * n_pred) AS s_marg FROM marg)
+SELECT m.label, m.n_true, m.n_pred,
+       COALESCE(d.n, 0) AS n_correct,
+       ROUND(CAST(COALESCE(d.n, 0) AS DOUBLE) / m.n_true, 4) AS recall,
+       ROUND(CAST(COALESCE(d.n, 0) AS DOUBLE) / m.n_pred, 4) AS precision,
+       ROUND(
+         (CAST(t.n_diag AS DOUBLE) / t.n_all
+            - CAST(p.s_marg AS DOUBLE) / (t.n_all * t.n_all))
+         / (1.0 - CAST(p.s_marg AS DOUBLE) / (t.n_all * t.n_all)), 4)
+         AS kappa
+FROM marg m
+LEFT JOIN (SELECT label, n FROM conf WHERE label = pred) d USING (label)
+CROSS JOIN tot t CROSS JOIN pe p
+""",
+)
+def label_centroid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .mlprep import _q_col, _sqdist
+
+    e = table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id",
+        "label",
+        F.transform(
+            _q_col(F.col("embedding")), lambda q: q.cast("double")
+        ).alias("v"),
+    )
+    comps = (
+        e.select("label", F.posexplode("v").alias("dim0", "qv"))
+        .groupBy("label", (F.col("dim0") + 1).alias("dim"))
+        .agg((F.sum("qv").cast("double") / F.count(F.lit(1))).alias("comp"))
+    )
+    cent = comps.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("comp")))
+            ),
+            lambda s: s["comp"],
+        ).alias("c")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        _sqdist(F.col("v"), F.col("c")).alias("dist"),
+    )
+    wn = Window.partitionBy("vec_id").orderBy("dist", "clabel")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select("label", F.col("clabel").alias("pred"))
+    )
+    conf = assigned.groupBy("label", "pred").agg(F.count(F.lit(1)).alias("n"))
+    tot = conf.agg(
+        F.sum("n").alias("n_all"),
+        F.sum(F.when(F.col("label") == F.col("pred"), F.col("n")).otherwise(0)).alias(
+            "n_diag"
+        ),
+    )
+    r = conf.groupBy("label").agg(F.sum("n").alias("n_true"))
+    c = (
+        conf.select(F.col("pred").alias("plabel"), "n")
+        .groupBy("plabel")
+        .agg(F.sum("n").alias("n_pred"))
+    )
+    marg = (
+        r.join(c, F.col("label") == F.col("plabel"), "full")
+        .select(
+            F.coalesce(F.col("label"), F.col("plabel")).alias("label"),
+            F.coalesce(F.col("n_true"), F.lit(0)).alias("n_true"),
+            F.coalesce(F.col("n_pred"), F.lit(0)).alias("n_pred"),
+        )
+    )
+    pe = marg.agg(F.sum(F.col("n_true") * F.col("n_pred")).alias("s_marg"))
+    diag = conf.filter(F.col("label") == F.col("pred")).select(
+        "label", F.col("n").alias("n_diag_l")
+    )
+    po = F.col("n_diag").cast("double") / F.col("n_all")
+    pech = F.col("s_marg").cast("double") / (F.col("n_all") * F.col("n_all"))
+    return (
+        marg.join(diag, "label", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(pe))
+        .select(
+            "label",
+            "n_true",
+            "n_pred",
+            F.coalesce(F.col("n_diag_l"), F.lit(0)).alias("n_correct"),
+            F.round(
+                F.coalesce(F.col("n_diag_l"), F.lit(0)).cast("double")
+                / F.col("n_true"),
+                4,
+            ).alias("recall"),
+            F.round(
+                F.coalesce(F.col("n_diag_l"), F.lit(0)).cast("double")
+                / F.col("n_pred"),
+                4,
+            ).alias("precision"),
+            F.round((po - pech) / (F.lit(1.0) - pech), 4).alias("kappa"),
+        )
     )

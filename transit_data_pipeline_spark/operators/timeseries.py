@@ -620,3 +620,243 @@ def cross_corr_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"),
         N.dcorr("x", "y").alias("xcorr"),
     )
+
+
+#: EWMA truncation horizon: weights 2^-(i) for i in 0..EWMA_K. With
+#: α = 1/2 the weights are exact powers of two, so the whole smoother
+#: is INTEGER arithmetic (numerator Σ x·2^(K−i), denominator Σ 2^(K−i))
+#: followed by one correctly-rounded double division — bitwise equal on
+#: any engine and any partition layout. 2^-20 < 1e-6 ≈ full precision.
+EWMA_K = 20
+
+
+@register(
+    "ewma_smoothing",
+    ops=("W9", "J7", "A3", "F5"),
+    doc="Exponentially-weighted moving average (α=1/2, horizon 20 "
+    "rows) over the per-priority daily order-count series — the "
+    "standard ingest-rate smoother behind drift dashboards. The "
+    "variable per-lag weight rules out a plain window frame, so the "
+    "frame is materialized as a bounded self-join on the row index "
+    "(≤ K+1 rows per output row, equi-keyed on priority); weights "
+    "2^(K−lag) keep numerator and denominator in exact BIGINT, and "
+    "the single final division is IEEE-deterministic. The series is "
+    "a daily pre-aggregate, so the join input is ~1e4× smaller than "
+    "the fact table regardless of corpus scale.",
+    oracle=f"""
+WITH daily AS ({_DAILY_SQL}),
+idx AS (
+  SELECT o_orderpriority, d, n_orders,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY d) AS r
+  FROM daily
+)
+SELECT a.o_orderpriority,
+       strftime(a.d, '%Y-%m-%d') AS order_day,
+       a.n_orders,
+       ROUND(CAST(SUM(b.n_orders * (CAST(1 AS BIGINT) << ({EWMA_K} - (a.r - b.r)))) AS DOUBLE)
+             / CAST(SUM(CAST(1 AS BIGINT) << ({EWMA_K} - (a.r - b.r))) AS DOUBLE), 4)
+         AS ewma
+FROM idx a JOIN idx b
+  ON a.o_orderpriority = b.o_orderpriority
+ AND b.r BETWEEN a.r - {EWMA_K} AND a.r
+GROUP BY a.o_orderpriority, a.d, a.n_orders
+""",
+)
+def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy("d")
+    idx = daily.select(
+        "o_orderpriority", "d", "n_orders", F.row_number().over(w).alias("r")
+    )
+    a = idx.alias("a")
+    b = idx.select(
+        F.col("o_orderpriority").alias("bp"),
+        F.col("n_orders").alias("bn"),
+        F.col("r").alias("br"),
+    ).alias("b")
+    weight = F.expr(
+        f"shiftleft(cast(1 as bigint), cast({EWMA_K} - (a.r - br) as int))"
+    )
+    joined = a.join(
+        b,
+        (F.col("a.o_orderpriority") == F.col("bp"))
+        & (F.col("br") >= F.col("a.r") - EWMA_K)
+        & (F.col("br") <= F.col("a.r")),
+    )
+    return (
+        joined.groupBy("a.o_orderpriority", "a.d", "a.n_orders")
+        .agg(
+            F.round(
+                F.sum(F.col("bn") * weight).cast("double")
+                / F.sum(weight).cast("double"),
+                4,
+            ).alias("ewma")
+        )
+        .select(
+            "o_orderpriority",
+            F.date_format("d", "yyyy-MM-dd").alias("order_day"),
+            "n_orders",
+            "ewma",
+        )
+    )
+
+
+@register(
+    "cusum_changepoint",
+    ops=("W11", "A3", "A4", "O1"),
+    doc="CUSUM change-point detection per priority: the cumulative sum "
+    "of deviations from the series mean, S_t = Σ x_s − t·mean, peaks "
+    "at the most likely mean-shift point — the classic ingest-drift "
+    "detector for a training-data pipeline's intake monitors. "
+    "Determinism: the prefix sum is exact BIGINT (counts), the mean "
+    "is one exact-int division, and S_t = cum − t·mean is two IEEE "
+    "ops per row, so both engines agree bitwise; the peak row is "
+    "picked by (|S| DESC, day ASC) row_number. One partitioned sort "
+    "over the daily aggregate — no full-fact shuffle at any scale.",
+    oracle=f"""
+WITH daily AS ({_DAILY_SQL}),
+idx AS (
+  SELECT o_orderpriority, d, n_orders,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY d) AS r,
+         SUM(n_orders) OVER (PARTITION BY o_orderpriority ORDER BY d) AS cum
+  FROM daily
+),
+tot AS (
+  SELECT o_orderpriority, COUNT(*) AS n_days, SUM(n_orders) AS total,
+         {N.sql_dstddev("n_orders")} AS sd
+  FROM daily GROUP BY 1
+),
+s AS (
+  SELECT i.o_orderpriority, i.d, i.r, t.n_days, t.sd,
+         i.cum - i.r * (CAST(t.total AS DOUBLE) / t.n_days) AS s_t
+  FROM idx i JOIN tot t USING (o_orderpriority)
+),
+peak AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY o_orderpriority ORDER BY ABS(s_t) DESC, d
+  ) AS pk FROM s
+)
+SELECT o_orderpriority,
+       strftime(d, '%Y-%m-%d') AS changepoint_day,
+       n_days,
+       ROUND(s_t, 4) AS cusum_peak,
+       ROUND(ABS(s_t) / (sd * SQRT(n_days)), 4) AS norm_stat
+FROM peak WHERE pk = 1
+""",
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    wo = Window.partitionBy("o_orderpriority").orderBy("d")
+    idx = daily.select(
+        "o_orderpriority",
+        "d",
+        "n_orders",
+        F.row_number().over(wo).alias("r"),
+        F.sum("n_orders").over(wo).alias("cum"),
+    )
+    tot = daily.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_orders").alias("total"),
+        N.dstddev("n_orders").alias("sd"),
+    )
+    s = idx.join(F.broadcast(tot), "o_orderpriority").withColumn(
+        "s_t",
+        F.col("cum")
+        - F.col("r") * (F.col("total").cast("double") / F.col("n_days")),
+    )
+    wp = Window.partitionBy("o_orderpriority").orderBy(
+        F.abs(F.col("s_t")).desc(), "d"
+    )
+    return (
+        s.withColumn("pk", F.row_number().over(wp))
+        .filter(F.col("pk") == 1)
+        .select(
+            "o_orderpriority",
+            F.date_format("d", "yyyy-MM-dd").alias("changepoint_day"),
+            "n_days",
+            F.round("s_t", 4).alias("cusum_peak"),
+            F.round(
+                F.abs(F.col("s_t")) / (F.col("sd") * F.sqrt(F.col("n_days"))),
+                4,
+            ).alias("norm_stat"),
+        )
+    )
+
+
+@register(
+    "theilsen_trend",
+    ops=("J10", "W4", "A8", "A1"),
+    doc="Theil–Sen robust trend per priority: the MEDIAN of all "
+    "pairwise slopes (y_j−y_i)/(x_j−x_i) over the daily order-count "
+    "series — outlier days move an OLS slope (rolling_regression_"
+    "slope) but not this estimator (breakdown point 29%). The pair "
+    "grid is bounded by days², never corpus size, because it runs "
+    "on the daily pre-aggregate; each slope is one IEEE division of "
+    "exact integers, and the median is picked positionally "
+    "(row_number at floor((n+1)/2) over the slope sort) — no engine "
+    "percentile builtin, so both sides select the identical element.",
+    oracle=f"""
+WITH daily AS ({_DAILY_SQL}),
+idx AS (
+  SELECT o_orderpriority, n_orders,
+         date_diff('day', DATE '1970-01-01', d) AS x
+  FROM daily
+),
+slopes AS (
+  SELECT a.o_orderpriority,
+         CAST(b.n_orders - a.n_orders AS DOUBLE) / (b.x - a.x) AS slope
+  FROM idx a JOIN idx b
+    ON a.o_orderpriority = b.o_orderpriority AND b.x > a.x
+),
+ranked AS (
+  SELECT o_orderpriority, slope,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY slope) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n_pairs
+  FROM slopes
+)
+SELECT o_orderpriority, n_pairs,
+       ROUND(slope, 6) AS median_slope,
+       (slope > 0) AS rising
+FROM ranked WHERE rn = (n_pairs + 1) // 2
+""",
+)
+def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    idx = daily.select(
+        "o_orderpriority",
+        "n_orders",
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).alias("x"),
+    )
+    a = idx.alias("a")
+    b = idx.select(
+        F.col("o_orderpriority").alias("bp"),
+        F.col("n_orders").alias("bn"),
+        F.col("x").alias("bx"),
+    )
+    slopes = a.join(
+        b,
+        (F.col("a.o_orderpriority") == F.col("bp"))
+        & (F.col("bx") > F.col("a.x")),
+    ).select(
+        "o_orderpriority",
+        (
+            (F.col("bn") - F.col("a.n_orders")).cast("double")
+            / (F.col("bx") - F.col("a.x"))
+        ).alias("slope"),
+    )
+    wr = Window.partitionBy("o_orderpriority").orderBy("slope")
+    wp = Window.partitionBy("o_orderpriority")
+    ranked = slopes.select(
+        "o_orderpriority",
+        "slope",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n_pairs"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2)
+    ).select(
+        "o_orderpriority",
+        "n_pairs",
+        F.round("slope", 6).alias("median_slope"),
+        (F.col("slope") > 0).alias("rising"),
+    )
