@@ -80,6 +80,10 @@ _OPS = [
     "label_centroid_kappa",
     "theilsen_trend",
     "quantile_normalize_scores",
+    "bootstrap_poisson_ci",
+    "dp_noisy_counts",
+    "vocab_zipf_fit",
+    "conformal_interval_calibration",
 ]
 
 _TABLES = (

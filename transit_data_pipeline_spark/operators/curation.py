@@ -701,3 +701,80 @@ def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("score", 4).alias("score"),
         F.round("pooled_score", 4).alias("norm_score"),
     )
+
+
+#: Laplace scale for the ε=1 release (sensitivity 1 counts).
+DP_EPSILON = 1.0
+
+
+@register(
+    "dp_noisy_counts",
+    ops=("A1", "F12", "P5", "O3"),
+    doc="Differentially-private count release (ε=1 Laplace mechanism) "
+    "for the per-(priority, status) order histogram — the privacy "
+    "release path next to the k-anonymity/l-diversity audits: "
+    "noise = −b·sign(u−½)·ln(1−2|u−½|) from a keyed-hash uniform "
+    "(deterministic seeded release — rerunning the release does NOT "
+    "spend fresh ε budget), ln rounded to 4 dp so both engines draw "
+    "the identical noise. Reports true count alongside (this "
+    "operator is the release AUDIT — production would drop the true "
+    "column) plus the absolute and relative error of the release. "
+    "One hash aggregate over the fact table; the noise draw is "
+    "per-GROUP, so the release cost is group-bounded at any scale.",
+    oracle=f"""
+WITH counts AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS true_n,
+         ROW_NUMBER() OVER (ORDER BY o_orderpriority, o_orderstatus) AS gid
+  FROM orders GROUP BY 1, 2
+),
+noised AS (
+  SELECT *,
+    CAST((gid * 2654435761) % 4294967296 AS DOUBLE) / 4294967296 AS u
+  FROM counts
+),
+rel AS (
+  SELECT o_orderpriority, o_orderstatus, true_n,
+    CASE WHEN u < 0.5
+         THEN (1.0 / {DP_EPSILON}) * ROUND(LN(2.0 * u + 1e-12), 4)
+         ELSE -(1.0 / {DP_EPSILON}) * ROUND(LN(2.0 * (1.0 - u) + 1e-12), 4)
+    END AS noise
+  FROM noised
+)
+SELECT o_orderpriority, o_orderstatus, true_n,
+       ROUND(true_n + noise, 4) AS released_n,
+       ROUND(ABS(noise), 4) AS abs_err,
+       ROUND(ABS(noise) / true_n, 6) AS rel_err
+FROM rel
+""",
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders", spread=True)
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("true_n")
+    )
+    gid = F.row_number().over(
+        Window.orderBy("o_orderpriority", "o_orderstatus")
+    )
+    noised = counts.withColumn("gid", gid).withColumn(
+        "u",
+        ((F.col("gid") * F.lit(2654435761)) % F.lit(4294967296)).cast("double")
+        / F.lit(4294967296),
+    )
+    b = 1.0 / DP_EPSILON
+    noise = F.when(
+        F.col("u") < 0.5,
+        F.lit(b) * F.round(F.log(2.0 * F.col("u") + 1e-12), 4),
+    ).otherwise(
+        -F.lit(b) * F.round(F.log(2.0 * (1.0 - F.col("u")) + 1e-12), 4)
+    )
+    rel = noised.withColumn("noise", noise)
+    return rel.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "true_n",
+        F.round(F.col("true_n") + F.col("noise"), 4).alias("released_n"),
+        F.round(F.abs(F.col("noise")), 4).alias("abs_err"),
+        F.round(F.abs(F.col("noise")) / F.col("true_n"), 6).alias("rel_err"),
+    )

@@ -931,3 +931,261 @@ def label_centroid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((po - pech) / (F.lit(1.0) - pech), 4).alias("kappa"),
         )
     )
+
+
+#: Poisson(1) inverse-CDF thresholds (cumulative e^{-1}/k! partial
+#: sums, rounded to 12 dp): weight k is chosen when the uniform lands
+#: in [cdf_{k-1}, cdf_k). 6 buckets cover all but ~1e-4 of the mass.
+_POIS_CDF = (
+    0.367879441171,
+    0.735758882343,
+    0.919698602929,
+    0.980988176458,
+    0.996340153340,
+    0.999405815717,
+)
+_BOOT_B = 64
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+@register(
+    "bootstrap_poisson_ci",
+    ops=("J10", "A3", "A8", "F12"),
+    doc="Distributed bootstrap confidence interval for the mean order "
+    "price via the POISSON bootstrap (each replicate draws every row "
+    "Poisson(1) times — the with-replacement resample that needs no "
+    "global coordination, which is why it is the standard bootstrap "
+    f"on clusters). {_BOOT_B} replicates × rows is one generated "
+    "grid; weights come from a keyed-hash uniform through the exact "
+    "Poisson inverse-CDF thresholds, replicate means are exact "
+    "decimal-weighted sums, and the 95% CI is picked POSITIONALLY "
+    "from the sorted replicate means (ranks 2 and 63 of 64) — no "
+    "percentile builtin, no driver-side resampling loop.",
+    oracle=f"""
+WITH reps AS (SELECT b FROM range(0, {_BOOT_B}) t(b)),
+grid AS (
+  SELECT o.o_orderkey, o.o_totalprice, r.b,
+         {_uniform_sql(f"(o.o_orderkey * {_BOOT_B} + r.b + 1)", _H1)} AS u
+  FROM orders o CROSS JOIN reps r
+),
+weighted AS (SELECT b, o_totalprice, {_pois_case_sql("u")} AS w FROM grid),
+means AS (
+  SELECT b,
+         CAST(SUM(w * CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           / SUM(w) AS m
+  FROM weighted GROUP BY b HAVING SUM(w) > 0
+),
+ranked AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn, COUNT(*) OVER () AS nb
+  FROM means
+),
+point AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+           AS point_mean
+  FROM orders
+)
+SELECT p.point_mean,
+       MAX(CASE WHEN rn = CAST(CEIL(nb * 0.025) AS BIGINT) THEN m END)
+         AS ci_lo,
+       MAX(CASE WHEN rn = CAST(CEIL(nb * 0.975) AS BIGINT) THEN m END)
+         AS ci_hi,
+       MAX(nb) AS n_replicates
+FROM ranked CROSS JOIN point p
+GROUP BY p.point_mean
+""",
+)
+def bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders", spread=True)
+    reps = spark.range(_BOOT_B).select(F.col("id").alias("b"))
+    grid = o.select("o_orderkey", "o_totalprice").crossJoin(F.broadcast(reps))
+    u = _uniform_col(
+        F.col("o_orderkey") * _BOOT_B + F.col("b") + 1, _H1
+    )
+    w = F.lit(6)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < _POIS_CDF[k], k).otherwise(w)
+    weighted = grid.select("b", "o_totalprice", w.alias("w"))
+    means = (
+        weighted.groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double")
+                / F.sum("w")
+            ).alias("m"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select("m")
+    )
+    ranked = means.select(
+        "m",
+        F.row_number().over(Window.orderBy("m")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nb"),
+    )
+    point = o.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("point_mean")
+    )
+    lo_rn = F.ceil(F.col("nb") * 0.025).cast("bigint")
+    hi_rn = F.ceil(F.col("nb") * 0.975).cast("bigint")
+    return (
+        ranked.crossJoin(F.broadcast(point))
+        .groupBy("point_mean")
+        .agg(
+            F.max(F.when(F.col("rn") == lo_rn, F.col("m"))).alias("ci_lo"),
+            F.max(F.when(F.col("rn") == hi_rn, F.col("m"))).alias("ci_hi"),
+            F.max("nb").alias("n_replicates"),
+        )
+        .select("point_mean", "ci_lo", "ci_hi", "n_replicates")
+    )
+
+
+#: Dedicated hash channel (Fibonacci hashing constant, public domain)
+#: for the conformal "actual outcome" draw — independent of u1/u2/u3.
+_H4 = 2971215073
+#: Split-conformal miscoverage target.
+_CONF_ALPHA = 0.1
+
+
+@register(
+    "conformal_interval_calibration",
+    ops=("D4", "D5", "A8", "A9", "J10"),
+    doc="Split-conformal prediction intervals over the synthetic delay "
+    "model (same date×hour grid and keyed-hash channels as "
+    "synthetic_weather_model): the grid splits deterministically "
+    "into calibration (day_index % 3 != 0) and evaluation cells, "
+    "q̂ is the POSITIONAL ceil((n+1)(1−α))-th smallest calibration "
+    "residual (the finite-sample-valid split-conformal quantile, "
+    "not a percentile builtin), and the reported coverage is the "
+    "fraction of evaluation residuals within q̂ — the "
+    "distribution-free guarantee check a delay-prediction service "
+    "runs before publishing intervals. Residuals come from an "
+    "independent third hash channel, so the test is honest; every "
+    "stage is grid-bounded and hash-deterministic.",
+    oracle=f"""
+WITH grid AS (
+  SELECT d.day_index, h.hour,
+         d.day_index * 24 + h.hour + 1 AS cell_key
+  FROM range(0, {_GRID_DAYS}) d(day_index)
+  CROSS JOIN range(0, 24) h(hour)
+), drawn AS (
+  SELECT day_index, hour,
+    {_uniform_sql("cell_key", _H1)} AS u1,
+    {_uniform_sql("cell_key", _H2)} AS u2,
+    {_uniform_sql("cell_key", _H4)} AS u3
+  FROM grid
+), cond AS (
+  SELECT *, {_COND_CASE} AS condition FROM drawn
+), model AS (
+  SELECT *, {_MULT_CASE} AS weather_mult FROM cond
+), scored AS (
+  SELECT day_index,
+    ROUND(GREATEST(1.0, LEAST(120.0,
+      (CASE WHEN u2 < 0.6 THEN 1.0 + u2 / 0.6 * 4.0
+            WHEN u2 < 0.85 THEN 6.0 + (u2 - 0.6) / 0.25 * 9.0
+            ELSE 16.0 + (u2 - 0.85) / 0.15 * 29.0 END)
+      * (1.0 + (weather_mult - 1.0) * 0.5))), 4) AS pred,
+    u3
+  FROM model
+), resid AS (
+  SELECT day_index,
+         ABS(ROUND(pred * (0.7 + 0.6 * u3), 4) - pred) AS r,
+         (day_index % 3 != 0) AS is_calib
+  FROM scored
+), calib AS (
+  SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn, COUNT(*) OVER () AS nc
+  FROM resid WHERE is_calib
+), qhat AS (
+  SELECT MAX(nc) AS n_calib,
+         MAX(CASE WHEN rn = LEAST(
+               CAST(CEIL((nc + 1) * (1.0 - {_CONF_ALPHA})) AS BIGINT), nc)
+             THEN r END) AS q_hat
+  FROM calib
+)
+SELECT q.n_calib,
+       COUNT(*) AS n_eval,
+       ROUND(q.q_hat, 4) AS q_hat,
+       ROUND(CAST(SUM(CASE WHEN e.r <= q.q_hat THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS coverage,
+       {1.0 - _CONF_ALPHA} AS target
+FROM (SELECT r FROM resid WHERE NOT is_calib) e CROSS JOIN qhat q
+GROUP BY q.n_calib, q.q_hat
+""",
+)
+def conformal_interval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = spark.range(_GRID_DAYS).select(F.col("id").alias("day_index"))
+    hours = spark.range(24).select(F.col("id").alias("hour"))
+    grid = days.crossJoin(hours).withColumn(
+        "cell_key", F.col("day_index") * 24 + F.col("hour") + 1
+    )
+    drawn = grid.select(
+        "day_index",
+        _uniform_col(F.col("cell_key"), _H1).alias("u1"),
+        _uniform_col(F.col("cell_key"), _H2).alias("u2"),
+        _uniform_col(F.col("cell_key"), _H4).alias("u3"),
+    )
+    model = drawn.withColumn("condition", F.expr(_COND_CASE)).withColumn(
+        "weather_mult", F.expr(_MULT_CASE)
+    )
+    magnitude = (
+        F.when(F.col("u2") < 0.6, 1.0 + F.col("u2") / 0.6 * 4.0)
+        .when(F.col("u2") < 0.85, 6.0 + (F.col("u2") - 0.6) / 0.25 * 9.0)
+        .otherwise(16.0 + (F.col("u2") - 0.85) / 0.15 * 29.0)
+    ) * (1.0 + (F.col("weather_mult") - 1.0) * 0.5)
+    scored = model.select(
+        "day_index",
+        F.round(F.greatest(F.lit(1.0), F.least(F.lit(120.0), magnitude)), 4)
+        .alias("pred"),
+        "u3",
+    )
+    resid = scored.select(
+        "day_index",
+        F.abs(
+            F.round(F.col("pred") * (0.7 + 0.6 * F.col("u3")), 4)
+            - F.col("pred")
+        ).alias("r"),
+        (F.col("day_index") % 3 != 0).alias("is_calib"),
+    )
+    calib = resid.filter("is_calib").select(
+        "r",
+        F.row_number().over(Window.orderBy("r")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nc"),
+    )
+    pick = F.least(
+        F.ceil((F.col("nc") + 1) * (1.0 - _CONF_ALPHA)).cast("bigint"),
+        F.col("nc"),
+    )
+    qhat = calib.agg(
+        F.max("nc").alias("n_calib"),
+        F.max(F.when(F.col("rn") == pick, F.col("r"))).alias("q_hat"),
+    )
+    ev = resid.filter(~F.col("is_calib")).select("r")
+    return (
+        ev.crossJoin(F.broadcast(qhat))
+        .groupBy("n_calib", "q_hat")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.round(
+                F.sum(F.when(F.col("r") <= F.col("q_hat"), 1).otherwise(0))
+                .cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("coverage"),
+        )
+        .select(
+            "n_calib",
+            "n_eval",
+            F.round("q_hat", 4).alias("q_hat"),
+            "coverage",
+            F.lit(1.0 - _CONF_ALPHA).alias("target"),
+        )
+    )

@@ -1564,3 +1564,78 @@ def source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)
     )
+
+
+@register(
+    "vocab_zipf_fit",
+    ops=("A3", "W4", "A9"),
+    doc="Zipf's-law fit over the corpus vocabulary: regress "
+    "ln(frequency) on ln(rank) (rank by frequency desc, term "
+    "tiebreak) and report the fitted exponent — the one-number "
+    "vocabulary-health check (natural text ≈ −1; synthetic or "
+    "template-heavy corpora flatten toward 0). Both logs are "
+    "rounded to 4 dp (the cross-engine ln recipe) and the OLS "
+    "sufficient statistics are summed in DECIMAL, so slope and "
+    "intercept are bitwise-deterministic. Everything after the "
+    "token count runs on a vocabulary-sized frame.",
+    oracle=f"""
+WITH tok AS (SELECT unnest({SQL_TOKENS}) AS t FROM documents),
+freq AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+ranked AS (
+  SELECT ROUND(LN(ROW_NUMBER() OVER (ORDER BY n DESC, t)), 4) AS x,
+         ROUND(LN(n), 4) AS y
+  FROM freq
+),
+s AS (
+  SELECT COUNT(*) AS k,
+         CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(19,4)) * CAST(y AS DECIMAL(18,4)))
+              AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(18,4)))
+              AS VARCHAR) AS DOUBLE) AS sxx
+  FROM ranked
+)
+SELECT k AS vocab_size,
+       ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS zipf_slope,
+       ROUND((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 4)
+         AS intercept
+FROM s
+""",
+)
+def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents", spread=True)
+    tok = d.select(F.explode(tokens_col()).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    ranked = freq.select(
+        F.round(
+            F.log(
+                F.row_number()
+                .over(Window.orderBy(F.col("n").desc(), "t"))
+                .cast("double")
+            ),
+            4,
+        ).alias("x"),
+        F.round(F.log("n"), 4).alias("y"),
+    )
+    xd = F.col("x").cast("decimal(18,4)")
+    yd = F.col("y").cast("decimal(18,4)")
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,4)") * yd).cast("double").alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,4)") * xd).cast("double").alias("sxx"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("k").alias("vocab_size"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 4).alias(
+            "intercept"
+        ),
+    )

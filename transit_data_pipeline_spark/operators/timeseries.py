@@ -860,3 +860,95 @@ def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("slope", 6).alias("median_slope"),
         (F.col("slope") > 0).alias("rising"),
     )
+
+
+#: Users whose last activity is within this many days of the corpus
+#: end are right-censored (still alive), not churned.
+KM_CENSOR_DAYS = 3
+
+
+@register(
+    "survival_km_retention",
+    ops=("A5", "W11", "F5", "A9"),
+    doc="Kaplan–Meier retention over user lifetimes: lifetime = days "
+    "between a user's first and last event day, churn observed only "
+    "when the last activity predates the corpus end by more than "
+    f"{KM_CENSOR_DAYS} days (otherwise right-censored). At each "
+    "distinct lifetime t the hazard is d_t/n_t (churns over "
+    "at-risk), and the survival curve is reported in LOG form — "
+    "cumulative Σ ln(1−d/n) with each ln rounded to 6 dp and summed "
+    "through DECIMAL — so the whole curve is cross-engine exact "
+    "without a final transcendental. The per-user reduce is one "
+    "hash agg over events; the curve itself lives on a frame "
+    "bounded by distinct lifetimes (≤ observation window in days), "
+    "so the ordered scan never touches corpus-sized data.",
+    oracle=f"""
+WITH ue AS (
+  SELECT user_id,
+         CAST(MIN({SQL_EVENT_TIME}) AS DATE) AS first_d,
+         CAST(MAX({SQL_EVENT_TIME}) AS DATE) AS last_d
+  FROM events GROUP BY user_id
+),
+horizon AS (SELECT MAX(last_d) AS end_d FROM ue),
+life AS (
+  SELECT user_id,
+         date_diff('day', first_d, last_d) AS lifetime,
+         (date_diff('day', last_d, h.end_d) > {KM_CENSOR_DAYS}) AS churned
+  FROM ue, horizon h
+),
+risk AS (
+  SELECT lifetime AS t,
+         SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS d_t,
+         COUNT(*) AS ended_t
+  FROM life GROUP BY lifetime
+),
+curve AS (
+  SELECT t, d_t,
+         SUM(ended_t) OVER (ORDER BY t DESC) AS n_t
+  FROM risk
+)
+SELECT t, d_t, n_t,
+       CAST(SUM(CAST(
+         CASE WHEN d_t = 0 THEN 0.0
+              ELSE ROUND(LN(1.0 - CAST(d_t AS DOUBLE) / n_t), 6) END
+         AS DECIMAL(18,6))) OVER (ORDER BY t) AS DOUBLE) AS log_survival
+FROM curve
+ORDER BY t
+""",
+)
+def survival_km_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    ue = e.groupBy("user_id").agg(
+        F.min(F.to_date("event_time")).alias("first_d"),
+        F.max(F.to_date("event_time")).alias("last_d"),
+    )
+    horizon = ue.agg(F.max("last_d").alias("end_d"))
+    life = ue.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("last_d", "first_d").alias("lifetime"),
+        (F.datediff("end_d", "last_d") > KM_CENSOR_DAYS).alias("churned"),
+    )
+    risk = life.groupBy(F.col("lifetime").alias("t")).agg(
+        F.sum(F.when(F.col("churned"), 1).otherwise(0)).alias("d_t"),
+        F.count(F.lit(1)).alias("ended_t"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = risk.select(
+        "t", "d_t", F.sum("ended_t").over(w_desc).alias("n_t")
+    )
+    lnterm = F.when(F.col("d_t") == 0, F.lit(0.0)).otherwise(
+        F.round(F.log(1.0 - F.col("d_t").cast("double") / F.col("n_t")), 6)
+    )
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return curve.select(
+        "t",
+        "d_t",
+        "n_t",
+        F.sum(lnterm.cast("decimal(18,6)"))
+        .over(w_asc)
+        .cast("double")
+        .alias("log_survival"),
+    ).orderBy("t")
