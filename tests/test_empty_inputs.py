@@ -84,6 +84,9 @@ _OPS = [
     "dp_noisy_counts",
     "vocab_zipf_fit",
     "conformal_interval_calibration",
+    "moments_partial_merge",
+    "quantile_pinball_eval",
+    "erasure_cascade_audit",
 ]
 
 _TABLES = (

@@ -778,3 +778,120 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(F.col("noise")), 4).alias("abs_err"),
         F.round(F.abs(F.col("noise")) / F.col("true_n"), 6).alias("rel_err"),
     )
+
+
+@register(
+    "erasure_cascade_audit",
+    ops=("J2", "J9", "A1", "A9"),
+    doc="GDPR right-to-erasure cascade audit: the erasure set is the "
+    "md5-nibble-0 slice of customers (~1/16, the same stateless "
+    "hash-assignment recipe as the A/B split, so the audit is "
+    "reproducible), the cascade is customer → orders → lineitem, "
+    "and the audit reports per table how many rows the erasure "
+    "removes plus the post-erasure ORPHAN count — remnant orders "
+    "referencing erased customers and remnant lineitems referencing "
+    "erased orders, which must both be zero if the cascade is "
+    "complete. Built from semi/anti joins only; the erased-key "
+    "frames are corpus-fractions that broadcast at dimension scale "
+    "and hash-join at fact scale.",
+    oracle="""
+WITH erased_c AS (
+  SELECT c_custkey FROM customer
+  WHERE (instr('0123456789abcdef',
+          substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1)) - 1) = 0
+),
+erased_o AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM erased_c)
+),
+stats AS (
+  SELECT 'customer' AS tbl,
+         (SELECT COUNT(*) FROM erased_c) AS rows_erased,
+         (SELECT COUNT(*) FROM customer) AS rows_total,
+         0 AS orphans_after
+  UNION ALL
+  SELECT 'orders',
+         (SELECT COUNT(*) FROM erased_o),
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) FROM orders
+          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM erased_o)
+            AND o_custkey IN (SELECT c_custkey FROM erased_c))
+  UNION ALL
+  SELECT 'lineitem',
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM erased_o)),
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM erased_o)
+            AND l_orderkey IN (SELECT o_orderkey FROM erased_o))
+)
+SELECT tbl, rows_erased, rows_total,
+       ROUND(CAST(rows_erased AS DOUBLE) / rows_total, 6) AS erased_frac,
+       orphans_after
+FROM stats
+""",
+)
+def erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer", spread=True)
+    o = table(spark, sf_dir, "orders", spread=True)
+    li = table(spark, sf_dir, "lineitem", spread=True)
+    nib = F.expr(
+        "instr('0123456789abcdef',"
+        " substring(md5(cast(c_custkey as string)), 1, 1)) - 1"
+    )
+    erased_c = c.filter(nib == 0).select("c_custkey")
+    erased_o = o.join(
+        erased_c, o["o_custkey"] == erased_c["c_custkey"], "semi"
+    ).select("o_orderkey")
+
+    def _row(tbl, erased_cnt, total_cnt, orphan_cnt):
+        return (
+            erased_cnt.crossJoin(total_cnt)
+            .crossJoin(orphan_cnt)
+            .select(
+                F.lit(tbl).alias("tbl"),
+                F.col("rows_erased"),
+                F.col("rows_total"),
+                F.round(
+                    F.col("rows_erased").cast("double") / F.col("rows_total"),
+                    6,
+                ).alias("erased_frac"),
+                F.col("orphans_after"),
+            )
+        )
+
+    zero = lambda: (  # noqa: E731
+        erased_c.sparkSession.range(1).select(
+            F.lit(0).cast("bigint").alias("orphans_after")
+        )
+    )
+    cust_row = _row(
+        "customer",
+        erased_c.agg(F.count(F.lit(1)).alias("rows_erased")),
+        c.agg(F.count(F.lit(1)).alias("rows_total")),
+        zero(),
+    )
+    remnant_o = o.join(erased_o, "o_orderkey", "anti")
+    o_orphans = remnant_o.join(
+        erased_c, remnant_o["o_custkey"] == erased_c["c_custkey"], "semi"
+    ).agg(F.count(F.lit(1)).alias("orphans_after"))
+    ord_row = _row(
+        "orders",
+        erased_o.agg(F.count(F.lit(1)).alias("rows_erased")),
+        o.agg(F.count(F.lit(1)).alias("rows_total")),
+        o_orphans,
+    )
+    li_erased = li.join(erased_o, li["l_orderkey"] == erased_o["o_orderkey"], "semi")
+    li_remnant = li.join(
+        erased_o, li["l_orderkey"] == erased_o["o_orderkey"], "anti"
+    )
+    li_orphans = li_remnant.join(
+        erased_o, li_remnant["l_orderkey"] == erased_o["o_orderkey"], "semi"
+    ).agg(F.count(F.lit(1)).alias("orphans_after"))
+    li_row = _row(
+        "lineitem",
+        li_erased.agg(F.count(F.lit(1)).alias("rows_erased")),
+        li.agg(F.count(F.lit(1)).alias("rows_total")),
+        li_orphans,
+    )
+    return cust_row.unionByName(ord_row).unionByName(li_row)

@@ -1216,3 +1216,116 @@ def event_mix_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delta_vs_prev"
         ),
     )
+
+
+#: CUPED pre-period length (days from the corpus start date).
+CUPED_PRE_DAYS = 15
+
+
+@register(
+    "ab_cuped_adjustment",
+    ops=("A3", "A4", "A9", "P3", "J5"),
+    doc="CUPED variance reduction for the A/B metric: the event "
+    "window splits at corpus start + 15 days into pre-period "
+    "covariate X and experiment metric Y per user, "
+    "θ = cov(X,Y)/var(X), and the adjusted-metric variance follows "
+    "the identity var(Y−θX) = var(Y) − cov²/var(X) — computed from "
+    "ONE pass of exact sufficient statistics (per-user sums "
+    "quantized to exact 1e-4 integer units, cross-products summed "
+    "in DECIMAL(38), VARCHAR-bridged to double on both engines), so "
+    "no second corpus scan and bitwise determinism on any "
+    "partitioning. The experimentation-platform primitive that cuts "
+    "A/B run-time ~2× when pre-period behavior predicts the metric.",
+    oracle=f"""
+WITH bounds AS (
+  SELECT CAST(MIN({SQL_EVENT_TIME}) AS DATE) + {CUPED_PRE_DAYS} AS cutoff
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+    CAST(SUM(CASE WHEN CAST({SQL_EVENT_TIME} AS DATE) < b.cutoff
+             THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4))
+             END) * 10000 AS BIGINT) AS x,
+    CAST(SUM(CASE WHEN CAST({SQL_EVENT_TIME} AS DATE) >= b.cutoff
+             THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4))
+             END) * 10000 AS BIGINT) AS y
+  FROM events, bounds b GROUP BY user_id
+),
+s AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+    CAST(CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+         AS VARCHAR) AS DOUBLE) AS sxy,
+    CAST(CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+         AS VARCHAR) AS DOUBLE) AS sxx,
+    CAST(CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+         AS VARCHAR) AS DOUBLE) AS syy
+  FROM per_user
+)
+SELECT n AS n_users,
+  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta,
+  ROUND((n * syy - sy * sy) / (n * n) / 1e8, 4) AS var_y,
+  ROUND(((n * syy - sy * sy) / (n * n)
+         - ((n * sxy - sx * sy) / n) * ((n * sxy - sx * sy) / n)
+           / ((n * sxx - sx * sx) / n) / n) / 1e8, 4) AS var_adj,
+  ROUND(1.0 - ((n * syy - sy * sy)
+               - (n * sxy - sx * sy) * ((n * sxy - sx * sy)
+                  / (n * sxx - sx * sx)))
+             / (n * syy - sy * sy), 6) AS var_reduction
+FROM s
+""",
+)
+def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_add(F.min(F.to_date("event_time")), CUPED_PRE_DAYS).alias(
+            "cutoff"
+        )
+    )
+    dec0 = F.lit(0).cast("decimal(18,4)")
+    pre = F.when(
+        F.to_date("event_time") < F.col("cutoff"),
+        F.col("value").cast("decimal(18,4)"),
+    ).otherwise(dec0)
+    post = F.when(
+        F.to_date("event_time") >= F.col("cutoff"),
+        F.col("value").cast("decimal(18,4)"),
+    ).otherwise(dec0)
+    per_user = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            (F.sum(pre) * 10000).cast("bigint").alias("x"),
+            (F.sum(post) * 10000).cast("bigint").alias("y"),
+        )
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    s = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(xd * yd).cast("string").cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("string").cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("string").cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    cxy = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    cxx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    cyy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        n.alias("n_users"),
+        F.round(cxy / cxx, 6).alias("theta"),
+        F.round(cyy / (n * n) / F.lit(1e8), 4).alias("var_y"),
+        F.round(
+            (
+                cyy / (n * n)
+                - (cxy / n) * (cxy / n) / (cxx / n) / n
+            )
+            / F.lit(1e8),
+            4,
+        ).alias("var_adj"),
+        F.round(
+            F.lit(1.0) - (cyy - cxy * (cxy / cxx)) / cyy, 6
+        ).alias("var_reduction"),
+    )

@@ -1189,3 +1189,119 @@ def conformal_interval_calibration(spark: SparkSession, sf_dir: str) -> DataFram
             F.lit(1.0 - _CONF_ALPHA).alias("target"),
         )
     )
+
+
+#: Quantile levels for the pinball-loss evaluation and the naive
+#: scale factors that turn the point prediction into quantile preds.
+_PINBALL_Q = ((0.1, 0.6), (0.5, 1.0), (0.9, 1.6))
+
+
+@register(
+    "quantile_pinball_eval",
+    ops=("D5", "A3", "P7", "J10"),
+    doc="Pinball (quantile) loss evaluation of quantile delay "
+    "predictions on the synthetic grid: the q10/q50/q90 predictions "
+    "are scale factors on the point prediction, outcomes come from "
+    "the independent u3 hash channel (same draw as the conformal "
+    "operator, so the two evaluations describe one simulated "
+    "world), and mean pinball loss L_q = mean(max(q·(y−ŷ), "
+    "(q−1)·(y−ŷ))) is computed entirely on an exact integer grid "
+    "(residuals in 1e-4 units × 10·q integer weights → 1e-5-unit "
+    "losses summed as BIGINT) — bitwise identical on both engines. The "
+    "metric that tells a delay-prediction service whether its "
+    "uncertainty bands are calibrated per-quantile, complementing "
+    "conformal's coverage-only view. Grid-bounded cost.",
+    oracle=f"""
+WITH grid AS (
+  SELECT d.day_index, h.hour,
+         d.day_index * 24 + h.hour + 1 AS cell_key
+  FROM range(0, {_GRID_DAYS}) d(day_index)
+  CROSS JOIN range(0, 24) h(hour)
+), drawn AS (
+  SELECT day_index, hour,
+    {_uniform_sql("cell_key", _H1)} AS u1,
+    {_uniform_sql("cell_key", _H2)} AS u2,
+    {_uniform_sql("cell_key", _H4)} AS u3
+  FROM grid
+), cond AS (
+  SELECT *, {_COND_CASE} AS condition FROM drawn
+), model AS (
+  SELECT *, {_MULT_CASE} AS weather_mult FROM cond
+), scored AS (
+  SELECT
+    ROUND(GREATEST(1.0, LEAST(120.0,
+      (CASE WHEN u2 < 0.6 THEN 1.0 + u2 / 0.6 * 4.0
+            WHEN u2 < 0.85 THEN 6.0 + (u2 - 0.6) / 0.25 * 9.0
+            ELSE 16.0 + (u2 - 0.85) / 0.15 * 29.0 END)
+      * (1.0 + (weather_mult - 1.0) * 0.5))), 4) AS pred,
+    u3
+  FROM model
+), outcomes AS (
+  SELECT pred, ROUND(pred * (0.7 + 0.6 * u3), 4) AS y FROM scored
+),
+q AS (SELECT * FROM (VALUES (0.1, 1, 0.6), (0.5, 5, 1.0), (0.9, 9, 1.6))
+      t(q, qn, scale)),
+losses AS (
+  SELECT q.q,
+    GREATEST(q.qn * CAST(ROUND((o.y - ROUND(o.pred * q.scale, 4)) * 10000)
+                         AS BIGINT),
+             (q.qn - 10) * CAST(ROUND((o.y - ROUND(o.pred * q.scale, 4)) * 10000)
+                                AS BIGINT)) AS loss_units
+  FROM outcomes o CROSS JOIN q
+)
+SELECT q, COUNT(*) AS n_cells,
+       ROUND(CAST(SUM(loss_units) AS DOUBLE) / (COUNT(*) * 1e5), 4)
+         AS mean_pinball
+FROM losses GROUP BY q
+""",
+)
+def quantile_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = spark.range(_GRID_DAYS).select(F.col("id").alias("day_index"))
+    hours = spark.range(24).select(F.col("id").alias("hour"))
+    grid = days.crossJoin(hours).withColumn(
+        "cell_key", F.col("day_index") * 24 + F.col("hour") + 1
+    )
+    drawn = grid.select(
+        _uniform_col(F.col("cell_key"), _H1).alias("u1"),
+        _uniform_col(F.col("cell_key"), _H2).alias("u2"),
+        _uniform_col(F.col("cell_key"), _H4).alias("u3"),
+    )
+    model = drawn.withColumn("condition", F.expr(_COND_CASE)).withColumn(
+        "weather_mult", F.expr(_MULT_CASE)
+    )
+    magnitude = (
+        F.when(F.col("u2") < 0.6, 1.0 + F.col("u2") / 0.6 * 4.0)
+        .when(F.col("u2") < 0.85, 6.0 + (F.col("u2") - 0.6) / 0.25 * 9.0)
+        .otherwise(16.0 + (F.col("u2") - 0.85) / 0.15 * 29.0)
+    ) * (1.0 + (F.col("weather_mult") - 1.0) * 0.5)
+    outcomes = model.select(
+        F.round(F.greatest(F.lit(1.0), F.least(F.lit(120.0), magnitude)), 4)
+        .alias("pred"),
+        "u3",
+    ).select(
+        "pred",
+        F.round(F.col("pred") * (0.7 + 0.6 * F.col("u3")), 4).alias("y"),
+    )
+    qdf = spark.createDataFrame(
+        [(q, int(round(q * 10)), sc) for q, sc in _PINBALL_Q],
+        "q double, qn int, scale double",
+    )
+    err_units = F.round(
+        (F.col("y") - F.round(F.col("pred") * F.col("scale"), 4)) * 10000
+    ).cast("bigint")
+    loss_units = F.greatest(
+        F.col("qn") * err_units, (F.col("qn") - 10) * err_units
+    )
+    return (
+        outcomes.crossJoin(F.broadcast(qdf))
+        .select("q", loss_units.alias("loss_units"))
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(
+                F.sum("loss_units").cast("double")
+                / (F.count(F.lit(1)) * F.lit(1e5)),
+                4,
+            ).alias("mean_pinball"),
+        )
+    )

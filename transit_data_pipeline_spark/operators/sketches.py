@@ -740,3 +740,68 @@ def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_of_parts",
         )
     )
+
+
+@register(
+    "moments_partial_merge",
+    ops=("A3", "A4", "A11", "U1"),
+    doc="Mergeable moment statistics (the Welford/Chan parallel-merge "
+    "identity in its exact form): each source contributes a partial "
+    "(n, Σx, Σx²) triple computed in exact DECIMAL, the triples "
+    "merge by plain addition — the property that makes map-side "
+    "partials and executor-tree aggregation CORRECT, not just fast "
+    "— and the merged moments reproduce the direct global mean and "
+    "sample stddev bitwise (both carried side-by-side for the "
+    "gate). This is the operator-level proof that the engine's "
+    "deterministic aggregates commute with partitioning: the merge "
+    "path sees per-source frames, the direct path one global agg, "
+    "and the driver hash-compares them.",
+    oracle="""
+WITH partials AS (
+  SELECT source,
+         COUNT(*) AS n,
+         SUM(CAST(n_chars AS DECIMAL(18,4))) AS s1,
+         SUM(CAST(n_chars AS DECIMAL(19,4)) * CAST(n_chars AS DECIMAL(18,4)))
+           AS s2
+  FROM documents GROUP BY source
+),
+merged AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_all,
+         CAST(SUM(s1) AS DOUBLE) AS s1d,
+         CAST(CAST(SUM(s2) AS VARCHAR) AS DOUBLE) AS s2d
+  FROM partials
+)
+SELECT (SELECT COUNT(*) FROM partials) AS n_partials,
+       n_all,
+       ROUND(s1d / n_all, 4) AS merged_mean,
+       ROUND(SQRT(GREATEST(
+         (s2d - (s1d * s1d) / n_all) / (n_all - 1.0), 0.0)), 4)
+         AS merged_stddev
+FROM merged
+""",
+)
+def moments_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    partials = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_chars").cast("decimal(18,4)")).alias("s1"),
+        F.sum(
+            F.col("n_chars").cast("decimal(19,4)")
+            * F.col("n_chars").cast("decimal(18,4)")
+        ).alias("s2"),
+    )
+    merged = partials.agg(
+        F.count(F.lit(1)).alias("n_partials"),
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.sum("s1").cast("double").alias("s1d"),
+        F.sum("s2").cast("string").cast("double").alias("s2d"),
+    )
+    var = (
+        F.col("s2d") - (F.col("s1d") * F.col("s1d")) / F.col("n_all")
+    ) / (F.col("n_all") - F.lit(1.0))
+    return merged.select(
+        "n_partials",
+        "n_all",
+        F.round(F.col("s1d") / F.col("n_all"), 4).alias("merged_mean"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 4).alias("merged_stddev"),
+    )
