@@ -772,3 +772,123 @@ def test_woe_information_value_nonnegative(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.iv_contrib >= -1e-12, r
+
+
+def test_km_curve_monotone_and_bounded(spark, sf_dir):
+    """log-survival is nonincreasing in t and ≤ 0; at-risk counts are
+    nonincreasing; churns never exceed the at-risk set."""
+    from transit_data_pipeline_spark.operators.timeseries import (
+        survival_km_retention,
+    )
+
+    rows = survival_km_retention(spark, sf_dir).collect()
+    assert rows
+    prev_ls, prev_n = 1e-12, None
+    for r in rows:  # already ordered by t
+        assert r.d_t <= r.n_t
+        assert r.log_survival <= prev_ls + 1e-12
+        if prev_n is not None:
+            assert r.n_t <= prev_n
+        prev_ls, prev_n = r.log_survival, r.n_t
+
+
+def test_cuped_never_increases_variance(spark, sf_dir):
+    """var(Y−θX) = var(Y) − cov²/var(X) ≤ var(Y) by construction, and
+    the reported reduction fraction sits in [0, 1]."""
+    from transit_data_pipeline_spark.operators.events import ab_cuped_adjustment
+
+    r = ab_cuped_adjustment(spark, sf_dir).collect()[0]
+    assert r.var_adj <= r.var_y + 1e-9
+    assert 0.0 <= r.var_reduction <= 1.0
+
+
+def test_auc_bounds_and_rank_sum_identity(spark, sf_dir):
+    """Every per-source AUC lies in [0,1]; n_pos+n_neg covers the
+    source's documents exactly."""
+    from transit_data_pipeline_spark.catalog import table
+    from transit_data_pipeline_spark.operators.mlops import auc_mann_whitney
+
+    rows = auc_mann_whitney(spark, sf_dir).collect()
+    assert rows
+    per_source = {
+        r["source"]: r["cnt"]
+        for r in table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for r in rows:
+        assert 0.0 <= r.auc <= 1.0
+        assert r.n_pos + r.n_neg == per_source[r.source]
+
+
+def test_bootstrap_ci_brackets_point_mean(spark, sf_dir):
+    """The 95% Poisson-bootstrap CI must contain the full-sample mean
+    (it always does for the mean at these replicate counts), and the
+    bounds must be ordered."""
+    from transit_data_pipeline_spark.operators.mlops import bootstrap_poisson_ci
+
+    r = bootstrap_poisson_ci(spark, sf_dir).collect()[0]
+    assert r.ci_lo <= r.point_mean <= r.ci_hi
+    assert r.n_replicates == 64
+
+
+def test_conformal_coverage_near_target(spark, sf_dir):
+    """Split-conformal guarantees coverage ≥ 1−α in expectation; on
+    the fixed grid it must land within sampling noise of the target."""
+    from transit_data_pipeline_spark.operators.mlops import (
+        conformal_interval_calibration,
+    )
+
+    r = conformal_interval_calibration(spark, sf_dir).collect()[0]
+    assert r.n_calib + r.n_eval == 1440
+    assert abs(r.coverage - r.target) < 0.05
+
+
+def test_kappa_identity_against_confusion(spark, sf_dir):
+    """κ recomputed from the returned confusion marginals matches the
+    operator's column; diagonal ≤ marginals."""
+    from transit_data_pipeline_spark.operators.mlops import label_centroid_kappa
+
+    rows = label_centroid_kappa(spark, sf_dir).collect()
+    assert rows
+    n = sum(r.n_true for r in rows)
+    diag = sum(r.n_correct for r in rows)
+    pe = sum(r.n_true * r.n_pred for r in rows) / (n * n)
+    kappa = ((diag / n) - pe) / (1 - pe)
+    for r in rows:
+        assert r.n_correct <= min(r.n_true, r.n_pred)
+        assert abs(r.kappa - round(kappa, 4)) <= 1e-9
+
+
+def test_erasure_cascade_leaves_no_orphans(spark, sf_dir):
+    from transit_data_pipeline_spark.operators.curation import (
+        erasure_cascade_audit,
+    )
+
+    rows = {r.tbl: r for r in erasure_cascade_audit(spark, sf_dir).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    for r in rows.values():
+        assert r.orphans_after == 0
+        assert 0 <= r.rows_erased <= r.rows_total
+
+
+def test_theilsen_median_is_pairwise_median(spark, sf_dir):
+    """n_pairs equals C(days,2) per priority and the reported slope is
+    sign-consistent with the rising flag."""
+    from transit_data_pipeline_spark.operators.timeseries import (
+        _daily,
+        theilsen_trend,
+    )
+
+    days = {
+        r["o_orderpriority"]: r["cnt"]
+        for r in _daily(spark, sf_dir)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for r in theilsen_trend(spark, sf_dir).collect():
+        d = days[r.o_orderpriority]
+        assert r.n_pairs == d * (d - 1) // 2
+        assert r.rising == (r.median_slope > 0)
