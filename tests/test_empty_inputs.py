@@ -87,6 +87,7 @@ _OPS = [
     "moments_partial_merge",
     "quantile_pinball_eval",
     "erasure_cascade_audit",
+    "pii_scrub_eval",
 ]
 
 _TABLES = (

@@ -1639,3 +1639,75 @@ def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+#: Per-class planting expressions for the scrubber evaluation: class 0
+#: and 2 MUST be detected, class 1 is the canonical obfuscation miss,
+#: class 3 is a word-boundary decoy a sloppy pattern false-positives on.
+_PII_EVAL_PLANT_SQL = """CASE doc_id % 4
+  WHEN 0 THEN text || ' reach user' || doc_id || '@example.com today'
+  WHEN 1 THEN text || ' reach user' || doc_id || ' at example dot com today'
+  WHEN 2 THEN text || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+  ELSE text || ' ref 555-12345 code' END"""
+_PII_EVAL_PLANT_SPARK = """CASE doc_id % 4
+  WHEN 0 THEN concat(text, ' reach user', doc_id, '@example.com today')
+  WHEN 1 THEN concat(text, ' reach user', doc_id, ' at example dot com today')
+  WHEN 2 THEN concat(text, ' call 555-', lpad(cast(doc_id % 10000 as string), 4, '0'))
+  ELSE concat(text, ' ref 555-12345 code') END"""
+
+
+@register(
+    "pii_scrub_eval",
+    ops=("P5", "A5", "A9", "F10"),
+    doc="Scrubber-quality evaluation harness: plants four deterministic "
+    "PII classes (clean email, obfuscated 'at … dot' email, clean "
+    "phone, word-boundary phone decoy) and measures the production "
+    "patterns' per-class detection rate against the known ground "
+    "truth — classes 0/2 must hit 1.0 (recall), class 1 documents "
+    "the canonical obfuscation miss, class 3 must stay 0.0 or the "
+    "pattern is over-matching (precision). The red-team fixture "
+    "every PII pipeline needs next to its scrubber "
+    "(text_pii_scrub); pure codegen regex, no shuffle before the "
+    "4-row rollup.",
+    oracle=f"""
+WITH planted AS (
+  SELECT doc_id % 4 AS pii_class,
+         {_PII_EVAL_PLANT_SQL} AS text
+  FROM documents
+),
+det AS (
+  SELECT pii_class,
+         CASE WHEN len(regexp_extract_all(text, '{{EM}}')) > 0
+                OR len(regexp_extract_all(text, '{{PH}}')) > 0
+              THEN 1 ELSE 0 END AS detected
+  FROM planted
+)
+SELECT pii_class,
+       COUNT(*) AS n_docs,
+       CAST(SUM(detected) AS BIGINT) AS n_detected,
+       ROUND(CAST(SUM(detected) AS DOUBLE) / COUNT(*), 6) AS detection_rate,
+       CASE WHEN pii_class IN (0, 2) THEN 1.0 ELSE 0.0 END AS expected_rate
+FROM det GROUP BY pii_class
+""".replace("{EM}", PII_EMAIL).replace("{PH}", PII_PHONE),
+)
+def pii_scrub_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    planted = d.select(
+        (F.col("doc_id") % 4).alias("pii_class"),
+        F.expr(_PII_EVAL_PLANT_SPARK).alias("text"),
+    )
+    detected = (
+        (F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0))) > 0)
+        | (F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), F.lit(0))) > 0)
+    ).cast("int")
+    det = planted.select("pii_class", detected.alias("detected"))
+    return det.groupBy("pii_class").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("detected").cast("bigint").alias("n_detected"),
+        F.round(
+            F.sum("detected").cast("double") / F.count(F.lit(1)), 6
+        ).alias("detection_rate"),
+        F.max(
+            F.when(F.col("pii_class").isin(0, 2), 1.0).otherwise(0.0)
+        ).alias("expected_rate"),
+    )
