@@ -88,6 +88,8 @@ _OPS = [
     "quantile_pinball_eval",
     "erasure_cascade_audit",
     "pii_scrub_eval",
+    "embedding_pca_power",
+    "weighted_reservoir_sample",
 ]
 
 _TABLES = (

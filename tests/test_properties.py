@@ -892,3 +892,31 @@ def test_theilsen_median_is_pairwise_median(spark, sf_dir):
         d = days[r.o_orderpriority]
         assert r.n_pairs == d * (d - 1) // 2
         assert r.rising == (r.median_slope > 0)
+
+
+def test_pca_unit_norm_and_share(spark, sf_dir):
+    """The returned eigenvector is unit-norm (to 6-dp rounding) and
+    the explained-variance share of PC1 lies in (0, 1]."""
+    from transit_data_pipeline_spark.operators.similarity import (
+        embedding_pca_power,
+    )
+
+    rows = embedding_pca_power(spark, sf_dir).collect()
+    assert len(rows) == 64
+    norm2 = sum(r.loading**2 for r in rows)
+    assert abs(norm2 - 1.0) < 1e-4
+    assert 0.0 < rows[0].explained_share <= 1.0
+
+
+def test_weighted_reservoir_sample_is_k_distinct(spark, sf_dir):
+    from transit_data_pipeline_spark.operators.mlprep import (
+        WRS_K,
+        weighted_reservoir_sample,
+    )
+
+    rows = weighted_reservoir_sample(spark, sf_dir).collect()
+    assert len(rows) == WRS_K
+    assert len({r.doc_id for r in rows}) == WRS_K
+    assert sorted(r.rnk for r in rows) == list(range(1, WRS_K + 1))
+    keys = [r.sample_key for r in sorted(rows, key=lambda r: r.rnk)]
+    assert keys == sorted(keys, reverse=True)

@@ -1214,3 +1214,74 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("alloc_n"),
         (F.col("n_h").cast("double") / F.col("n_total")).alias("proportional_share"),
     )
+
+
+#: Weighted-reservoir sample size.
+WRS_K = 25
+
+
+@register(
+    "weighted_reservoir_sample",
+    ops=("O2", "W4", "F12", "A9"),
+    doc="Weighted sampling WITHOUT replacement via the "
+    "Efraimidis–Spirakis A-Res keys: each document draws a keyed-"
+    "hash uniform u and competes with key ln(u)/w (order-isomorphic "
+    "to the classic u^(1/w)), the k largest keys win — one "
+    "distributed top-k (sort+limit, no global row_number), no "
+    "rejection loop, no driver-side reservoir, and inclusion "
+    "probabilities proportional to weight w = n_chars. The "
+    "replacement-free complement to quality_weighted_sampling's "
+    "Bernoulli thinning; ln is rounded to 6 dp (the shared "
+    "cross-engine recipe) and ties break on doc_id, so the sampled "
+    "set is bitwise-reproducible on any partitioning.",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars AS w,
+    ROUND(LN((CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) + 0.5)
+             / 4294967296), 6) / n_chars AS k
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, w, ROUND(k, 6) AS k,
+         ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS rnk
+  FROM keyed
+),
+tot AS (SELECT SUM(n_chars) AS w_all FROM documents)
+SELECT rnk, doc_id, source, w,
+       k AS sample_key,
+       ROUND(CAST(w AS DOUBLE) / t.w_all, 8) AS weight_share
+FROM ranked, tot t WHERE rnk <= {WRS_K}
+""",
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    u = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    ).cast("double") + 0.5
+    keyed = d.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").alias("w"),
+        (F.round(F.log(u / F.lit(4294967296)), 6) / F.col("n_chars")).alias(
+            "k"
+        ),
+    )
+    tot = d.agg(F.sum("n_chars").alias("w_all"))
+    # Top-k as sort+limit (TakeOrderedAndProject — no global window
+    # over the corpus); the row_number runs on the k-row result only.
+    winners = keyed.orderBy(F.col("k").desc(), "doc_id").limit(WRS_K)
+    w_rnk = Window.orderBy(F.col("k").desc(), "doc_id")
+    return (
+        winners.withColumn("rnk", F.row_number().over(w_rnk))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rnk",
+            "doc_id",
+            "source",
+            "w",
+            F.round("k", 6).alias("sample_key"),
+            F.round(F.col("w").cast("double") / F.col("w_all"), 8).alias(
+                "weight_share"
+            ),
+        )
+    )

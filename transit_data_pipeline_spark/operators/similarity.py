@@ -675,3 +675,220 @@ def retrieval_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataF
     )
     w = Window.orderBy(F.desc("maxsim_score"), "label")
     return scored.withColumn("rnk", F.row_number().over(w))
+
+
+#: Power-iteration count for the principal-component extraction.
+_PCA_ITERS = 2
+
+
+def _sql_fold_sq(arr: str) -> str:
+    return (
+        f"list_reduce(list_transform({arr}, x -> x * x), (acc, x) -> acc + x)"
+    )
+
+
+def _sql_pca_iter(k: int, vprev: str) -> str:
+    """One power-iteration round as chained CTEs (names s{k}..v{k}).
+
+    s_i = round(n·(q_i·v) − S·v, 4) is the CENTERED projection scaled
+    by n (u_i = n·q_i − S avoids materializing centered vectors);
+    A_d = Σ q_{i,d}·s_i and T = Σ s_i are exact DECIMAL sums
+    (VARCHAR-bridged to double), and w_d = n·A_d − S_d·T recovers
+    M·v for the centered scatter matrix M = Σ u_i·u_iᵀ exactly."""
+    qdotv = V.sql_dot("e.q", f"{vprev}.v")
+    sdotv = V.sql_dot("sa.sarr", f"{vprev}.v")
+    return f"""
+s{k} AS (
+  SELECT e.vec_id,
+         CAST(ROUND(n.n * ({qdotv}) - ({sdotv}), 4) AS DECIMAL(18,4)) AS s
+  FROM e, {vprev}, sarr sa, nn n
+),
+t{k} AS (SELECT CAST(CAST(SUM(s) AS VARCHAR) AS DOUBLE) AS t FROM s{k}),
+a{k} AS (
+  SELECT ex.dim,
+         CAST(CAST(SUM(ex.qv * sk.s) AS VARCHAR) AS DOUBLE) AS a_d
+  FROM ex JOIN s{k} sk USING (vec_id) GROUP BY ex.dim
+),
+w{k} AS (
+  SELECT a.dim, n.n * a.a_d - sd.s_d * t.t AS wd
+  FROM a{k} a JOIN sdim sd USING (dim), t{k} t, nn n
+),
+wa{k} AS (SELECT list(wd ORDER BY dim) AS warr FROM w{k}),
+v{k} AS (
+  SELECT list_transform(warr, x -> ROUND(x / SQRT({_sql_fold_sq('warr')}), 6))
+           AS v
+  FROM wa{k}
+)"""
+
+
+@register(
+    "embedding_pca_power",
+    ops=("J10", "A3", "A11", "F12"),
+    doc="Top principal component of the embedding corpus by power "
+    "iteration — the whitening/compression primitive ANN pipelines "
+    "run before indexing. Two matrix-free rounds: the centered "
+    "matvec M·v for M = Σ(n·qᵢ−S)(n·qᵢ−S)ᵀ needs only per-vector "
+    "projections sᵢ = n·(qᵢ·v) − S·v (rounded to 4 dp, summed in "
+    "DECIMAL) and per-dim A_d = Σ q_{i,d}·sᵢ — never a centered "
+    "copy of the data, never a d×d matrix. Components quantized on "
+    "the 2^-20 grid, projections folded dim-ascending, eigenvector "
+    "re-normalized with a 6-dp round per round, so both engines "
+    "iterate through identical doubles. Rayleigh quotient over the "
+    "exact trace gives explained variance. Cost: 2 passes of "
+    "(corpus × dim) work + dim-sized reduces — linear in corpus, "
+    "no shuffle wider than the 64-row dim frame.",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(trunc(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, dim, q[dim] AS qv
+  FROM e, generate_series(1, 64) AS t(dim)
+),
+sdim AS (
+  SELECT dim, SUM(qv) AS s_d, SUM(qv * qv) AS sq_d FROM ex GROUP BY dim
+),
+sarr AS (
+  SELECT list(CAST(s_d AS DOUBLE) ORDER BY dim) AS sarr FROM sdim
+),
+nn AS (SELECT COUNT(*) AS n FROM e),
+v0 AS (SELECT list_transform(generate_series(1, 64), i -> 0.125) AS v),
+{_sql_pca_iter(1, 'v0')},
+{_sql_pca_iter(2, 'v1')},
+tr AS (
+  SELECT CAST(CAST(SUM(CAST(
+           n.n * (1.0 * n.n * sq_d - 1.0 * s_d * s_d) AS DECIMAL(38,0)))
+         AS VARCHAR) AS DOUBLE) AS trace
+  FROM sdim, nn n
+),
+ray AS (
+  SELECT {V.sql_dot('v1.v', 'wa2.warr')} AS lam
+  FROM v1, wa2
+)
+SELECT t.dim,
+       v2.v[t.dim] AS loading,
+       ROUND(r.lam / tr.trace, 6) AS explained_share,
+       n.n AS n_vectors
+FROM generate_series(1, 64) AS t(dim), v2, ray r, tr, nn n
+""",
+)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .mlprep import _q_col
+
+    e = table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", _q_col(F.col("embedding")).alias("q")
+    )
+    ex = e.select(
+        "vec_id", F.posexplode("q").alias("dim0", "qv")
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "qv")
+    sdim = ex.groupBy("dim").agg(
+        F.sum("qv").alias("s_d"), F.sum(F.col("qv") * F.col("qv")).alias("sq_d")
+    )
+    sarr = sdim.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "s_d"))),
+            lambda r: r["s_d"].cast("double"),
+        ).alias("sarr")
+    )
+    nn = e.agg(F.count(F.lit(1)).alias("n"))
+
+    def fold_sq(arr):
+        return F.aggregate(
+            F.transform(arr, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def pca_iter(vdf):
+        s = (
+            e.crossJoin(F.broadcast(vdf))
+            .crossJoin(F.broadcast(sarr))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "vec_id",
+                F.round(
+                    F.col("n") * V.dot(F.col("q"), F.col("v"))
+                    - V.dot(F.col("sarr"), F.col("v")),
+                    4,
+                )
+                .cast("decimal(18,4)")
+                .alias("s"),
+            )
+        )
+        t = s.agg(F.sum("s").cast("string").cast("double").alias("t"))
+        a = (
+            ex.join(s, "vec_id")
+            .groupBy("dim")
+            .agg(
+                F.sum(F.col("qv") * F.col("s"))
+                .cast("string")
+                .cast("double")
+                .alias("a_d")
+            )
+        )
+        w = (
+            a.join(sdim, "dim")
+            .crossJoin(F.broadcast(t))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "dim",
+                (
+                    F.col("n") * F.col("a_d") - F.col("s_d") * F.col("t")
+                ).alias("wd"),
+            )
+        )
+        wa = w.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "wd"))),
+                lambda r: r["wd"],
+            ).alias("warr")
+        )
+        v_next = wa.select(
+            F.transform(
+                F.col("warr"),
+                lambda x: F.round(x / F.sqrt(fold_sq(F.col("warr"))), 6),
+            ).alias("v")
+        )
+        return v_next, wa
+
+    v0 = spark.range(1).select(
+        F.expr("transform(sequence(1, 64), i -> 0.125d)").alias("v")
+    )
+    v1, _ = pca_iter(v0)
+    v2, wa2 = pca_iter(v1)
+    tr = (
+        sdim.crossJoin(F.broadcast(nn))
+        .agg(
+            F.sum(
+                (
+                    F.col("n")
+                    * (
+                        F.lit(1.0) * F.col("n") * F.col("sq_d")
+                        - F.lit(1.0) * F.col("s_d") * F.col("s_d")
+                    )
+                ).cast("decimal(38,0)")
+            )
+            .cast("string")
+            .cast("double")
+            .alias("trace")
+        )
+    )
+    ray = v1.crossJoin(wa2).select(
+        V.dot(F.col("v"), F.col("warr")).alias("lam")
+    )
+    dims = spark.range(1, 65).select(F.col("id").cast("int").alias("dim"))
+    return (
+        dims.crossJoin(F.broadcast(v2))
+        .crossJoin(F.broadcast(ray))
+        .crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "dim",
+            F.element_at(F.col("v"), F.col("dim")).alias("loading"),
+            F.round(F.col("lam") / F.col("trace"), 6).alias("explained_share"),
+            F.col("n").alias("n_vectors"),
+        )
+    )
