@@ -90,6 +90,11 @@ _OPS = [
     "pii_scrub_eval",
     "embedding_pca_power",
     "weighted_reservoir_sample",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_revenue_change",
+    "tpch_q10_returned_items",
 ]
 
 _TABLES = (

@@ -41,6 +41,7 @@ _MODULES = (
     "transit_data_pipeline_spark.operators.curation",
     "transit_data_pipeline_spark.operators.mlprep",
     "transit_data_pipeline_spark.operators.timeseries",
+    "transit_data_pipeline_spark.operators.tpch",
 )
 
 
