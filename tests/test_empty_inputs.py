@@ -95,6 +95,9 @@ _OPS = [
     "tpch_q5_local_supplier_volume",
     "tpch_q6_revenue_change",
     "tpch_q10_returned_items",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q14_promo_revenue",
 ]
 
 _TABLES = (

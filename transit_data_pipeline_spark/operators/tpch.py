@@ -290,3 +290,217 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("c_custkey", "c_name", "n_name", "revenue", "acctbal")
     )
+
+
+#: Fixture stand-ins for Q7/Q8 parameters (synthetic nation names).
+_Q7_NATION_A, _Q7_NATION_B = "NATION_1", "NATION_2"
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    ops=("J1", "J4", "A3", "P5", "F1"),
+    doc="TPC-H Q7 volume shipping: bilateral trade revenue between "
+    "two nations per year, where (supp_nation, cust_nation) may be "
+    "either orientation of the pair. Both nation dimensions prune "
+    "to 2 rows and broadcast; the OR-of-two-orientations predicate "
+    "evaluates inside the join; the year extraction groups the "
+    "exact-decimal revenue. The join tree is lineitem⋈orders⋈"
+    "customer plus two broadcast nation lookups — fact-fact on "
+    "orderkey, everything else dimension-sized.",
+    oracle=f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+  CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+  CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(19,4))
+       * CAST(1.0 - l.l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+    AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  AND ((ns.n_name = '{_Q7_NATION_A}' AND nc.n_name = '{_Q7_NATION_B}')
+    OR (ns.n_name = '{_Q7_NATION_B}' AND nc.n_name = '{_Q7_NATION_A}'))
+GROUP BY ns.n_name, nc.n_name, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem", spread=True).filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders", spread=True)
+    c = table(spark, sf_dir, "customer", spread=True)
+    s = table(spark, sf_dir, "supplier", spread=True)
+    n = table(spark, sf_dir, "nation", spread=True)
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    a, b = _Q7_NATION_A, _Q7_NATION_B
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == a) & (F.col("cust_nation") == b)
+            )
+            | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+        )
+    )
+    rev = F.col("l_extendedprice").cast("decimal(19,4)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(18,4)")
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("string").cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    ops=("J3", "J4", "A5", "A9", "F1"),
+    doc="TPC-H Q8 national market share: the target nation's share of "
+    "regional revenue per year for one part type — the "
+    "ratio-of-conditional-aggregates pattern (SUM(CASE)·/SUM) over "
+    "a five-way star. Region/nation/part dims prune before "
+    "broadcast; numerator and denominator are both exact decimal "
+    "sums VARCHAR-bridged, and the share divides once per year row.",
+    oracle=f"""
+SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+  ROUND(
+    CAST(CAST(SUM(CASE WHEN ns.n_name = '{_Q7_NATION_A}'
+         THEN CAST(l.l_extendedprice AS DECIMAL(19,4))
+              * CAST(1.0 - l.l_discount AS DECIMAL(18,4))
+         ELSE CAST(0 AS DECIMAL(38,8)) END) AS VARCHAR) AS DOUBLE)
+    / CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(19,4))
+         * CAST(1.0 - l.l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE),
+    6) AS mkt_share,
+  COUNT(*) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+JOIN region r ON nc.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE r.r_name = 'ASIA'
+  AND p.p_type = 'PROMO'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem", spread=True)
+    o = table(spark, sf_dir, "orders", spread=True).filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer", spread=True)
+    s = table(spark, sf_dir, "supplier", spread=True)
+    n = table(spark, sf_dir, "nation", spread=True)
+    r = table(spark, sf_dir, "region", spread=True).filter(
+        F.col("r_name") == "ASIA"
+    )
+    p = table(spark, sf_dir, "part", spread=True).filter(
+        F.col("p_type") == "PROMO"
+    )
+    nc = F.broadcast(
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+            F.col("n_nationkey").alias("nc_key")
+        )
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    rev = F.col("l_extendedprice").cast("decimal(19,4)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(18,4)")
+    target_rev = F.when(
+        F.col("supp_nation") == _Q7_NATION_A, rev
+    ).otherwise(F.lit(0).cast("decimal(38,8)"))
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(nc, F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(target_rev).cast("string").cast("double")
+                / F.sum(rev).cast("string").cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    ops=("J1", "A5", "A9", "P3"),
+    doc="TPC-H Q14 promotion effect: the percentage of one month's "
+    "revenue attributable to promotional parts — SUM(CASE p_type)"
+    "/SUM over the lineitem⋈part join with the date window pushed "
+    "to the fact scan. part joins broadcast; both sums exact "
+    "decimal; one output row.",
+    oracle="""
+SELECT
+  ROUND(100.0
+    * CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+         THEN CAST(l.l_extendedprice AS DECIMAL(19,4))
+              * CAST(1.0 - l.l_discount AS DECIMAL(18,4))
+         ELSE CAST(0 AS DECIMAL(38,8)) END) AS VARCHAR) AS DOUBLE)
+    / CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(19,4))
+         * CAST(1.0 - l.l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE),
+    6) AS promo_revenue_pct,
+  COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+  AND l.l_shipdate < TIMESTAMP '1995-10-01'
+""",
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem", spread=True).filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part", spread=True)
+    rev = F.col("l_extendedprice").cast("decimal(19,4)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(18,4)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(38,8)")
+    )
+    return li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(promo).cast("string").cast("double")
+            / F.sum(rev).cast("string").cast("double"),
+            6,
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
