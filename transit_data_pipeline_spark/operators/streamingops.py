@@ -886,3 +886,156 @@ def streaming_backfill_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_value",
     )
     return pick(history).unionByName(pick(spark.table(name)))
+
+
+#: PSI drift threshold (industry convention: 0.2 = major shift) and
+#: reference-period length in days from the stream's first event day.
+PSI_DRIFT_THR = 0.2
+PSI_REF_DAYS = 15
+
+
+@register(
+    "streaming_psi_drift",
+    ops=("A1", "A9", "F5", "J10", "P5"),
+    doc="Streaming drift monitor: the event stream drains through a "
+    "tumbling 1-DAY windowed count per event type (real engine, "
+    "availableNow), the first 15 days of the drained rollup freeze "
+    "the reference type-mix, and every later day scores a "
+    "Population Stability Index against it — Laplace-smoothed "
+    "shares ((n+1)/(N+T)) so an absent type never produces ln(0), "
+    "ln rounded to 4 dp and per-type contributions summed through "
+    "DECIMAL for bitwise agreement. Day×type grid completed by a "
+    "spine cross join, so silent type dropout is scored, not "
+    "skipped. State is one day-window per type — watermark-free "
+    "because availableNow drains a bounded source; production would "
+    "add a 1-day watermark. The monitor every training-data intake "
+    "runs: PSI > 0.2 pages a human before the mix shift reaches "
+    "training.",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', {SQL_EVENT_TIME}) AS TIMESTAMP) AS d,
+         event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(d) + INTERVAL {PSI_REF_DAYS} DAY AS cutoff FROM daily),
+types AS (SELECT DISTINCT event_type FROM daily),
+tcount AS (SELECT COUNT(*) AS t FROM types),
+ref AS (
+  SELECT event_type, SUM(n) AS rn
+  FROM daily, bounds b WHERE d < b.cutoff GROUP BY event_type
+),
+reftot AS (SELECT SUM(rn) AS rtot FROM ref),
+score_days AS (
+  SELECT DISTINCT d FROM daily, bounds b WHERE d >= b.cutoff
+),
+grid AS (
+  SELECT sd.d, ty.event_type,
+         COALESCE(da.n, 0) AS n
+  FROM score_days sd CROSS JOIN types ty
+  LEFT JOIN daily da ON da.d = sd.d AND da.event_type = ty.event_type
+),
+daytot AS (SELECT d, SUM(n) AS dtot FROM grid GROUP BY d),
+contrib AS (
+  SELECT g.d,
+    ROUND(
+      (CAST(g.n + 1 AS DOUBLE) / (dt.dtot + tc.t)
+        - CAST(COALESCE(r.rn, 0) + 1 AS DOUBLE) / (rt.rtot + tc.t))
+      * ROUND(LN((CAST(g.n + 1 AS DOUBLE) / (dt.dtot + tc.t))
+                 / (CAST(COALESCE(r.rn, 0) + 1 AS DOUBLE)
+                    / (rt.rtot + tc.t))), 4), 8) AS c
+  FROM grid g
+  JOIN daytot dt USING (d)
+  LEFT JOIN ref r ON g.event_type = r.event_type
+  CROSS JOIN reftot rt CROSS JOIN tcount tc
+)
+SELECT strftime(c.d, '%Y-%m-%d') AS score_day,
+       dt.dtot AS n_events,
+       ROUND(CAST(SUM(CAST(c.c AS DECIMAL(18,8))) AS DOUBLE), 6) AS psi,
+       ROUND(CAST(SUM(CAST(c.c AS DECIMAL(18,8))) AS DOUBLE), 6)
+         > {PSI_DRIFT_THR} AS drift_flag
+FROM contrib c JOIN daytot dt USING (d)
+GROUP BY c.d, dt.dtot
+""",
+)
+def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _event_stream(spark, sf_dir)
+        .groupBy(F.window("event_time", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = "tdps_stream_psi"
+    with _stream_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    daily = spark.table(name).select(
+        F.col("w.start").alias("d"), "event_type", "n"
+    )
+    bounds = daily.agg(
+        F.date_add(F.min("d").cast("date"), PSI_REF_DAYS)
+        .cast("timestamp")
+        .alias("cutoff")
+    )
+    types = daily.select("event_type").distinct()
+    tcount = types.agg(F.count(F.lit(1)).alias("t"))
+    withb = daily.crossJoin(F.broadcast(bounds))
+    # Rename the key before re-joining against grid (which shares the
+    # `daily` lineage) — avoids Catalyst's conflicting-reference trap on
+    # self-join-shaped plans.
+    ref = (
+        withb.filter(F.col("d") < F.col("cutoff"))
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("rn"))
+        .select(F.col("event_type").alias("ref_et"), "rn")
+    )
+    reftot = ref.agg(F.sum("rn").alias("rtot"))
+    score_days = (
+        withb.filter(F.col("d") >= F.col("cutoff")).select("d").distinct()
+    )
+    daily2 = daily.select(
+        F.col("d").alias("dd"), F.col("event_type").alias("et"), "n"
+    )
+    grid = (
+        score_days.crossJoin(F.broadcast(types))
+        .join(
+            daily2,
+            (F.col("d") == F.col("dd")) & (F.col("event_type") == F.col("et")),
+            "left",
+        )
+        .select("d", "event_type", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    )
+    daytot = grid.groupBy("d").agg(F.sum("n").alias("dtot"))
+    j = (
+        grid.join(daytot, "d")
+        .join(
+            F.broadcast(ref),
+            F.col("event_type") == F.col("ref_et"),
+            "left",
+        )
+        .crossJoin(F.broadcast(reftot))
+        .crossJoin(F.broadcast(tcount))
+    )
+    p = (F.col("n") + 1).cast("double") / (F.col("dtot") + F.col("t"))
+    qq = (F.coalesce(F.col("rn"), F.lit(0)) + 1).cast("double") / (
+        F.col("rtot") + F.col("t")
+    )
+    contrib = j.select(
+        "d",
+        "dtot",
+        F.round((p - qq) * F.round(F.log(p / qq), 4), 8).alias("c"),
+    )
+    psi = F.sum(F.col("c").cast("decimal(18,8)")).cast("double")
+    return contrib.groupBy("d", "dtot").agg(
+        F.round(psi, 6).alias("psi"),
+        (F.round(psi, 6) > PSI_DRIFT_THR).alias("drift_flag"),
+    ).select(
+        F.date_format("d", "yyyy-MM-dd").alias("score_day"),
+        F.col("dtot").alias("n_events"),
+        "psi",
+        "drift_flag",
+    )
