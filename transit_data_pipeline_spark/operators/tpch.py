@@ -159,8 +159,8 @@ JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 WHERE r.r_name = 'ASIA'
-  AND o.o_orderdate >= TIMESTAMP '1994-01-01'
-  AND o.o_orderdate < TIMESTAMP '1995-01-01'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n.n_name
 ORDER BY revenue DESC, n.n_name
 """,
@@ -168,8 +168,8 @@ ORDER BY revenue DESC, n.n_name
 def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer", spread=True)
     o = table(spark, sf_dir, "orders", spread=True).filter(
-        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     li = table(spark, sf_dir, "lineitem", spread=True)
     s = table(spark, sf_dir, "supplier", spread=True)
@@ -214,16 +214,16 @@ SELECT
     AS revenue,
   COUNT(*) AS n_lines
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-  AND l_shipdate < TIMESTAMP '1995-01-01'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
 """,
 )
 def tpch_q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem", spread=True).filter(
-        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_discount") >= 0.05)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
@@ -255,8 +255,8 @@ FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
-WHERE o.o_orderdate >= TIMESTAMP '1993-10-01'
-  AND o.o_orderdate < TIMESTAMP '1994-01-01'
+WHERE o.o_orderdate >= TIMESTAMP '1995-10-01'
+  AND o.o_orderdate < TIMESTAMP '1996-01-01'
   AND l.l_returnflag = 'R'
 GROUP BY c.c_custkey, c.c_name, n.n_name
 ORDER BY revenue DESC, c.c_custkey
@@ -266,8 +266,8 @@ LIMIT 20
 def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer", spread=True)
     o = table(spark, sf_dir, "orders", spread=True).filter(
-        (F.col("o_orderdate") >= F.lit("1993-10-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1994-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
     )
     li = table(spark, sf_dir, "lineitem", spread=True).filter(
         F.col("l_returnflag") == "R"
@@ -319,7 +319,7 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation ns ON s.s_nationkey = ns.n_nationkey
 JOIN nation nc ON c.c_nationkey = nc.n_nationkey
-WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
   AND l.l_shipdate < TIMESTAMP '1997-01-01'
   AND ((ns.n_name = '{_Q7_NATION_A}' AND nc.n_name = '{_Q7_NATION_B}')
     OR (ns.n_name = '{_Q7_NATION_B}' AND nc.n_name = '{_Q7_NATION_A}'))
@@ -329,7 +329,7 @@ ORDER BY supp_nation, cust_nation, l_year
 )
 def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem", spread=True).filter(
-        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     o = table(spark, sf_dir, "orders", spread=True)
@@ -400,7 +400,7 @@ JOIN nation ns ON s.s_nationkey = ns.n_nationkey
 JOIN part p ON l.l_partkey = p.p_partkey
 WHERE r.r_name = 'ASIA'
   AND p.p_type = 'PROMO'
-  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
   AND o.o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY o_year
 ORDER BY o_year
@@ -409,7 +409,7 @@ ORDER BY o_year
 def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem", spread=True)
     o = table(spark, sf_dir, "orders", spread=True).filter(
-        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     c = table(spark, sf_dir, "customer", spread=True)
