@@ -319,7 +319,7 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation ns ON s.s_nationkey = ns.n_nationkey
 JOIN nation nc ON c.c_nationkey = nc.n_nationkey
-WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
   AND l.l_shipdate < TIMESTAMP '1997-01-01'
   AND ((ns.n_name = '{_Q7_NATION_A}' AND nc.n_name = '{_Q7_NATION_B}')
     OR (ns.n_name = '{_Q7_NATION_B}' AND nc.n_name = '{_Q7_NATION_A}'))
@@ -329,7 +329,7 @@ ORDER BY supp_nation, cust_nation, l_year
 )
 def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem", spread=True).filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     o = table(spark, sf_dir, "orders", spread=True)
@@ -400,7 +400,7 @@ JOIN nation ns ON s.s_nationkey = ns.n_nationkey
 JOIN part p ON l.l_partkey = p.p_partkey
 WHERE r.r_name = 'ASIA'
   AND p.p_type = 'PROMO'
-  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
   AND o.o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY o_year
 ORDER BY o_year
@@ -409,7 +409,7 @@ ORDER BY o_year
 def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem", spread=True)
     o = table(spark, sf_dir, "orders", spread=True).filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     c = table(spark, sf_dir, "customer", spread=True)
