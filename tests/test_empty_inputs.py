@@ -98,6 +98,11 @@ _OPS = [
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q14_promo_revenue",
+    "isotonic_calibration_pav",
+    "gini_token_concentration",
+    "spearman_rank_corr",
+    "corpus_merkle_manifest",
+    "forecast_backtest_suite",
 ]
 
 _TABLES = (

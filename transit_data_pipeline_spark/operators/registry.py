@@ -42,6 +42,7 @@ _MODULES = (
     "transit_data_pipeline_spark.operators.mlprep",
     "transit_data_pipeline_spark.operators.timeseries",
     "transit_data_pipeline_spark.operators.tpch",
+    "transit_data_pipeline_spark.operators.statsaudit",
 )
 
 

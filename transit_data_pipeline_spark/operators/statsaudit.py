@@ -1,0 +1,622 @@
+"""Statistics & audit wave: isotonic calibration (PAV), Gini source
+concentration, Spearman rank correlation, difference-in-differences,
+Merkle corpus manifests, and a seasonal-naive forecast backtest.
+
+These extend the experimentation/calibration families
+(`model_calibration_bins`, `quality_decile_calibration`,
+`ab_test_zscore`, `quantile_pinball_eval`) with the remaining pieces a
+training-data platform's measurement stack needs: a *monotone* fit for
+classifier calibration (PAV — the standard post-hoc calibrator),
+inequality audits of the token budget (which sources concentrate their
+mass in a few giant documents), a tie-aware rank correlation (robust to
+the heavy-tailed monetary columns), the canonical quasi-experimental
+estimator (DiD), tamper-evident data-versioning manifests (reproducible
+corpus snapshots), and forecast-accuracy scoring against the
+seasonal-naive baseline (MASE's denominator, per Hyndman & Koehler).
+
+Determinism strategy (the repo-wide oracle contract): every aggregate
+is either an exact integer/decimal sum or a SINGLE double operation on
+exact operands, written in the same order on both engines; ranks and
+bins carry explicit tiebreakers. No Python UDFs anywhere — every
+operator is pure column expressions inside codegen.
+
+Scale notes: the PAV minimax runs on the 20-row binned aggregate (the
+only full-data pass is the same NTILE window `quality_decile_
+calibration` already pays; its quadratic part is 20×20). Gini needs
+per-source ranks — one partitioned sort, no global shuffle. Spearman
+pays two global rank sorts (documented; at 100 TB switch to binned /
+approximate ranks). DiD and the forecast backtest are plain two-level
+aggregates. The Merkle manifest is two bounded hash-aggregation levels
+(256-leaf chunks, then per-source chunk chains) — at extreme corpus
+sizes add a third level; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import numeric as N
+from .events import SQL_EVENT_TIME
+from .registry import register
+from .textops import SQL_TOKENS, quality_score_col, tokens_col
+
+# ---------------------------------------------------------------------------
+# isotonic_calibration_pav
+# ---------------------------------------------------------------------------
+
+#: Number of score bins for the isotonic fit (quality-score ventiles).
+ISO_BINS = 20
+
+#: Shared DuckDB CTE chain: quality-scored docs → ventile bins with
+#: exact (n, sum-of-keep) per bin (keep = the corpus filter's rule).
+_SQL_ISO_BINNED = f"""
+tok AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+feat AS (
+  SELECT doc_id,
+    len(w) AS n_tokens,
+    CAST(len(list_filter(w, t -> t IN
+      ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
+      / len(w) AS stopword_ratio,
+    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS type_token_ratio
+  FROM tok
+),
+scored AS (
+  SELECT doc_id,
+    LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.4
+      + LEAST(1.0, stopword_ratio * 4.0) * 0.2
+      + type_token_ratio * 0.4 AS q,
+    CASE WHEN n_tokens >= 10 AND stopword_ratio > 0.0 THEN 1 ELSE 0 END
+      AS keep
+  FROM feat
+),
+binned AS (
+  SELECT bin, COUNT(*) AS n, CAST(SUM(keep) AS BIGINT) AS s,
+         MIN(q) AS min_score, MAX(q) AS max_score
+  FROM (SELECT q, keep,
+               NTILE({ISO_BINS}) OVER (ORDER BY q, doc_id) AS bin
+        FROM scored)
+  GROUP BY bin
+),
+cum AS (
+  SELECT bin, n, s, min_score, max_score,
+    SUM(n) OVER (ORDER BY bin) AS cn,
+    SUM(s) OVER (ORDER BY bin) AS cs
+  FROM binned
+)
+"""
+
+
+@register(
+    "isotonic_calibration_pav",
+    ops=("W8", "A5", "J10", "A9"),
+    doc="Isotonic-regression calibration (pool-adjacent-violators) of "
+    "the shared quality-filter rule against the quality score: docs "
+    "are ventiled by THE quality formula (same NTILE recipe as "
+    "quality_decile_calibration), and the per-bin keep rate is "
+    "replaced by the best monotone non-decreasing fit via the PAV "
+    "minimax identity iso(i) = max_{j<=i} min_{k>=i} wavg(y, bins "
+    "j..k) (Barlow et al. 1972; the closed form every PAV pooling "
+    "produces). The minimax runs entirely on the 20-row bin "
+    "aggregate — prefix sums via one window, the (j,k) grid is a "
+    "broadcast self-join of 20 rows, so the quadratic part is 210 "
+    "cells regardless of corpus size; the only full-data pass is "
+    "the binning window. Weighted averages are single double "
+    "divisions of exact integer sums — bitwise deterministic. The "
+    "standard post-hoc calibrator for quality-classifier scores "
+    "before threshold selection at 100 TB.",
+    oracle=f"""
+WITH {_SQL_ISO_BINNED},
+pairs AS (
+  SELECT j.bin AS j, k.bin AS k,
+    CAST(k.cs - (j.cs - j.s) AS DOUBLE) / (k.cn - (j.cn - j.n)) AS avg_jk
+  FROM cum j JOIN cum k ON j.bin <= k.bin
+),
+iso AS (
+  SELECT bin, MAX(min_avg) AS iso_rate
+  FROM (
+    SELECT i.bin, p.j, MIN(p.avg_jk) AS min_avg
+    FROM cum i JOIN pairs p ON p.j <= i.bin AND p.k >= i.bin
+    GROUP BY i.bin, p.j
+  )
+  GROUP BY bin
+)
+SELECT c.bin, CAST(c.n AS BIGINT) AS n_docs, c.min_score, c.max_score,
+  CAST(c.s AS DOUBLE) / c.n AS observed_rate,
+  iso.iso_rate
+FROM cum c JOIN iso ON c.bin = iso.bin
+""",
+)
+def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    w = tokens_col()
+    stop = "'the', 'a', 'of', 'and', 'to', 'in', 'is'"
+    sr = (
+        F.size(
+            F.expr(f"filter(split(trim(text), '\\\\s+'), t -> t IN ({stop}))")
+        ).cast("double")
+        / F.size(w)
+    )
+    scored = d.select(
+        "doc_id",
+        quality_score_col().alias("q"),
+        F.when((F.size(w) >= 10) & (sr > 0.0), 1).otherwise(0).alias("keep"),
+    )
+    binned = (
+        scored.withColumn(
+            "bin", F.ntile(ISO_BINS).over(Window.orderBy("q", "doc_id"))
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("keep").cast("long").alias("s"),
+            F.min("q").alias("min_score"),
+            F.max("q").alias("max_score"),
+        )
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = binned.select(
+        "bin", "n", "s", "min_score", "max_score",
+        F.sum("n").over(wc).alias("cn"),
+        F.sum("s").over(wc).alias("cs"),
+    )
+    # All frames below are <= ISO_BINS rows; broadcast every join so the
+    # minimax grid never shuffles.
+    j = cum.select(
+        F.col("bin").alias("j"),
+        (F.col("cs") - F.col("s")).alias("ps"),
+        (F.col("cn") - F.col("n")).alias("pn"),
+    )
+    k = cum.select(
+        F.col("bin").alias("k"), F.col("cs").alias("kcs"), F.col("cn").alias("kcn")
+    )
+    pairs = j.join(F.broadcast(k), F.col("j") <= F.col("k")).select(
+        "j", "k",
+        (
+            (F.col("kcs") - F.col("ps")).cast("double")
+            / (F.col("kcn") - F.col("pn"))
+        ).alias("avg_jk"),
+    )
+    bins_i = cum.select(F.col("bin").alias("i"))
+    inner = (
+        bins_i.join(
+            F.broadcast(pairs),
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("avg_jk").alias("min_avg"))
+    )
+    iso = inner.groupBy("i").agg(F.max("min_avg").alias("iso_rate"))
+    return (
+        cum.join(F.broadcast(iso), cum["bin"] == iso["i"])
+        .select(
+            "bin",
+            F.col("n").cast("bigint").alias("n_docs"),
+            "min_score",
+            "max_score",
+            (F.col("s").cast("double") / F.col("n")).alias("observed_rate"),
+            "iso_rate",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# gini_token_concentration
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gini_token_concentration",
+    ops=("W4", "A3", "A9"),
+    doc="Token-budget inequality audit per source: Gini coefficient of "
+    "the per-document token counts via the rank identity "
+    "G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) on ascending ranks "
+    "(doc_id tiebreak), plus the Lorenz tail shares (bottom-half and "
+    "top-decile token share). Every Σ is exact integer arithmetic; "
+    "each output is ONE double division — bitwise deterministic. A "
+    "source with gini→1 packs its mass into a few giant documents "
+    "(dedup/chunking treats it differently than a flat source). One "
+    "per-source sort (partitioned window), no global shuffle; at "
+    "100 TB the ranks can come from per-source histogram bins "
+    "instead of exact sorts with bounded Gini error.",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, CAST(len({SQL_TOKENS}) AS BIGINT) AS x
+  FROM documents
+),
+ranked AS (
+  SELECT source, x,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY x, doc_id) AS i,
+    COUNT(*) OVER (PARTITION BY source) AS n
+  FROM tok
+)
+SELECT source,
+  CAST(MAX(n) AS BIGINT) AS n_docs,
+  CAST(SUM(x) AS BIGINT) AS total_tokens,
+  CAST(2 * SUM(i * x) - (MAX(n) + 1) * SUM(x) AS DOUBLE)
+    / CAST(MAX(n) * SUM(x) AS DOUBLE) AS gini,
+  CAST(SUM(CASE WHEN i <= n // 2 THEN x ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(x) AS DOUBLE) AS bottom_half_share,
+  CAST(SUM(CASE WHEN i > n - n // 10 THEN x ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(x) AS DOUBLE) AS top_decile_share
+FROM ranked
+GROUP BY source
+""",
+)
+def gini_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    tok = d.select(
+        "doc_id", "source", F.size(tokens_col()).cast("long").alias("x")
+    )
+    w = Window.partitionBy("source").orderBy("x", "doc_id")
+    ranked = tok.select(
+        "source",
+        "x",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    # The Lorenz-share thresholds use the window-provided per-source n
+    # (constant within the group), so the conditional sums stay plain
+    # row-level CASE expressions — no nested aggregates.
+    n_half = F.floor(F.col("n") / 2)
+    n_top = F.col("n") - F.floor(F.col("n") / 10)
+    return ranked.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.sum("x").cast("bigint").alias("total_tokens"),
+        (
+            (2 * F.sum(F.col("i") * F.col("x")) - (F.max("n") + 1) * F.sum("x"))
+            .cast("double")
+            / (F.max("n") * F.sum("x")).cast("double")
+        ).alias("gini"),
+        (
+            F.sum(F.when(F.col("i") <= n_half, F.col("x")).otherwise(0))
+            .cast("double")
+            / F.sum("x").cast("double")
+        ).alias("bottom_half_share"),
+        (
+            F.sum(F.when(F.col("i") > n_top, F.col("x")).otherwise(0))
+            .cast("double")
+            / F.sum("x").cast("double")
+        ).alias("top_decile_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# spearman_rank_corr
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "spearman_rank_corr",
+    ops=("W4", "A3", "J1", "A9"),
+    doc="Tie-aware Spearman rank correlation between order value and "
+    "total line-item quantity (per-order): mid-ranks r = RANK() + "
+    "(ties−1)/2 (half-integers, exact in double and in DECIMAL(18,4)), "
+    "then Pearson on ranks via the repo's exact-decimal sufficient "
+    "statistics (functions/numeric.dcorr). Reported beside the plain "
+    "Pearson on raw values — a large gap flags the heavy right tail "
+    "monetary columns have. Two global rank sorts (documented; at "
+    "100 TB bin the values and rank the bins). The join is the "
+    "standard orders⨝lineitem FK aggregate.",
+    oracle=f"""
+WITH per_order AS (
+  SELECT o.o_orderkey, o.o_totalprice AS x,
+         CAST(SUM(l.l_quantity) AS DOUBLE) AS y
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT x, y,
+    RANK() OVER (ORDER BY x) + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0
+      AS rx,
+    RANK() OVER (ORDER BY y) + (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0
+      AS ry
+  FROM per_order
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+  {N.sql_dcorr('rx', 'ry')} AS spearman_rho,
+  {N.sql_dcorr('x', 'y')} AS pearson_r
+FROM ranked
+""",
+)
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    per_order = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("y"))
+        .select(F.col("o_totalprice").alias("x"), "y")
+    )
+    rx = (
+        F.rank().over(Window.orderBy("x"))
+        + (F.count(F.lit(1)).over(Window.partitionBy("x")) - 1) / 2.0
+    )
+    ry = (
+        F.rank().over(Window.orderBy("y"))
+        + (F.count(F.lit(1)).over(Window.partitionBy("y")) - 1) / 2.0
+    )
+    ranked = per_order.select("x", "y", rx.alias("rx"), ry.alias("ry"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        N.dcorr("rx", "ry").alias("spearman_rho"),
+        N.dcorr("x", "y").alias("pearson_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# did_estimator
+# ---------------------------------------------------------------------------
+
+#: Pre/post cutoff splitting the events fixture's single month.
+DID_CUTOFF = "2024-01-16"
+
+
+@register(
+    "did_estimator",
+    ops=("A5", "A7", "A9", "P5"),
+    doc="Difference-in-differences over the events stream: users split "
+    "into treated/control by the stateless md5 parity recipe (same "
+    "as ab_test_zscore — reproducible on any cluster layout), "
+    "periods split at a fixed calendar cutoff, outcome = mean "
+    "purchase value per cell. DiD = (T.post − T.pre) − (C.post − "
+    "C.pre) removes both the group level and the common time trend "
+    "— the canonical quasi-experimental estimator when the split "
+    "isn't randomized. Cell means are exact decimal sums / exact "
+    "counts; the estimate is three double subtractions in a fixed "
+    "order — bitwise deterministic. One hash aggregate over 4 "
+    "cells; scales trivially.",
+    oracle=f"""
+WITH cells AS (
+  SELECT
+    CASE WHEN (instr('0123456789abcdef',
+                substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+         THEN 1 ELSE 0 END AS treated,
+    CASE WHEN {SQL_EVENT_TIME} >= TIMESTAMP '{DID_CUTOFF}'
+         THEN 1 ELSE 0 END AS post,
+    value
+  FROM events WHERE event_type = 'purchase'
+),
+agg AS (
+  SELECT treated, post, COUNT(*) AS n, {N.sql_davg('value')} AS m
+  FROM cells GROUP BY 1, 2
+),
+wide AS (
+  SELECT
+    MAX(CASE WHEN treated = 1 AND post = 0 THEN n END) AS n_t_pre,
+    MAX(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n_t_post,
+    MAX(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n_c_pre,
+    MAX(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n_c_post,
+    MAX(CASE WHEN treated = 1 AND post = 0 THEN m END) AS m_t_pre,
+    MAX(CASE WHEN treated = 1 AND post = 1 THEN m END) AS m_t_post,
+    MAX(CASE WHEN treated = 0 AND post = 0 THEN m END) AS m_c_pre,
+    MAX(CASE WHEN treated = 0 AND post = 1 THEN m END) AS m_c_post
+  FROM agg
+)
+SELECT CAST(n_t_pre AS BIGINT) AS n_t_pre,
+  CAST(n_t_post AS BIGINT) AS n_t_post,
+  CAST(n_c_pre AS BIGINT) AS n_c_pre,
+  CAST(n_c_post AS BIGINT) AS n_c_post,
+  m_t_pre, m_t_post, m_c_pre, m_c_post,
+  (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did_estimate
+FROM wide
+""",
+)
+def did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    treated = (
+        F.when(
+            (
+                F.expr(
+                    "instr('0123456789abcdef',"
+                    " substring(md5(cast(user_id as string)), 1, 1)) - 1"
+                )
+                % 2
+            )
+            == 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("treated")
+    )
+    post = (
+        F.when(F.col("event_time") >= F.lit(DID_CUTOFF).cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("post")
+    )
+    agg = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(treated, post, "value")
+        .groupBy("treated", "post")
+        .agg(F.count(F.lit(1)).alias("n"), N.davg("value").alias("m"))
+    )
+
+    def cell(t: int, p: int, col: str):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col(col))
+        )
+
+    wide = agg.agg(
+        cell(1, 0, "n").cast("bigint").alias("n_t_pre"),
+        cell(1, 1, "n").cast("bigint").alias("n_t_post"),
+        cell(0, 0, "n").cast("bigint").alias("n_c_pre"),
+        cell(0, 1, "n").cast("bigint").alias("n_c_post"),
+        cell(1, 0, "m").alias("m_t_pre"),
+        cell(1, 1, "m").alias("m_t_post"),
+        cell(0, 0, "m").alias("m_c_pre"),
+        cell(0, 1, "m").alias("m_c_post"),
+    )
+    return wide.withColumn(
+        "did_estimate",
+        (F.col("m_t_post") - F.col("m_t_pre"))
+        - (F.col("m_c_post") - F.col("m_c_pre")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_merkle_manifest
+# ---------------------------------------------------------------------------
+
+#: Leaves per Merkle chunk (bounds every collect_list to 256 hex hashes
+#: = 8 KiB — executor-safe regardless of corpus size).
+MERKLE_CHUNK = 256
+
+
+@register(
+    "corpus_merkle_manifest",
+    ops=("W4", "A1", "F10"),
+    doc="Tamper-evident corpus manifest (data versioning for "
+    "reproducible training runs): per source, leaf = md5(text), "
+    "leaves ordered by (leaf, doc_id) and grouped into 256-leaf "
+    "chunks (row_number window), chunk hash = md5(concat of its "
+    "leaves in order), root = md5(concat of chunk hashes in chunk "
+    "order). Two bounded aggregation levels — every collect_list is "
+    "≤ 256 fixed-width strings, so no executor ever materializes a "
+    "source's full corpus (add a third level at extreme scale). Any "
+    "single-document change flips the root; two snapshots with equal "
+    "roots are bit-identical per source. Content-ordered (not "
+    "id-ordered) so the manifest is invariant to ingest order — the "
+    "property a distributed rebuild needs.",
+    oracle=f"""
+WITH leaves AS (
+  SELECT source, md5(text) AS leaf, doc_id,
+    (ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id)
+      - 1) // {MERKLE_CHUNK} AS chunk
+  FROM documents
+),
+chunks AS (
+  SELECT source, chunk,
+    md5(string_agg(leaf, '' ORDER BY leaf, doc_id)) AS chunk_hash,
+    COUNT(*) AS n_leaves
+  FROM leaves GROUP BY source, chunk
+)
+SELECT source,
+  CAST(SUM(n_leaves) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+  md5(string_agg(chunk_hash, '' ORDER BY chunk)) AS root_hash
+FROM chunks GROUP BY source
+""",
+)
+def corpus_merkle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    w = Window.partitionBy("source").orderBy("leaf", "doc_id")
+    leaves = d.select(
+        "source", F.md5("text").alias("leaf"), "doc_id"
+    ).withColumn(
+        "chunk",
+        ((F.row_number().over(w) - 1) / MERKLE_CHUNK).cast("long"),
+    )
+    chunk_concat = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("leaf", "doc_id"))),
+            lambda s: s["leaf"],
+        ),
+        "",
+    )
+    chunks = leaves.groupBy("source", "chunk").agg(
+        F.md5(chunk_concat).alias("chunk_hash"),
+        F.count(F.lit(1)).alias("n_leaves"),
+    )
+    root_concat = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("chunk", "chunk_hash"))),
+            lambda s: s["chunk_hash"],
+        ),
+        "",
+    )
+    return chunks.groupBy("source").agg(
+        F.sum("n_leaves").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.md5(root_concat).alias("root_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# forecast_backtest_suite
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "forecast_backtest_suite",
+    ops=("W1", "A3", "A9", "F5"),
+    doc="Forecast-accuracy backtest of the seasonal-naive model "
+    "(ŷ_d = y_{d−7}) on daily 1996 order counts, per order priority: "
+    "MAE, RMSE, WAPE, and MASE (MAE relative to the one-step naive "
+    "ŷ_d = y_{d−1} — Hyndman & Koehler 2006's scale-free yardstick; "
+    "MASE < 1 beats the naive walk). All error sums are exact "
+    "integers (counts of orders); each reported metric is a single "
+    "double division/sqrt — bitwise deterministic. The lag features "
+    "come from one partitioned window over the ~365-row daily "
+    "aggregate, so the backtest costs one groupBy of the fact table "
+    "no matter the scale. sMAPE is deliberately omitted: its per-row "
+    "double ratios would need an ordered fold to stay deterministic.",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+         COUNT(*) AS y
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+),
+lagged AS (
+  SELECT o_orderpriority, d, y,
+    LAG(y, 7) OVER (PARTITION BY o_orderpriority ORDER BY d) AS f,
+    LAG(y, 1) OVER (PARTITION BY o_orderpriority ORDER BY d) AS f1
+  FROM daily
+)
+SELECT o_orderpriority,
+  CAST(COUNT(f) AS BIGINT) AS n_days,
+  CAST(SUM(ABS(y - f)) AS DOUBLE) / COUNT(f) AS mae,
+  SQRT(CAST(SUM((y - f) * (y - f)) AS DOUBLE) / COUNT(f)) AS rmse,
+  CAST(SUM(ABS(y - f)) AS DOUBLE)
+    / CAST(SUM(CASE WHEN f IS NOT NULL THEN y END) AS DOUBLE) AS wape,
+  (CAST(SUM(ABS(y - f)) AS DOUBLE) / COUNT(f))
+    / (CAST(SUM(CASE WHEN f IS NOT NULL THEN ABS(y - f1) END) AS DOUBLE)
+       / COUNT(f)) AS mase
+FROM lagged
+GROUP BY o_orderpriority
+""",
+)
+def forecast_backtest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("o_orderpriority", F.to_date("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("d")
+    lagged = daily.select(
+        "o_orderpriority",
+        "y",
+        F.lag("y", 7).over(w).alias("f"),
+        F.lag("y", 1).over(w).alias("f1"),
+    )
+    err = F.abs(F.col("y") - F.col("f"))
+    n = F.count("f")
+    sum_err = F.sum(err)
+    mase_den = F.sum(
+        F.when(F.col("f").isNotNull(), F.abs(F.col("y") - F.col("f1")))
+    )
+    return lagged.groupBy("o_orderpriority").agg(
+        n.cast("bigint").alias("n_days"),
+        (sum_err.cast("double") / n).alias("mae"),
+        F.sqrt(
+            F.sum((F.col("y") - F.col("f")) * (F.col("y") - F.col("f"))).cast(
+                "double"
+            )
+            / n
+        ).alias("rmse"),
+        (
+            sum_err.cast("double")
+            / F.sum(F.when(F.col("f").isNotNull(), F.col("y"))).cast("double")
+        ).alias("wape"),
+        (
+            (sum_err.cast("double") / n)
+            / (mase_den.cast("double") / n)
+        ).alias("mase"),
+    )
