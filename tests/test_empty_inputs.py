@@ -103,6 +103,11 @@ _OPS = [
     "spearman_rank_corr",
     "corpus_merkle_manifest",
     "forecast_backtest_suite",
+    "hits_trade_graph",
+    "t_closeness_audit",
+    "retrieval_ndcg_eval",
+    "sketch_kmv_intersection",
+    "zone_map_skipping_eval",
 ]
 
 _TABLES = (

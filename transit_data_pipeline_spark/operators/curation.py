@@ -895,3 +895,119 @@ def erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         li_orphans,
     )
     return cust_row.unionByName(ord_row).unionByName(li_row)
+
+
+#: Ordered sensitive-attribute bins for the t-closeness audit:
+#: account-balance bands FLOOR((bal+1000)/1000) ∈ 0..10 on the
+#: fixture's [-999.99, 9999.99] range.
+_TC_BINS = 11
+
+
+@register(
+    "t_closeness_audit",
+    ops=("A5", "W11", "J10", "A9"),
+    doc="t-closeness release audit — the third leg of the privacy "
+    "trio (k_anonymity_audit, l_diversity_audit): each "
+    "quasi-identifier group (market segment) is scored by the Earth "
+    "Mover's Distance between its distribution over the ORDERED "
+    "sensitive attribute (11 account-balance bands) and the global "
+    "distribution; a group that is k-anonymous and l-diverse can "
+    "still sit far from the population (skewness attack) — EMD ≤ t "
+    "is the gate (Li, Ninghui et al., ICDE 2007). For ordered "
+    "categories with unit ground distance, EMD = Σ_k |Σ_{j≤k} "
+    "(p_j − q_j)| / (m−1); the inner difference is computed as the "
+    "exact integer n_gj·n − n_j·n_g over the common denominator "
+    "n_g·n, the cumulative sum and the |·| sum stay in int64, and "
+    "the ONLY double op is the final division — bitwise "
+    "deterministic. Zero cells enter via the dense segments×bins "
+    "grid (a missing bin still moves mass). One aggregate over the "
+    "group key + an 11-row window per group; scales as a plain "
+    "two-level rollup.",
+    oracle=f"""
+WITH binned AS (
+  SELECT c_mktsegment AS segment,
+    CAST(FLOOR((c_acctbal + 1000.0) / 1000.0) AS INTEGER) AS bin
+  FROM customer
+),
+cells AS (
+  SELECT segment, bin, COUNT(*) AS n_gj FROM binned GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.segment, t.bin, COALESCE(c.n_gj, 0) AS n_gj
+  FROM (SELECT DISTINCT segment FROM cells) s
+  CROSS JOIN range(0, {_TC_BINS}) t(bin)
+  LEFT JOIN cells c ON c.segment = s.segment AND c.bin = t.bin
+),
+tot AS (
+  SELECT g.segment, g.bin, g.n_gj,
+    SUM(g.n_gj) OVER (PARTITION BY g.segment) AS n_g,
+    SUM(g.n_gj) OVER (PARTITION BY g.bin) AS n_j,
+    SUM(g.n_gj) OVER () AS n
+  FROM grid g
+),
+cum AS (
+  SELECT segment, n_g, n,
+    SUM(n_gj * n - n_j * n_g)
+      OVER (PARTITION BY segment ORDER BY bin) AS cum_diff
+  FROM tot
+)
+SELECT segment,
+  CAST(MAX(n_g) AS BIGINT) AS n_group,
+  CAST(SUM(ABS(cum_diff)) AS BIGINT) AS emd_numer_int,
+  CAST(SUM(ABS(cum_diff)) AS DOUBLE)
+    / (CAST(MAX(n_g) AS DOUBLE) * MAX(n) * {_TC_BINS - 1}) AS emd_t,
+  CAST(SUM(ABS(cum_diff)) AS DOUBLE)
+    / (CAST(MAX(n_g) AS DOUBLE) * MAX(n) * {_TC_BINS - 1}) <= 0.2
+    AS meets_t_02
+FROM cum GROUP BY segment
+""",
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = table(spark, sf_dir, "customer")
+    binned = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.floor((F.col("c_acctbal") + 1000.0) / 1000.0)
+        .cast("int")
+        .alias("bin"),
+    )
+    cells = binned.groupBy("segment", "bin").agg(F.count(F.lit(1)).alias("n_gj"))
+    segs = cells.select("segment").distinct()
+    bins = spark.range(_TC_BINS).select(F.col("id").cast("int").alias("bin"))
+    grid = (
+        segs.crossJoin(F.broadcast(bins))
+        .join(cells, ["segment", "bin"], "left")
+        .select("segment", "bin", F.coalesce("n_gj", F.lit(0)).alias("n_gj"))
+    )
+    tot = grid.select(
+        "segment",
+        "bin",
+        "n_gj",
+        F.sum("n_gj").over(Window.partitionBy("segment")).alias("n_g"),
+        F.sum("n_gj").over(Window.partitionBy("bin")).alias("n_j"),
+        F.sum("n_gj").over(Window.partitionBy()).alias("n"),
+    )
+    cum = tot.select(
+        "segment",
+        "n_g",
+        "n",
+        F.sum(
+            F.col("n_gj") * F.col("n") - F.col("n_j") * F.col("n_g")
+        )
+        .over(
+            Window.partitionBy("segment")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cum_diff"),
+    )
+    emd = F.sum(F.abs(F.col("cum_diff"))).cast("double") / (
+        F.max("n_g").cast("double") * F.max("n") * F.lit(_TC_BINS - 1)
+    )
+    return cum.groupBy("segment").agg(
+        F.max("n_g").cast("bigint").alias("n_group"),
+        F.sum(F.abs(F.col("cum_diff"))).cast("bigint").alias("emd_numer_int"),
+        emd.alias("emd_t"),
+        (emd <= 0.2).alias("meets_t_02"),
+    )

@@ -1541,3 +1541,168 @@ def data_contract_validator(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+#: Integer HITS: hub/authority scores L1-normalized to 10^6 each
+#: iteration. The 10^6 scale (vs PageRank's 10^12) keeps the
+#: un-normalized update Σw·score and its ×SCALE renormalization inside
+#: int64 even on the ×8 corpus (Σw·max_score ≤ 6e12, ×1e6 ≤ 6e18); at
+#: larger edge weights move the multiply to DECIMAL(38,0).
+_HITS_SCALE = 1_000_000
+_HITS_ITERS = 4
+
+
+def _hits_oracle() -> str:
+    ctes = [
+        """edges AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+)""",
+        "nodes AS (SELECT n_nationkey AS node FROM nation)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"a0 AS (SELECT node, {_HITS_SCALE} // n AS a FROM nodes, nn)",
+    ]
+    for i in range(1, _HITS_ITERS + 1):
+        ctes.extend((
+            f"""hraw{i} AS (
+  SELECT nd.node,
+    CAST(COALESCE(SUM(e.w * a.a), 0) AS BIGINT) AS raw
+  FROM nodes nd
+  LEFT JOIN edges e ON nd.node = e.src
+  LEFT JOIN a{i - 1} a ON e.dst = a.node
+  GROUP BY nd.node
+)""",
+            f"ht{i} AS (SELECT SUM(raw) AS tot FROM hraw{i})",
+            f"""h{i} AS (
+  SELECT node,
+    CASE WHEN tot = 0 THEN 0 ELSE (raw * {_HITS_SCALE}) // tot END AS h
+  FROM hraw{i}, ht{i}
+)""",
+            f"""araw{i} AS (
+  SELECT nd.node,
+    CAST(COALESCE(SUM(e.w * h.h), 0) AS BIGINT) AS raw
+  FROM nodes nd
+  LEFT JOIN edges e ON nd.node = e.dst
+  LEFT JOIN h{i} h ON e.src = h.node
+  GROUP BY nd.node
+)""",
+            f"at{i} AS (SELECT SUM(raw) AS tot FROM araw{i})",
+            f"""a{i} AS (
+  SELECT node,
+    CASE WHEN tot = 0 THEN 0 ELSE (raw * {_HITS_SCALE}) // tot END AS a
+  FROM araw{i}, at{i}
+)""",
+        ))
+    last = _HITS_ITERS
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT h.node AS nationkey, n.n_name,
+  CAST(h.h AS BIGINT) AS hub_int,
+  CAST(a.a AS BIGINT) AS auth_int,
+  CAST(h.h AS DOUBLE) / {_HITS_SCALE} AS hub_share,
+  CAST(a.a AS DOUBLE) / {_HITS_SCALE} AS auth_share
+FROM h{last} h JOIN a{last} a ON h.node = a.node
+JOIN nation n ON h.node = n.n_nationkey
+"""
+    )
+
+
+@register(
+    "hits_trade_graph",
+    ops=("J4", "A11", "A3"),
+    doc="HITS hubs & authorities over the supplier-nation → "
+    "customer-nation trade graph (weighted by line count): hubs are "
+    "strong exporters (their mass flows to well-imported nations), "
+    "authorities strong importers — the complementary centrality to "
+    "nation_trade_pagerank, from Kleinberg's mutual-reinforcement "
+    "recursion. 4 alternating power iterations in EXACT integer "
+    "arithmetic, L1-normalized to a 10^6 scale each half-step — "
+    "float HITS is partition-order-dependent; integer division makes "
+    "every iteration bitwise-reproducible on any cluster. The heavy "
+    "work is the one-pass weighted-edge build (localCheckpoint'd so "
+    "the 8 iteration joins reuse the 25-row frame, same rationale as "
+    "pagerank); each iteration is one join + one aggregate keyed by "
+    "the opposite endpoint — the standard distributed HITS shape.",
+    oracle=_hits_oracle(),
+)
+def hits_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()  # 8 iteration joins reuse the tiny frame
+    )
+    nation = table(spark, sf_dir, "nation")
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    auth = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr(f"{_HITS_SCALE} div n").alias("score")
+    )
+
+    def half_step(scores: DataFrame, edge_key: str, score_key: str) -> DataFrame:
+        """One HITS half-step: sum w·score over edges joined on
+        ``score_key``, grouped by ``edge_key``, then L1-renormalize."""
+        raw = (
+            nodes.join(
+                F.broadcast(edges), nodes["node"] == edges[edge_key], "left"
+            )
+            .join(
+                F.broadcast(scores.withColumnRenamed("node", "peer")),
+                F.col(score_key) == F.col("peer"),
+                "left",
+            )
+            .groupBy("node")
+            .agg(
+                F.expr("cast(coalesce(sum(w * score), 0L) as bigint)").alias(
+                    "raw"
+                )
+            )
+        )
+        # The normalization references `raw` twice (values + total), so
+        # without truncation each half-step DOUBLES the logical plan —
+        # 2^8 copies after 4 iterations stalls analysis. The frame is
+        # |nations| rows; localCheckpoint keeps every half-step O(1).
+        raw = raw.localCheckpoint()
+        tot = raw.agg(F.sum("raw").alias("tot"))
+        return raw.crossJoin(F.broadcast(tot)).select(
+            "node",
+            F.when(F.col("tot") == 0, F.lit(0).cast("long"))
+            .otherwise(F.expr(f"(raw * {_HITS_SCALE}) div tot"))
+            .alias("score"),
+        )
+
+    hub = auth  # placeholder; assigned in the first half-step below
+    for _ in range(_HITS_ITERS):
+        hub = half_step(auth, "src", "dst")
+        auth = half_step(hub, "dst", "src")
+    return (
+        hub.withColumnRenamed("score", "h")
+        .join(auth.withColumnRenamed("score", "a"), "node")
+        .join(F.broadcast(nation), F.col("node") == nation["n_nationkey"])
+        .select(
+            F.col("node").alias("nationkey"),
+            "n_name",
+            F.col("h").cast("bigint").alias("hub_int"),
+            F.col("a").cast("bigint").alias("auth_int"),
+            (F.col("h").cast("double") / F.lit(float(_HITS_SCALE))).alias(
+                "hub_share"
+            ),
+            (F.col("a").cast("double") / F.lit(float(_HITS_SCALE))).alias(
+                "auth_share"
+            ),
+        )
+    )

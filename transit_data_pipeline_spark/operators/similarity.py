@@ -892,3 +892,174 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_vectors"),
         )
     )
+
+
+#: nDCG discount table 1/log2(rank+1) and its prefix sums (IDCG for r
+#: all-relevant top ranks), embedded as exact double literals so both
+#: engines parse identical values (no runtime log2 — libm log2 is not
+#: guaranteed correctly rounded, a cross-engine 1-ulp hazard).
+_NDCG_DISC = {
+    1: 1.0, 2: 0.6309297535714575, 3: 0.5, 4: 0.43067655807339306,
+    5: 0.38685280723454163, 6: 0.3562071871080222, 7: 0.3333333333333333,
+    8: 0.31546487678572877, 9: 0.3010299956639812, 10: 0.2890648263178879,
+}
+_NDCG_IDCG = {
+    1: 1.0, 2: 1.6309297535714575, 3: 2.1309297535714578,
+    4: 2.5616063116448506, 5: 2.9484591188793923, 6: 3.3046663059874146,
+    7: 3.637999639320748, 8: 3.953464516106477, 9: 4.254494511770458,
+    10: 4.543559338088346,
+}
+
+
+def _sql_case(expr: str, mapping: dict[int, float], default: str = "0.0") -> str:
+    # VARCHAR→DOUBLE round-trip: DuckDB parses bare decimal literals as
+    # DECIMAL and its decimal→double cast double-rounds (1-ulp hazard,
+    # see functions/numeric.sql_dstddev); strtod on the string is
+    # correctly rounded and matches the Python float Spark embeds.
+    arms = " ".join(
+        f"WHEN {k} THEN CAST('{v!r}' AS DOUBLE)" for k, v in mapping.items()
+    )
+    return f"(CASE {expr} {arms} ELSE CAST('{default}' AS DOUBLE) END)"
+
+
+@register(
+    "retrieval_ndcg_eval",
+    ops=("J10", "W4", "A3", "A9"),
+    doc="Retrieval ranking-quality evaluation (the metric suite a RAG "
+    "/ embedding-model pipeline gates on): for each of the 8 query "
+    "vectors, the corpus is ranked by rounded cosine (id tiebreak — "
+    "same reproducible ranking as similarity_bruteforce_topk) and "
+    "scored against label-match relevance with Precision@10, "
+    "Recall@10, MRR@10 and nDCG@10. The log2 discounts and ideal-DCG "
+    "prefix sums are embedded as exact double literals (runtime log2 "
+    "is a cross-engine 1-ulp hazard); DCG folds the ≤10 "
+    "rank-ordered contributions left-to-right, so every metric is "
+    "bitwise deterministic. Queries broadcast against the partitioned "
+    "corpus — the scoring join is the same O(Q×N) plan as the "
+    "brute-force baseline, and the metric aggregation touches only "
+    "Q×10 rows.",
+    oracle=f"""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, q.label AS q_label, c.vec_id AS neighbor_id,
+         CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS rel,
+         ROUND({V.sql_cosine("q.embedding", "c.embedding")}, 6) AS cos_sim
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+    FROM pairs
+  ) WHERE rnk <= {TOP_K}
+),
+rel_tot AS (
+  SELECT q.vec_id AS query_id, COUNT(*) - 1 AS n_relevant
+  FROM embeddings q JOIN embeddings c ON q.label = c.label
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY 1
+),
+scored AS (
+  SELECT query_id,
+    CAST(SUM(rel) AS BIGINT) AS n_hits,
+    CAST(SUM(rel) AS DOUBLE) / {TOP_K} AS prec_at_10,
+    CASE WHEN MIN(CASE WHEN rel = 1 THEN rnk END) IS NULL THEN 0.0
+         ELSE 1.0 / MIN(CASE WHEN rel = 1 THEN rnk END) END AS mrr_at_10,
+    list_reduce(
+      list(rel * {_sql_case("rnk", _NDCG_DISC)} ORDER BY rnk),
+      (acc, x) -> acc + x) AS dcg_at_10
+  FROM top GROUP BY query_id
+)
+SELECT s.query_id,
+  CAST(r.n_relevant AS BIGINT) AS n_relevant,
+  s.n_hits, s.prec_at_10,
+  CAST(s.n_hits AS DOUBLE) / r.n_relevant AS recall_at_10,
+  s.mrr_at_10, s.dcg_at_10,
+  {_sql_case("LEAST(r.n_relevant, 10)", _NDCG_IDCG)} AS idcg_at_10,
+  s.dcg_at_10 / {_sql_case("LEAST(r.n_relevant, 10)", _NDCG_IDCG)}
+    AS ndcg_at_10
+FROM scored s JOIN rel_tot r ON s.query_id = r.query_id
+WHERE r.n_relevant > 0
+""",
+)
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings", spread=True)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("ce"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.when(F.col("c_label") == F.col("q_label"), 1).otherwise(0).alias("rel"),
+            F.round(V.cosine(F.col("qe"), F.col("ce")), 6).alias("cos_sim"),
+        )
+    )
+    top = pairs.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOP_K
+    )
+    disc = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in _NDCG_DISC]),
+            F.array(*[F.lit(v) for v in _NDCG_DISC.values()]),
+        ),
+        F.col("rnk"),
+    )
+    contrib = (F.col("rel") * disc).alias("contrib")
+    dcg = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("rnk"), contrib))),
+            lambda s: s["contrib"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    first_rel = F.min(F.when(F.col("rel") == 1, F.col("rnk")))
+    scored = top.groupBy("query_id").agg(
+        F.sum("rel").cast("bigint").alias("n_hits"),
+        (F.sum("rel").cast("double") / TOP_K).alias("prec_at_10"),
+        F.when(first_rel.isNull(), 0.0).otherwise(1.0 / first_rel).alias("mrr_at_10"),
+        dcg.alias("dcg_at_10"),
+    )
+    rel_tot = (
+        F.broadcast(q)
+        .join(e.select(F.col("label").alias("c_label")), F.col("q_label") == F.col("c_label"))
+        .groupBy("query_id")
+        .agg((F.count(F.lit(1)) - 1).cast("bigint").alias("n_relevant"))
+    )
+    idcg = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in _NDCG_IDCG]),
+            F.array(*[F.lit(v) for v in _NDCG_IDCG.values()]),
+        ),
+        F.least(F.col("n_relevant"), F.lit(10)).cast("int"),
+    )
+    return (
+        scored.join(F.broadcast(rel_tot), "query_id")
+        .filter(F.col("n_relevant") > 0)
+        .select(
+            "query_id",
+            "n_relevant",
+            "n_hits",
+            "prec_at_10",
+            (F.col("n_hits").cast("double") / F.col("n_relevant")).alias(
+                "recall_at_10"
+            ),
+            "mrr_at_10",
+            "dcg_at_10",
+            idcg.alias("idcg_at_10"),
+            (F.col("dcg_at_10") / idcg).alias("ndcg_at_10"),
+        )
+    )

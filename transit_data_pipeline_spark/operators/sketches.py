@@ -805,3 +805,198 @@ def moments_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s1d") / F.col("n_all"), 4).alias("merged_mean"),
         F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 4).alias("merged_stddev"),
     )
+
+
+#: Sources compared by the KMV intersection estimator (pairs grid is
+#: |S|·(|S|−1)/2; five sources → 10 pairs keeps the demo output small —
+#: the plan is identical for any source count).
+_KI_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+_KI_K = 64
+
+
+
+#: Sources compared by the KMV intersection estimator. The pair grid is
+#: |S|·(|S|−1)/2 — five sources → 10 pairs keeps the demo output small;
+#: the plan shape is identical for any source count.
+_KI_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+_KI_SRC_SQL = ", ".join(f"'{s}'" for s in _KI_SOURCES)
+
+
+@register(
+    "sketch_kmv_intersection",
+    ops=("A2", "A9", "J10"),
+    doc="KMV set-intersection estimate between source vocabularies "
+    "(the overlap planner a data-mixing pipeline runs before "
+    "dedup): each source's distinct-token set is sketched with the "
+    "k=64 smallest keyed md5 hashes (same recipe as "
+    "sketch_kmv_distinct), the pair's union estimate comes from the "
+    "k smallest of the merged sketch, and the intersection is "
+    "inclusion–exclusion est_a + est_b − est_union, with the "
+    "derived Jaccard beside the EXACT intersection and Jaccard so "
+    "the sketch error is visible. Everything after the per-source "
+    "distinct is k-bounded sketch state — pairs never reship raw "
+    "vocabularies, the 100 TB overlap-matrix pattern (the exact "
+    "columns are the oracle's audit and stay linear: one "
+    "token-keyed equi-join). Deterministic hashing keeps the sketch "
+    "itself oracle-checkable.",
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT source, t
+  FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+        FROM documents WHERE source IN ({_KI_SRC_SQL}))
+),
+hashed AS (
+  SELECT DISTINCT source,
+    CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) / {_DENOM!r} AS u
+  FROM tok
+),
+kept AS (
+  SELECT source, u FROM (
+    SELECT source, u,
+      ROW_NUMBER() OVER (PARTITION BY source ORDER BY u) AS rn
+    FROM hashed
+  ) WHERE rn <= {_K}
+),
+est_src AS (
+  SELECT source, COUNT(*) AS n_kept, MAX(u) AS u_k,
+    CASE WHEN COUNT(*) < {_K} THEN CAST(COUNT(*) AS DOUBLE)
+         ELSE ({_K} - 1) / MAX(u) END AS est
+  FROM kept GROUP BY source
+),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM est_src a JOIN est_src b ON a.source < b.source
+),
+union_kept AS (
+  SELECT src_a, src_b, u FROM (
+    SELECT p.src_a, p.src_b, k.u,
+      ROW_NUMBER() OVER (PARTITION BY p.src_a, p.src_b ORDER BY k.u) AS rn
+    FROM pairs p
+    JOIN (SELECT DISTINCT src_a, src_b, u
+          FROM pairs p2 JOIN kept k2 ON k2.source IN (p2.src_a, p2.src_b)) k
+      ON k.src_a = p.src_a AND k.src_b = p.src_b
+  ) WHERE rn <= {_K}
+),
+est_union AS (
+  SELECT src_a, src_b,
+    CASE WHEN COUNT(*) < {_K} THEN CAST(COUNT(*) AS DOUBLE)
+         ELSE ({_K} - 1) / MAX(u) END AS est_u
+  FROM union_kept GROUP BY 1, 2
+),
+exact_src AS (SELECT source, COUNT(*) AS n_exact FROM tok GROUP BY source),
+exact_inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+  FROM tok a JOIN tok b ON a.t = b.t AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b,
+  CAST(xa.n_exact AS BIGINT) AS exact_a,
+  CAST(xb.n_exact AS BIGINT) AS exact_b,
+  CAST(COALESCE(xi.n_inter, 0) AS BIGINT) AS exact_inter,
+  CAST(COALESCE(xi.n_inter, 0) AS DOUBLE)
+    / (xa.n_exact + xb.n_exact - COALESCE(xi.n_inter, 0)) AS exact_jaccard,
+  ea.est AS est_a, eb.est AS est_b, eu.est_u AS est_union,
+  (ea.est + eb.est) - eu.est_u AS est_inter,
+  ((ea.est + eb.est) - eu.est_u) / eu.est_u AS est_jaccard
+FROM pairs p
+JOIN est_src ea ON p.src_a = ea.source
+JOIN est_src eb ON p.src_b = eb.source
+JOIN est_union eu ON p.src_a = eu.src_a AND p.src_b = eu.src_b
+JOIN exact_src xa ON p.src_a = xa.source
+JOIN exact_src xb ON p.src_b = xb.source
+LEFT JOIN exact_inter xi ON p.src_a = xi.src_a AND p.src_b = xi.src_b
+""",
+)
+def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("source").isin(*_KI_SOURCES)
+    )
+    tok = d.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    ).distinct()
+    u = (
+        F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(_DENOM)
+    )
+    hashed = tok.select("source", u.alias("u")).distinct()
+    kept = hashed.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("source").orderBy("u"))
+    ).filter(F.col("rn") <= _K)
+    est = F.when(F.col("n_kept") < _K, F.col("n_kept").cast("double")).otherwise(
+        (_K - 1) / F.col("u_k")
+    )
+    est_src = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("u").alias("u_k")
+    ).select("source", est.alias("est"))
+    pairs = (
+        est_src.select(F.col("source").alias("src_a"))
+        .join(
+            F.broadcast(est_src.select(F.col("source").alias("src_b"))),
+            F.col("src_a") < F.col("src_b"),
+        )
+    )
+    union_kept = (
+        F.broadcast(pairs)
+        .join(
+            kept,
+            kept["source"].isin(F.col("src_a"), F.col("src_b")),
+        )
+        .select("src_a", "src_b", "u")
+        .distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("src_a", "src_b").orderBy("u")
+            ),
+        )
+        .filter(F.col("rn") <= _K)
+    )
+    est_u = F.when(F.col("nk") < _K, F.col("nk").cast("double")).otherwise(
+        (_K - 1) / F.col("uk")
+    )
+    est_union = union_kept.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("nk"), F.max("u").alias("uk")
+    ).select("src_a", "src_b", est_u.alias("est_u"))
+    exact_src = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    ta = tok.select(F.col("source").alias("src_a"), "t")
+    tb = tok.select(F.col("source").alias("src_b"), "t")
+    exact_inter = (
+        ta.join(tb, "t")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ea = est_src.select(F.col("source").alias("src_a"), F.col("est").alias("est_a"))
+    eb = est_src.select(F.col("source").alias("src_b"), F.col("est").alias("est_b"))
+    xa = exact_src.select(F.col("source").alias("src_a"), F.col("n_exact").alias("na"))
+    xb = exact_src.select(F.col("source").alias("src_b"), F.col("n_exact").alias("nb"))
+    out = (
+        pairs.join(F.broadcast(ea), "src_a")
+        .join(F.broadcast(eb), "src_b")
+        .join(F.broadcast(est_union), ["src_a", "src_b"])
+        .join(F.broadcast(xa), "src_a")
+        .join(F.broadcast(xb), "src_b")
+        .join(F.broadcast(exact_inter), ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("na").cast("bigint").alias("exact_a"),
+            F.col("nb").cast("bigint").alias("exact_b"),
+            F.coalesce("n_inter", F.lit(0)).cast("bigint").alias("exact_inter"),
+            (
+                F.coalesce("n_inter", F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce("n_inter", F.lit(0)))
+            ).alias("exact_jaccard"),
+            "est_a",
+            "est_b",
+            F.col("est_u").alias("est_union"),
+            ((F.col("est_a") + F.col("est_b")) - F.col("est_u")).alias("est_inter"),
+            (
+                ((F.col("est_a") + F.col("est_b")) - F.col("est_u"))
+                / F.col("est_u")
+            ).alias("est_jaccard"),
+        )
+    )
+    return out

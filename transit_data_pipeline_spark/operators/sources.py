@@ -859,3 +859,149 @@ def late_arriving_dim_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("k2").isNull(), 1)).alias("n_unresolved"),
     )
     return stats_first.crossJoin(F.broadcast(stats_retry))
+
+
+#: Rows per simulated file chunk for the zone-map evaluator (a small
+#: row-group size so even sf0.001 produces a multi-chunk layout).
+_ZM_CHUNK = 4096
+
+#: Evaluated predicate: one month of ship dates.
+_ZM_LO, _ZM_HI = "1996-03-01", "1996-04-01"
+
+
+@register(
+    "zone_map_skipping_eval",
+    ops=("W4", "A3", "A9", "P3"),
+    doc="Zone-map (min/max data-skipping) effectiveness evaluator — "
+    "the quantified WHY behind zorder_key_layout and "
+    "partition_stats_manifest: lineitem is laid out in 4096-row "
+    "chunks under two orderings (CLUSTERED: sorted by the predicate "
+    "column l_shipdate; SCATTERED: sorted by a content hash, the "
+    "ingest-order stand-in), per-chunk min/max stats are computed, "
+    "and a one-month predicate is planned against each layout — "
+    "reporting chunks skipped, rows scanned, and the scan "
+    "amplification vs the true match count. The layout orderings "
+    "use total deterministic sort keys (ties share a ship date, so "
+    "chunk stats are order-invariant); counts are exact integers, "
+    "the two ratios are single double divisions. The two global "
+    "row_number sorts are the simulator's cost, not the plan "
+    "pattern's — a real table gets these stats free from parquet "
+    "footers; this operator is the offline judge of WHICH sort to "
+    "write.",
+    oracle=f"""
+WITH keyed AS (
+  SELECT l_shipdate,
+    md5(concat_ws('#', l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                  l_extendedprice)) AS h
+  FROM lineitem
+),
+layouts AS (
+  SELECT 'clustered' AS layout, l_shipdate,
+    (ROW_NUMBER() OVER (ORDER BY l_shipdate, h) - 1) // {_ZM_CHUNK} AS chunk
+  FROM keyed
+  UNION ALL
+  SELECT 'scattered' AS layout, l_shipdate,
+    (ROW_NUMBER() OVER (ORDER BY h, l_shipdate) - 1) // {_ZM_CHUNK} AS chunk
+  FROM keyed
+),
+stats AS (
+  SELECT layout, chunk, COUNT(*) AS n_rows,
+    MIN(l_shipdate) AS lo, MAX(l_shipdate) AS hi,
+    SUM(CASE WHEN l_shipdate >= TIMESTAMP '{_ZM_LO}'
+              AND l_shipdate < TIMESTAMP '{_ZM_HI}' THEN 1 ELSE 0 END)
+      AS n_match
+  FROM layouts GROUP BY 1, 2
+)
+SELECT layout,
+  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+  CAST(SUM(CASE WHEN hi < TIMESTAMP '{_ZM_LO}'
+                  OR lo >= TIMESTAMP '{_ZM_HI}' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_skipped,
+  CAST(SUM(CASE WHEN hi < TIMESTAMP '{_ZM_LO}'
+                  OR lo >= TIMESTAMP '{_ZM_HI}' THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*) AS skip_rate,
+  CAST(SUM(CASE WHEN hi < TIMESTAMP '{_ZM_LO}'
+                  OR lo >= TIMESTAMP '{_ZM_HI}' THEN 0 ELSE n_rows END)
+       AS BIGINT) AS rows_scanned,
+  CAST(SUM(n_match) AS BIGINT) AS rows_matching,
+  CAST(SUM(CASE WHEN hi < TIMESTAMP '{_ZM_LO}'
+                  OR lo >= TIMESTAMP '{_ZM_HI}' THEN 0 ELSE n_rows END)
+       AS DOUBLE) / SUM(n_match) AS scan_amplification
+FROM stats GROUP BY layout
+""",
+)
+def zone_map_skipping_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        "l_shipdate",
+        F.md5(
+            F.concat_ws(
+                "#",
+                "l_orderkey",
+                "l_linenumber",
+                "l_partkey",
+                "l_suppkey",
+                "l_extendedprice",
+            )
+        ).alias("h"),
+    )
+
+    def layout(name: str, *order) -> DataFrame:
+        # Distributed two-phase global rank (never a single-partition
+        # window): range-partition on the sort key, rank locally, then
+        # add the exclusive prefix count of earlier partitions (a
+        # 64-row broadcast). Ties share a ship date, so rank ties being
+        # partition-boundary-dependent cannot change any chunk's
+        # min/max/match stats — the oracle's serial ROW_NUMBER agrees.
+        part = keyed.repartitionByRange(64, *order).withColumn(
+            "pid", F.spark_partition_id()
+        )
+        local = part.withColumn(
+            "lrn",
+            F.row_number().over(Window.partitionBy("pid").orderBy(*order)),
+        )
+        counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+        woff = Window.orderBy("pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offs = counts.select(
+            "pid",
+            F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off"),
+        )
+        return local.join(F.broadcast(offs), "pid").select(
+            F.lit(name).alias("layout"),
+            "l_shipdate",
+            ((F.col("lrn") + F.col("off") - 1) / _ZM_CHUNK)
+            .cast("long")
+            .alias("chunk"),
+        )
+
+    layouts = layout("clustered", "l_shipdate", "h").unionByName(
+        layout("scattered", "h", "l_shipdate")
+    )
+    lo = F.lit(_ZM_LO).cast("timestamp")
+    hi = F.lit(_ZM_HI).cast("timestamp")
+    in_pred = (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    stats = layouts.groupBy("layout", "chunk").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_shipdate").alias("clo"),
+        F.max("l_shipdate").alias("chi"),
+        F.sum(F.when(in_pred, 1).otherwise(0)).alias("n_match"),
+    )
+    skipped = (F.col("chi") < lo) | (F.col("clo") >= hi)
+    return stats.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(F.when(skipped, 1).otherwise(0)).cast("bigint").alias("n_skipped"),
+        (
+            F.sum(F.when(skipped, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("skip_rate"),
+        F.sum(F.when(skipped, 0).otherwise(F.col("n_rows")))
+        .cast("bigint")
+        .alias("rows_scanned"),
+        F.sum("n_match").cast("bigint").alias("rows_matching"),
+        (
+            F.sum(F.when(skipped, 0).otherwise(F.col("n_rows"))).cast("double")
+            / F.sum("n_match")
+        ).alias("scan_amplification"),
+    )
