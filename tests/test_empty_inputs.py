@@ -108,6 +108,10 @@ _OPS = [
     "retrieval_ndcg_eval",
     "sketch_kmv_intersection",
     "zone_map_skipping_eval",
+    "ivm_join_view_delta",
+    "vocab_coverage_curve",
+    "text_winnowing_fingerprints",
+    "embedding_matryoshka_recall",
 ]
 
 _TABLES = (

@@ -1329,3 +1329,75 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - (cyy - cxy * (cxy / cxx)) / cyy, 6
         ).alias("var_reduction"),
     )
+
+
+@register(
+    "point_in_time_features",
+    ops=("J7", "W1", "W13", "A3"),
+    doc="Point-in-time-correct training-set builder (the feature-store "
+    "join that prevents label leakage): for every purchase event "
+    "(the label row), features are computed from the user's history "
+    "STRICTLY BEFORE the label timestamp — cumulative click count, "
+    "last observed event value, and seconds since the user's first "
+    "event — via one user-partitioned window pass with an exclusive "
+    "frame (ROWS … 1 PRECEDING) and the deterministic (ts, event_id) "
+    "order. A plain equi-join of 'latest features' would leak the "
+    "future; this is the leakage-free as-of composition "
+    "(generalizing asof_join_prior_purchase) and costs exactly one "
+    "shuffle keyed by user_id at any event volume. Durations in "
+    "exact integer nanoseconds.",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value, epoch_ns(ts) AS tns
+  FROM events
+),
+feat AS (
+  SELECT event_id, user_id, event_type, value, tns,
+    COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w, 0)
+      AS f_clicks_before,
+    LAST_VALUE(value IGNORE NULLS) OVER w AS f_last_value_before,
+    MIN(tns) OVER w AS first_tns
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id,
+  tns // 1000 AS label_ts_us,
+  value AS label_value,
+  CAST(f_clicks_before AS BIGINT) AS f_clicks_before,
+  f_last_value_before,
+  (tns - first_tns) // 1000000000 AS f_sec_since_first
+FROM feat WHERE event_type = 'purchase'
+""",
+)
+def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    feat = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "ts",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).over(w),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("f_clicks_before"),
+        F.last("value", ignorenulls=True).over(w).alias("f_last_value_before"),
+        F.min("ts").over(w).alias("first_tns"),
+    )
+    return feat.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000").alias("label_ts_us"),
+        F.col("value").alias("label_value"),
+        "f_clicks_before",
+        "f_last_value_before",
+        F.expr("(ts - first_tns) div 1000000000").alias("f_sec_since_first"),
+    )

@@ -1706,3 +1706,74 @@ def hits_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: Snapshot cutoff for the incremental-view-maintenance demo: orders
+#: before the cutoff are the materialized base; the rest arrive as the
+#: delta batch.
+_IVM_CUTOFF = "1999-01-01"
+
+
+@register(
+    "ivm_join_view_delta",
+    ops=("S10", "J1", "A3", "U1"),
+    doc="Incremental maintenance of a JOIN view (the delta-propagation "
+    "step mv_incremental_refresh's aggregate-only path doesn't "
+    "cover): the materialized base aggregates orders⋈customer per "
+    "nation for orders before the cutoff; the delta batch (orders "
+    "arriving after) is joined ALONE against the dimension "
+    "(Δorders⋈customer — the algebraic delta rule for a key-FK "
+    "join) and merged into the base by a full-outer coalescing "
+    "union-aggregate. The driver's hash gate proves maintained ≡ "
+    "recomputed: the oracle computes the view from scratch over the "
+    "full table, so any divergence between delta propagation and "
+    "recompute fails the row hash. Sums are decimal-exact; the "
+    "delta pass scans ONLY the new partition — the 100 TB refresh "
+    "never touches settled history.",
+    oracle=f"""
+SELECT c.c_nationkey AS nation, n.n_name,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  {N.sql_dsum('o.o_totalprice')} AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2
+""",
+)
+def ivm_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit(_IVM_CUTOFF).cast("timestamp")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nation"), "n_name"
+    )
+
+    def view_agg(orders: DataFrame) -> DataFrame:
+        return (
+            orders.join(F.broadcast(c), orders["o_custkey"] == c["c_custkey"])
+            .groupBy(F.col("c_nationkey").alias("nation"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast(N.DEC)).alias("rev_dec"),
+            )
+        )
+
+    base = view_agg(o.filter(F.col("o_orderdate") < cutoff))
+    delta = view_agg(o.filter(F.col("o_orderdate") >= cutoff))
+    # Merge step: the base and the delta aggregate are unioned and
+    # re-aggregated — the standard mergeable-partial IVM apply; decimal
+    # partial sums merge exactly, so maintained == recomputed bitwise.
+    maintained = (
+        base.unionByName(delta)
+        .groupBy("nation")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("rev_dec").alias("rev_dec"),
+        )
+    )
+    return maintained.join(F.broadcast(nation), "nation").select(
+        "nation",
+        "n_name",
+        "n_orders",
+        F.col("rev_dec").cast("double").alias("revenue"),
+    )

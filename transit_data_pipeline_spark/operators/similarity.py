@@ -1063,3 +1063,100 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dcg_at_10") / idcg).alias("ndcg_at_10"),
         )
     )
+
+
+#: Matryoshka prefix length (dims kept when truncating the embedding).
+_MRL_DIMS = 16
+
+
+@register(
+    "embedding_matryoshka_recall",
+    ops=("J10", "W4", "A9"),
+    doc="Matryoshka-truncation retrieval audit (Kusupati et al. 2022): "
+    "rank the corpus per query by cosine over only the FIRST 16 of "
+    "64 dimensions (the MRL deployment trick — a 4× cheaper index) "
+    "and measure recall@5 and top-1 agreement against the full-"
+    "dimension exact top-5. The decision number for whether a "
+    "truncated index is good enough before building the 4×-larger "
+    "one. Both rankings use the reproducible rounded-cosine + id "
+    "tiebreak; the overlap join compares two Q×5 sets, so the audit "
+    "adds nothing to the O(Q×N) scoring cost (same broadcast-query "
+    "plan as similarity_bruteforce_topk, evaluated at two widths).",
+    oracle=f"""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    ROUND({V.sql_cosine("q.embedding", "c.embedding")}, 6) AS cos_full,
+    ROUND({V.sql_cosine(f"q.embedding[1:{_MRL_DIMS}]", f"c.embedding[1:{_MRL_DIMS}]")}, 6)
+      AS cos_pre
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_full DESC, neighbor_id) AS r_full,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_pre DESC, neighbor_id) AS r_pre
+  FROM pairs
+),
+full_top AS (SELECT query_id, neighbor_id, r_full FROM ranked WHERE r_full <= 5),
+pre_top AS (SELECT query_id, neighbor_id, r_pre FROM ranked WHERE r_pre <= 5)
+SELECT f.query_id,
+  CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_overlap,
+  CAST(COUNT(p.neighbor_id) AS DOUBLE) / 5 AS recall_at_5,
+  BOOL_OR(f.r_full = 1 AND p.r_pre = 1) AS top1_match
+FROM full_top f
+LEFT JOIN pre_top p
+  ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
+GROUP BY f.query_id
+""",
+)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings", spread=True)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    pre = lambda col: F.slice(col, 1, _MRL_DIMS)  # noqa: E731
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.cosine(F.col("qe"), F.col("ce")), 6).alias("cos_full"),
+            F.round(V.cosine(pre(F.col("qe")), pre(F.col("ce"))), 6).alias(
+                "cos_pre"
+            ),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), F.col("neighbor_id")
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cos_pre").desc(), F.col("neighbor_id")
+    )
+    ranked = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(wf).alias("r_full"),
+        F.row_number().over(wp).alias("r_pre"),
+    )
+    full_top = ranked.filter(F.col("r_full") <= 5).select(
+        "query_id", "neighbor_id", "r_full"
+    )
+    pre_top = ranked.filter(F.col("r_pre") <= 5).select(
+        F.col("query_id").alias("pq"), F.col("neighbor_id").alias("pn"), "r_pre"
+    )
+    joined = full_top.join(
+        pre_top,
+        (F.col("query_id") == F.col("pq")) & (F.col("neighbor_id") == F.col("pn")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("pn").cast("bigint").alias("n_overlap"),
+        (F.count("pn").cast("double") / 5).alias("recall_at_5"),
+        F.max((F.col("r_full") == 1) & (F.col("r_pre") == 1)).alias("top1_match"),
+    )

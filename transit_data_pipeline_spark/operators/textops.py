@@ -1711,3 +1711,192 @@ def pii_scrub_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("pii_class").isin(0, 2), 1.0).otherwise(0.0)
         ).alias("expected_rate"),
     )
+
+
+#: Coverage thresholds (basis points) for the vocab sizing curve.
+_VC_THRESHOLDS = (5000, 9000, 9500, 9900)
+
+
+@register(
+    "vocab_coverage_curve",
+    ops=("W11", "W4", "A3", "O1"),
+    doc="Tokenizer vocab-budget planner: the corpus vocabulary is "
+    "ranked by frequency (token tiebreak) and, for each coverage "
+    "target (50/90/95/99% of token mass), reports the SMALLEST "
+    "vocabulary size reaching it plus the mass actually covered "
+    "there — the curve that decides how many merges/entries a "
+    "tokenizer needs before OOV fallback is rare (the complement of "
+    "vocab_oov_rate's fixed-vocab audit). Threshold tests compare "
+    "exact integers (cum·10000 ≥ bp·total — no float shares until "
+    "the output column), so the curve is bitwise deterministic. The "
+    "rank window runs on the AGGREGATED vocabulary (sub-linear in "
+    "corpus size); its global sort is bounded by vocab cardinality, "
+    "not corpus rows.",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest({SQL_TOKENS}) AS t FROM documents
+),
+vocab AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+ranked AS (
+  SELECT c,
+    ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rnk,
+    SUM(c) OVER (ORDER BY c DESC, t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    SUM(c) OVER () AS total,
+    COUNT(*) OVER () AS n_vocab
+  FROM vocab
+),
+thr AS (SELECT UNNEST([{", ".join(str(t) for t in _VC_THRESHOLDS)}]) AS bp)
+SELECT t.bp AS coverage_bp,
+  CAST(MIN(r.rnk) AS BIGINT) AS vocab_size_needed,
+  CAST(MAX(r.n_vocab) AS BIGINT) AS total_vocab,
+  CAST(MAX(r.total) AS BIGINT) AS total_tokens,
+  CAST(MIN_BY(r.cum, r.rnk) AS DOUBLE) / MAX(r.total) AS share_achieved
+FROM thr t JOIN ranked r ON r.cum * 10000 >= t.bp * r.total
+GROUP BY t.bp
+""",
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents", spread=True)
+    tok = d.select(F.explode(tokens_col()).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.orderBy(F.col("c").desc(), "t")
+    ranked = vocab.select(
+        "c",
+        F.row_number().over(wo).alias("rnk"),
+        F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_vocab"),
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in _VC_THRESHOLDS], "coverage_bp int"
+    )
+    return (
+        F.broadcast(thr)
+        .join(ranked, ranked["cum"] * 10000 >= F.col("coverage_bp") * ranked["total"])
+        .groupBy("coverage_bp")
+        .agg(
+            F.min("rnk").cast("bigint").alias("vocab_size_needed"),
+            F.max("n_vocab").cast("bigint").alias("total_vocab"),
+            F.max("total").cast("bigint").alias("total_tokens"),
+            (
+                F.min_by("cum", "rnk").cast("double") / F.max("total")
+            ).alias("share_achieved"),
+        )
+    )
+
+
+#: Winnowing parameters: word 3-grams, window of 4 consecutive grams.
+_WIN_NGRAM = 3
+_WIN_W = 4
+
+
+@register(
+    "text_winnowing_fingerprints",
+    ops=("W9", "A2", "F10"),
+    doc="Winnowing document fingerprints (Schleimer, Wilkerson & "
+    "Aiken, SIGMOD 2003 — the MOSS algorithm): word 3-grams are "
+    "hashed (keyed md5, exact integers), and from every window of 4 "
+    "consecutive gram hashes the minimum is selected; the DISTINCT "
+    "selected hashes are the document's fingerprint set. Winnowing "
+    "guarantees any shared run of ≥ w+k−1 tokens between two "
+    "documents shares a fingerprint — the contamination/plagiarism "
+    "detector that, unlike text_fingerprint's single rolling hash, "
+    "is robust to position shifts. Per-doc windows partition by "
+    "doc_id (no global sort); output is the per-doc fingerprint "
+    "density plus the min fingerprint (the doc's winnowing "
+    "signature).",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+),
+grams AS (
+  SELECT doc_id,
+    UNNEST(generate_series(1, len(w) - {_WIN_NGRAM - 1})) AS pos,
+    UNNEST([CAST(concat('0x',
+      substr(md5(concat(w[i], ' ', w[i + 1], ' ', w[i + 2])), 1, 15))
+      AS BIGINT) for i in generate_series(1, len(w) - {_WIN_NGRAM - 1})]) AS h
+  FROM tok
+  WHERE len(w) >= {_WIN_NGRAM}
+),
+mins AS (
+  SELECT doc_id, pos,
+    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)
+      AS win_min,
+    COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM grams
+),
+sel AS (
+  SELECT doc_id, MAX(n_grams) AS n_grams,
+    COUNT(DISTINCT win_min) AS n_fingerprints,
+    MIN(win_min) AS min_fingerprint
+  FROM mins
+  WHERE pos + {_WIN_W - 1} <= n_grams
+  GROUP BY doc_id
+)
+SELECT doc_id,
+  CAST(n_grams AS BIGINT) AS n_grams,
+  CAST(n_fingerprints AS BIGINT) AS n_fingerprints,
+  CAST(n_fingerprints AS DOUBLE) / n_grams AS fingerprint_density,
+  CAST(min_fingerprint AS BIGINT) AS min_fingerprint
+FROM sel
+""",
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents", spread=True)
+    w = tokens_col()
+    tok = d.select("doc_id", w.alias("w")).filter(F.size("w") >= _WIN_NGRAM)
+    gram = F.concat_ws(
+        " ",
+        F.expr("w[pos - 1]"),
+        F.expr("w[pos]"),
+        F.expr("w[pos + 1]"),
+    )
+    grams = (
+        tok.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("w") - (_WIN_NGRAM - 1))).alias(
+                "pos"
+            ),
+            "w",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5(gram), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    wwin = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, _WIN_W - 1)
+    )
+    mins = grams.select(
+        "doc_id",
+        "pos",
+        F.min("h").over(wwin).alias("win_min"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_grams"),
+    )
+    sel = mins.filter(F.col("pos") + (_WIN_W - 1) <= F.col("n_grams")).groupBy(
+        "doc_id"
+    ).agg(
+        F.max("n_grams").cast("bigint").alias("n_grams"),
+        F.countDistinct("win_min").cast("bigint").alias("n_fingerprints"),
+        F.min("win_min").cast("bigint").alias("min_fingerprint"),
+    )
+    return sel.select(
+        "doc_id",
+        "n_grams",
+        "n_fingerprints",
+        (F.col("n_fingerprints").cast("double") / F.col("n_grams")).alias(
+            "fingerprint_density"
+        ),
+        "min_fingerprint",
+    )
