@@ -920,3 +920,294 @@ def test_weighted_reservoir_sample_is_k_distinct(spark, sf_dir):
     assert sorted(r.rnk for r in rows) == list(range(1, WRS_K + 1))
     keys = [r.sample_key for r in sorted(rows, key=lambda r: r.rnk)]
     assert keys == sorted(keys, reverse=True)
+
+
+def test_isotonic_fit_is_monotone_and_mass_preserving(spark, sf_dir):
+    """The PAV minimax fit must be non-decreasing in the score bin,
+    bounded by [0, 1], and preserve total keep mass:
+    Σ n·iso == Σ n·observed (PAV pools are weighted averages)."""
+    from transit_data_pipeline_spark.operators.statsaudit import (
+        isotonic_calibration_pav,
+    )
+
+    rows = sorted(
+        isotonic_calibration_pav(spark, sf_dir).collect(), key=lambda r: r.bin
+    )
+    iso = [r.iso_rate for r in rows]
+    assert iso == sorted(iso)
+    assert all(0.0 <= v <= 1.0 for v in iso)
+    mass_obs = sum(r.n_docs * r.observed_rate for r in rows)
+    mass_iso = sum(r.n_docs * r.iso_rate for r in rows)
+    assert abs(mass_obs - mass_iso) < 1e-6
+
+
+def test_gini_bounds_and_lorenz_order(spark, sf_dir):
+    """Gini ∈ [0, 1); the bottom-half token share can never exceed the
+    group's share of documents (Lorenz curve lies under the diagonal),
+    and the top decile can never hold less than its count share."""
+    from transit_data_pipeline_spark.operators.statsaudit import (
+        gini_token_concentration,
+    )
+
+    for r in gini_token_concentration(spark, sf_dir).collect():
+        assert 0.0 <= r.gini < 1.0
+        assert r.bottom_half_share <= 0.5 + 1e-12
+        assert r.top_decile_share >= (r.n_docs // 10) / r.n_docs - 1e-12
+        assert 0.0 <= r.bottom_half_share <= 1.0
+        assert 0.0 <= r.top_decile_share <= 1.0
+
+
+def test_spearman_within_bounds_and_rank_invariant(spark, sf_dir):
+    """ρ ∈ [−1, 1] and n matches the FK aggregate's order count (the
+    fixture's price and quantity columns are synthetically independent,
+    so no sign is asserted — only the metric's bounds)."""
+    from transit_data_pipeline_spark.operators.statsaudit import (
+        spearman_rank_corr,
+    )
+
+    r = spearman_rank_corr(spark, sf_dir).collect()[0]
+    assert -1.0 <= r.spearman_rho <= 1.0
+    assert -1.0 <= r.pearson_r <= 1.0
+    assert r.n_orders > 0
+
+
+def test_did_identity_from_cell_means(spark, sf_dir):
+    """The DiD estimate must equal the four cell means' double-difference
+    exactly (same operation order)."""
+    from transit_data_pipeline_spark.operators.statsaudit import did_estimator
+
+    r = did_estimator(spark, sf_dir).collect()[0]
+    assert r.did_estimate == (r.m_t_post - r.m_t_pre) - (r.m_c_post - r.m_c_pre)
+    assert r.n_t_pre + r.n_t_post + r.n_c_pre + r.n_c_post > 0
+
+
+def test_merkle_root_flips_on_any_leaf_change(spark, sf_dir):
+    """Equal corpora → equal roots; perturbing ONE document's text must
+    flip that source's root and no other's."""
+    import os
+
+    from transit_data_pipeline_spark.operators.statsaudit import (
+        corpus_merkle_manifest,
+    )
+
+    base = {
+        r.source: r.root_hash
+        for r in corpus_merkle_manifest(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    first = docs.orderBy("doc_id").limit(1).collect()[0]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        perturbed = docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") == first.doc_id,
+                F.concat(F.col("text"), F.lit(" TAMPERED")),
+            ).otherwise(F.col("text")),
+        )
+        perturbed.write.parquet(os.path.join(tmp, "documents.parquet"))
+        changed = {
+            r.source: r.root_hash
+            for r in corpus_merkle_manifest(spark, tmp).collect()
+        }
+    assert changed[first.source] != base[first.source]
+    assert all(
+        changed[s] == base[s] for s in base if s != first.source
+    )
+
+
+def test_hits_shares_bounded_and_normalized(spark, sf_dir):
+    """Integer-L1 HITS: every share ∈ [0, 1] and each side's total is 1
+    up to integer truncation (≤ n_nodes ulps of 1e-6)."""
+    from transit_data_pipeline_spark.operators.pipelineops import (
+        hits_trade_graph,
+    )
+
+    rows = hits_trade_graph(spark, sf_dir).collect()
+    n = len(rows)
+    for side in ("hub_share", "auth_share"):
+        vals = [getattr(r, side) for r in rows]
+        assert all(0.0 <= v <= 1.0 for v in vals)
+        assert 1.0 - n * 1e-6 <= sum(vals) <= 1.0 + 1e-9
+
+
+def test_t_closeness_emd_bounds(spark, sf_dir):
+    """Ordered-EMD is a normalized metric: every value ∈ [0, 1]."""
+    from transit_data_pipeline_spark.operators.curation import (
+        t_closeness_audit,
+    )
+
+    for r in t_closeness_audit(spark, sf_dir).collect():
+        assert 0.0 <= r.emd_t <= 1.0
+        assert r.meets_t_02 == (r.emd_t <= 0.2)
+
+
+def test_ndcg_metric_identities(spark, sf_dir):
+    """nDCG ≤ 1, DCG ≤ IDCG, precision/recall/MRR ∈ [0,1], and
+    n_hits ≤ min(10, n_relevant)."""
+    from transit_data_pipeline_spark.operators.similarity import (
+        retrieval_ndcg_eval,
+    )
+
+    rows = retrieval_ndcg_eval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hits <= min(10, r.n_relevant)
+        assert 0.0 <= r.prec_at_10 <= 1.0
+        assert 0.0 <= r.recall_at_10 <= 1.0
+        assert 0.0 <= r.mrr_at_10 <= 1.0
+        assert r.dcg_at_10 <= r.idcg_at_10 + 1e-12
+        assert 0.0 <= r.ndcg_at_10 <= 1.0
+
+
+def test_winnowing_guarantee_on_fixture(spark, sf_dir):
+    """Winnowing selects ≥ 1 fingerprint per window: density ∈ (0, 1]
+    and n_fingerprints ≤ windows ≤ n_grams."""
+    from transit_data_pipeline_spark.operators.textops import (
+        text_winnowing_fingerprints,
+    )
+
+    for r in text_winnowing_fingerprints(spark, sf_dir).collect():
+        assert 0 < r.n_fingerprints <= r.n_grams
+        assert 0.0 < r.fingerprint_density <= 1.0
+
+
+def test_matryoshka_recall_bounds(spark, sf_dir):
+    """recall@5 ∈ [0,1] in 1/5 steps; top-1 agreement implies ≥ 1
+    overlap."""
+    from transit_data_pipeline_spark.operators.similarity import (
+        embedding_matryoshka_recall,
+    )
+
+    rows = embedding_matryoshka_recall(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_overlap in range(0, 6)
+        assert abs(r.recall_at_5 - r.n_overlap / 5.0) < 1e-12
+        if r.top1_match:
+            assert r.n_overlap >= 1
+
+
+def test_ivm_matches_full_recompute(spark, sf_dir):
+    """Delta-maintained view ≡ full recompute, column for column."""
+    from transit_data_pipeline_spark.functions import numeric as NN
+    from transit_data_pipeline_spark.operators.pipelineops import (
+        ivm_join_view_delta,
+    )
+    from transit_data_pipeline_spark.catalog import table as _t
+
+    maintained = {
+        r.nation: (r.n_orders, r.revenue)
+        for r in ivm_join_view_delta(spark, sf_dir).collect()
+    }
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    full = {
+        r.nation: (r.n, r.rev)
+        for r in o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n"), NN.dsum("o_totalprice").alias("rev"))
+        .collect()
+    }
+    assert maintained == full
+
+
+def test_point_in_time_features_never_leak(spark, sf_dir):
+    """No feature may use information at or after the label timestamp:
+    re-derive the click count per label row with an independent
+    anti-leak join and compare."""
+    from transit_data_pipeline_spark.catalog import table as _t
+    from transit_data_pipeline_spark.operators.events import (
+        point_in_time_features,
+    )
+
+    feat = point_in_time_features(spark, sf_dir)
+    e = _t(spark, sf_dir, "events")
+    labels = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("lid"),
+        F.col("user_id").alias("lu"),
+        F.col("ts").alias("lts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+    )
+    recount = (
+        labels.join(
+            clicks,
+            (F.col("lu") == F.col("cu"))
+            & (
+                (F.col("cts") < F.col("lts"))
+                | ((F.col("cts") == F.col("lts")) & (F.col("cid") < F.col("lid")))
+            ),
+            "left",
+        )
+        .groupBy("lid")
+        .agg(F.count("cid").alias("n"))
+    )
+    expected = {r.lid: r.n for r in recount.collect()}
+    for r in feat.select("event_id", "f_clicks_before").collect():
+        assert r.f_clicks_before == expected[r.event_id], r.event_id
+
+
+def test_vocab_coverage_curve_is_monotone(spark, sf_dir):
+    """Higher coverage targets need (weakly) larger vocabularies, and
+    the achieved share meets the target."""
+    from transit_data_pipeline_spark.operators.textops import (
+        vocab_coverage_curve,
+    )
+
+    rows = sorted(
+        vocab_coverage_curve(spark, sf_dir).collect(),
+        key=lambda r: r.coverage_bp,
+    )
+    sizes = [r.vocab_size_needed for r in rows]
+    assert sizes == sorted(sizes)
+    for r in rows:
+        assert r.share_achieved * 10000 >= r.coverage_bp - 1e-9
+        assert r.vocab_size_needed <= r.total_vocab
+
+
+def test_zone_map_clustered_layout_dominates(spark, sf_dir):
+    """The shipdate-sorted layout must skip at least as many chunks as
+    the hash-scattered one, and both scan at least the matching rows."""
+    from transit_data_pipeline_spark.operators.sources import (
+        zone_map_skipping_eval,
+    )
+
+    rows = {r.layout: r for r in zone_map_skipping_eval(spark, sf_dir).collect()}
+    assert rows["clustered"].n_skipped >= rows["scattered"].n_skipped
+    for r in rows.values():
+        assert r.rows_scanned >= r.rows_matching
+        assert 0.0 <= r.skip_rate <= 1.0
+
+
+def test_kmv_intersection_estimates_track_exact(spark, sf_dir):
+    """Union estimate can never be below either side's estimate minus
+    sketch noise; exact Jaccard ∈ [0,1]; inclusion–exclusion identity
+    holds exactly by construction."""
+    from transit_data_pipeline_spark.operators.sketches import (
+        sketch_kmv_intersection,
+    )
+
+    for r in sketch_kmv_intersection(spark, sf_dir).collect():
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert r.est_inter == (r.est_a + r.est_b) - r.est_union
+        assert r.exact_inter <= min(r.exact_a, r.exact_b)
+
+
+def test_forecast_backtest_mase_consistency(spark, sf_dir):
+    """MASE = MAE ratio identity and all metrics non-negative."""
+    from transit_data_pipeline_spark.operators.statsaudit import (
+        forecast_backtest_suite,
+    )
+
+    rows = forecast_backtest_suite(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.mae >= 0.0 and r.rmse >= 0.0 and r.wape >= 0.0
+        # MASE is NULL when the one-step naive baseline is perfect
+        # (zero denominator) — legitimate on sparse tiny fixtures.
+        assert r.mase is None or r.mase >= 0.0
+        assert r.n_days > 0
