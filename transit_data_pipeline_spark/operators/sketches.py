@@ -911,9 +911,17 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents", spread=True).filter(
         F.col("source").isin(*_KI_SOURCES)
     )
-    tok = d.select(
-        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
-    ).distinct()
+    # The distinct token set feeds four consumers (sketch build, exact
+    # per-source counts, both sides of the exact-intersection join);
+    # persist the vocab-bounded frame so the explode+distinct shuffle
+    # runs once. Size is Σ per-source vocab — sub-linear in corpus rows.
+    tok = (
+        d.select(
+            "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+        )
+        .distinct()
+        .persist()
+    )
     u = (
         F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10)
         .cast("bigint")
