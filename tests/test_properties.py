@@ -1211,3 +1211,21 @@ def test_forecast_backtest_mase_consistency(spark, sf_dir):
         # (zero denominator) — legitimate on sparse tiny fixtures.
         assert r.mase is None or r.mase >= 0.0
         assert r.n_days > 0
+
+
+def test_covariate_shift_ess_bounds(spark, sf_dir):
+    """ESS ≤ n_src (Cauchy–Schwarz), ess_ratio ∈ (0, 1], weights ≥ 0,
+    and the clipped weight never exceeds the clip constant."""
+    from transit_data_pipeline_spark.operators.mlops import (
+        _CS_CLIP,
+        covariate_shift_weights,
+    )
+
+    rows = covariate_shift_weights(spark, sf_dir).collect()
+    assert rows
+    n_src_total = sum(r.n_src for r in rows)
+    for r in rows:
+        assert r.weight >= 0.0
+        assert 0.0 <= r.w_clip <= _CS_CLIP
+        assert 0.0 < r.ess_ratio <= 1.0 + 1e-12
+        assert r.ess <= n_src_total * (1.0 + 1e-12)

@@ -41,6 +41,7 @@ _GRID_DAYS = 60
 # SQL twins shared with textops/mlprep (imported lazily to avoid
 # circular imports at module load; the f-string oracles need them at
 # definition time, so they are re-derived here from the same constants).
+from .events import SQL_EVENT_TIME
 from .textops import SQL_TOKENS as _SQL_TOKENS_AUC, STOPWORDS as _STOP_WORDS_AUC, _sql_list as _sql_list_auc
 from .mlprep import _SQL_QVEC as _SQL_QVEC_K, _sql_sqdist as _sql_sqdist_k, KMEANS_DIM as _KDIM_K
 
@@ -1304,4 +1305,126 @@ def quantile_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("mean_pinball"),
         )
+    )
+
+
+#: Covariate-shift split: the events month's first half is the SOURCE
+#: (training) window, the second half the TARGET (serving) window.
+_CS_CUTOFF = "2024-01-16"
+_CS_CLIP = 10.0
+
+
+@register(
+    "covariate_shift_weights",
+    ops=("A5", "A9", "J10", "P5"),
+    doc="Covariate-shift importance weighting (the reweighting step a "
+    "train/serve drift report like feature_drift_psi motivates): the "
+    "event-type distribution of the serving window is divided by the "
+    "training window's (discrete density ratio per bin — exact "
+    "integer cross-products, ONE double division), clipped at 10 "
+    "(variance control, the standard practice), and the reweighted "
+    "training set's effective sample size ESS = (Σw)²/Σw² is "
+    "reported beside every bin so the cost of the shift is one "
+    "glance. The cross-bin ESS sums fold over the ≤|bins| per-bin "
+    "terms in bin order (array fold, both engines identical), so the "
+    "whole audit is bitwise deterministic. Two aggregates over the "
+    "fact table; the bin table is broadcast-sized at any corpus "
+    "scale.",
+    oracle=f"""
+WITH src AS (
+  SELECT event_type, COUNT(*) AS n_src FROM events
+  WHERE {SQL_EVENT_TIME} < TIMESTAMP '{_CS_CUTOFF}' GROUP BY 1
+),
+tgt AS (
+  SELECT event_type, COUNT(*) AS n_tgt FROM events
+  WHERE {SQL_EVENT_TIME} >= TIMESTAMP '{_CS_CUTOFF}' GROUP BY 1
+),
+tot AS (
+  SELECT s.event_type, s.n_src, COALESCE(t.n_tgt, 0) AS n_tgt,
+    SUM(s.n_src) OVER () AS ns, SUM(COALESCE(t.n_tgt, 0)) OVER () AS nt
+  FROM src s LEFT JOIN tgt t ON s.event_type = t.event_type
+),
+w AS (
+  SELECT event_type, n_src, n_tgt,
+    CAST(n_tgt * ns AS DOUBLE) / (n_src * nt) AS weight,
+    LEAST(CAST(n_tgt * ns AS DOUBLE) / (n_src * nt), {_CS_CLIP!r}) AS w_clip
+  FROM tot
+),
+ess AS (
+  SELECT
+    list_reduce(list(n_src * w_clip ORDER BY event_type),
+                (a, x) -> a + x) AS sw,
+    list_reduce(list(n_src * w_clip * w_clip ORDER BY event_type),
+                (a, x) -> a + x) AS sw2,
+    SUM(n_src) AS n_src_total
+  FROM w
+)
+SELECT w.event_type,
+  CAST(w.n_src AS BIGINT) AS n_src,
+  CAST(w.n_tgt AS BIGINT) AS n_tgt,
+  w.weight, w.w_clip,
+  (e.sw * e.sw) / e.sw2 AS ess,
+  ((e.sw * e.sw) / e.sw2) / e.n_src_total AS ess_ratio
+FROM w, ess e
+""",
+)
+def covariate_shift_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    cutoff = F.lit(_CS_CUTOFF).cast("timestamp")
+    src = (
+        e.filter(F.col("event_time") < cutoff)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_src"))
+    )
+    tgt = (
+        e.filter(F.col("event_time") >= cutoff)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_tgt"))
+    )
+    tot = (
+        src.join(F.broadcast(tgt), "event_type", "left")
+        .select(
+            "event_type",
+            "n_src",
+            F.coalesce("n_tgt", F.lit(0)).alias("n_tgt"),
+        )
+        .select(
+            "*",
+            F.sum("n_src").over(Window.partitionBy()).alias("ns"),
+            F.sum("n_tgt").over(Window.partitionBy()).alias("nt"),
+        )
+    )
+    weight = (F.col("n_tgt") * F.col("ns")).cast("double") / (
+        F.col("n_src") * F.col("nt")
+    )
+    w = tot.select(
+        "event_type",
+        "n_src",
+        "n_tgt",
+        weight.alias("weight"),
+        F.least(weight, F.lit(_CS_CLIP)).alias("w_clip"),
+    )
+    fold = lambda col: F.aggregate(  # noqa: E731
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("event_type", col.alias("v")))),
+            lambda s: s["v"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ess = w.agg(
+        fold(F.col("n_src") * F.col("w_clip")).alias("sw"),
+        fold(F.col("n_src") * F.col("w_clip") * F.col("w_clip")).alias("sw2"),
+        F.sum("n_src").alias("n_src_total"),
+    )
+    return w.crossJoin(F.broadcast(ess)).select(
+        "event_type",
+        F.col("n_src").cast("bigint").alias("n_src"),
+        F.col("n_tgt").cast("bigint").alias("n_tgt"),
+        "weight",
+        "w_clip",
+        ((F.col("sw") * F.col("sw")) / F.col("sw2")).alias("ess"),
+        (
+            ((F.col("sw") * F.col("sw")) / F.col("sw2")) / F.col("n_src_total")
+        ).alias("ess_ratio"),
     )
