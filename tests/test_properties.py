@@ -1229,3 +1229,76 @@ def test_covariate_shift_ess_bounds(spark, sf_dir):
         assert 0.0 <= r.w_clip <= _CS_CLIP
         assert 0.0 < r.ess_ratio <= 1.0 + 1e-12
         assert r.ess <= n_src_total * (1.0 + 1e-12)
+
+
+def test_nearest_event_join_picks_minimal_gap(spark, sf_dir):
+    """gap_ns ≥ 0, direction consistent with value NULL-ness, and for a
+    sampled user the chosen gap equals the true minimum |Δt| over that
+    user's purchases."""
+    from transit_data_pipeline_spark.catalog import table as _t
+    from transit_data_pipeline_spark.operators.events import (
+        nearest_event_join,
+    )
+
+    out = nearest_event_join(spark, sf_dir)
+    rows = out.limit(2000).collect()
+    assert rows
+    for r in rows:
+        assert (r.gap_ns is None) == (r.nearest_purchase_value is None)
+        if r.gap_ns is not None:
+            assert r.gap_ns >= 0
+            assert r.direction in ("backward", "forward")
+    # exhaustive check for one user with both clicks and purchases
+    e = _t(spark, sf_dir, "events")
+    some = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("k"))
+        .filter(F.col("k") == 2)
+        .limit(1)
+        .collect()
+    )
+    if some:
+        uid = some[0].user_id
+        evs = (
+            e.filter(F.col("user_id") == uid)
+            .filter(F.col("event_type").isin("click", "purchase"))
+            .select("event_id", "event_type", "ts")
+            .collect()
+        )
+        purchases = sorted(x.ts for x in evs if x.event_type == "purchase")
+        got = {
+            r.event_id: r.gap_ns
+            for r in out.filter(F.col("user_id") == uid).collect()
+        }
+        for x in evs:
+            if x.event_type == "click" and purchases:
+                expect = min(abs(x.ts - p) for p in purchases)
+                assert got[x.event_id] == expect
+
+
+def test_source_freshness_lags_nonnegative(spark, sf_dir):
+    from transit_data_pipeline_spark.operators.events import (
+        source_freshness_monitor,
+    )
+
+    rows = source_freshness_monitor(spark, sf_dir).collect()
+    assert rows
+    assert any(r.staleness_sec == 0 for r in rows)  # the watermark type
+    for r in rows:
+        assert r.staleness_sec >= 0
+        assert 0 <= r.n_last_hour <= r.n_events
+        assert r.last_hour_vs_mean_rate >= 0.0
+
+
+def test_scd2_as_of_resolves_at_most_one_version_per_user(spark, sf_dir):
+    from transit_data_pipeline_spark.operators.windows import (
+        scd2_as_of_lookup,
+    )
+
+    rows = scd2_as_of_lookup(spark, sf_dir).collect()
+    assert rows
+    users = [r.user_id for r in rows]
+    assert len(users) == len(set(users))
+    for r in rows:
+        assert r.active_for_sec >= 0

@@ -1401,3 +1401,196 @@ def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_last_value_before",
         F.expr("(ts - first_tns) div 1000000000").alias("f_sec_since_first"),
     )
+
+
+@register(
+    "nearest_event_join",
+    ops=("J7", "W1", "W3"),
+    doc="Bidirectional nearest-event join — the two-sided complement "
+    "of asof_join_prior_purchase: each click is matched to the "
+    "user's temporally NEAREST purchase (before or after), the "
+    "sensor-fusion / log-alignment semantic Spark has no operator "
+    "for. Composition: union both event kinds, ONE user-partitioned "
+    "window carrying the last purchase backward and the first "
+    "purchase forward (exclusive frames both directions), then pick "
+    "the nearer in exact integer nanoseconds (backward wins ties). "
+    "One shuffle keyed by user_id — no range join, no per-row "
+    "subquery, state bounded by the window frame at any volume.",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value, epoch_ns(ts) AS tns
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+marked AS (
+  SELECT *,
+    LAST_VALUE(CASE WHEN event_type = 'purchase' THEN tns END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY tns, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_tns,
+    LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY tns, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_val,
+    FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN tns END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY tns, event_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_tns,
+    FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY tns, event_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_val
+  FROM ev
+)
+SELECT event_id, user_id,
+  tns // 1000 AS click_ts_us,
+  CASE
+    WHEN prev_tns IS NULL AND next_tns IS NULL THEN NULL
+    WHEN next_tns IS NULL THEN prev_val
+    WHEN prev_tns IS NULL THEN next_val
+    WHEN tns - prev_tns <= next_tns - tns THEN prev_val
+    ELSE next_val
+  END AS nearest_purchase_value,
+  CASE
+    WHEN prev_tns IS NULL AND next_tns IS NULL THEN NULL
+    WHEN next_tns IS NULL THEN tns - prev_tns
+    WHEN prev_tns IS NULL THEN next_tns - tns
+    WHEN tns - prev_tns <= next_tns - tns THEN tns - prev_tns
+    ELSE next_tns - tns
+  END AS gap_ns,
+  CASE
+    WHEN prev_tns IS NULL AND next_tns IS NULL THEN NULL
+    WHEN next_tns IS NULL THEN 'backward'
+    WHEN prev_tns IS NULL THEN 'forward'
+    WHEN tns - prev_tns <= next_tns - tns THEN 'backward'
+    ELSE 'forward'
+  END AS direction
+FROM marked WHERE event_type = 'click'
+""",
+)
+def nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    p_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    p_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    marked = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.last(p_ts, ignorenulls=True).over(back).alias("prev_tns"),
+        F.last(p_val, ignorenulls=True).over(back).alias("prev_val"),
+        F.first(p_ts, ignorenulls=True).over(fwd).alias("next_tns"),
+        F.first(p_val, ignorenulls=True).over(fwd).alias("next_val"),
+    )
+    both_null = F.col("prev_tns").isNull() & F.col("next_tns").isNull()
+    back_wins = (F.col("ts") - F.col("prev_tns")) <= (
+        F.col("next_tns") - F.col("ts")
+    )
+    nearest_val = (
+        F.when(both_null, F.lit(None))
+        .when(F.col("next_tns").isNull(), F.col("prev_val"))
+        .when(F.col("prev_tns").isNull(), F.col("next_val"))
+        .when(back_wins, F.col("prev_val"))
+        .otherwise(F.col("next_val"))
+    )
+    gap = (
+        F.when(both_null, F.lit(None))
+        .when(F.col("next_tns").isNull(), F.col("ts") - F.col("prev_tns"))
+        .when(F.col("prev_tns").isNull(), F.col("next_tns") - F.col("ts"))
+        .when(back_wins, F.col("ts") - F.col("prev_tns"))
+        .otherwise(F.col("next_tns") - F.col("ts"))
+    )
+    direction = (
+        F.when(both_null, F.lit(None).cast("string"))
+        .when(F.col("next_tns").isNull(), F.lit("backward"))
+        .when(F.col("prev_tns").isNull(), F.lit("forward"))
+        .when(back_wins, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+    )
+    return marked.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000").alias("click_ts_us"),
+        nearest_val.alias("nearest_purchase_value"),
+        gap.alias("gap_ns"),
+        direction.alias("direction"),
+    )
+
+
+@register(
+    "source_freshness_monitor",
+    ops=("A3", "A7", "F6", "P5"),
+    doc="Source-freshness / arrival-lag monitor (the first dashboard an "
+    "ops team builds over a streaming lake): per event type, the lag "
+    "between its latest event and the corpus watermark (frozen 'now' "
+    "= corpus max ts, the repo's deterministic current-time "
+    "convention), the last-hour arrival count vs the trailing "
+    "per-hour mean, and a staleness flag at 2× the trailing mean "
+    "inter-arrival gap. All lags in exact integer nanoseconds; the "
+    "rate ratio is one double division of exact counts. Two "
+    "aggregates over the fact table, output |event types| rows.",
+    oracle="""
+WITH wm AS (SELECT MAX(epoch_ns(ts)) AS now_ns FROM events),
+per_type AS (
+  SELECT event_type,
+    COUNT(*) AS n_events,
+    MAX(epoch_ns(ts)) AS last_ns,
+    MIN(epoch_ns(ts)) AS first_ns,
+    SUM(CASE WHEN epoch_ns(ts) > (SELECT now_ns FROM wm) - 3600000000000
+        THEN 1 ELSE 0 END) AS n_last_hour
+  FROM events GROUP BY 1
+)
+SELECT p.event_type,
+  CAST(p.n_events AS BIGINT) AS n_events,
+  (w.now_ns - p.last_ns) // 1000000000 AS staleness_sec,
+  CAST(p.n_last_hour AS BIGINT) AS n_last_hour,
+  CAST(p.n_last_hour AS DOUBLE)
+    / (CAST(p.n_events AS DOUBLE)
+       / (CAST((p.last_ns - p.first_ns) AS DOUBLE) / 3600000000000.0))
+    AS last_hour_vs_mean_rate,
+  (w.now_ns - p.last_ns) * (p.n_events - 1) > 2 * (p.last_ns - p.first_ns)
+    AS is_stale
+FROM per_type p, wm w
+""",
+)
+def source_freshness_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    wm = e.agg(F.max("ts").alias("now_ns"))
+    per_type = (
+        e.crossJoin(F.broadcast(wm))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_ns"),
+            F.min("ts").alias("first_ns"),
+            F.first("now_ns").alias("now_ns"),
+            F.sum(
+                F.when(
+                    F.col("ts") > F.col("now_ns") - F.lit(3_600_000_000_000), 1
+                ).otherwise(0)
+            ).alias("n_last_hour"),
+        )
+    )
+    mean_rate_per_hour = F.col("n_events").cast("double") / (
+        (F.col("last_ns") - F.col("first_ns")).cast("double") / 3.6e12
+    )
+    return per_type.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.expr("(now_ns - last_ns) div 1000000000").alias("staleness_sec"),
+        F.col("n_last_hour").cast("bigint").alias("n_last_hour"),
+        (F.col("n_last_hour").cast("double") / mean_rate_per_hour).alias(
+            "last_hour_vs_mean_rate"
+        ),
+        (
+            (F.col("now_ns") - F.col("last_ns")) * (F.col("n_events") - 1)
+            > 2 * (F.col("last_ns") - F.col("first_ns"))
+        ).alias("is_stale"),
+    )

@@ -394,3 +394,81 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
         .agg(F.countDistinct("user_id").alias("users_7d"))
     )
+
+
+#: Bitemporal lookup instant for the SCD2 as-of query.
+_SCD2_AS_OF = "2024-01-20"
+
+
+@register(
+    "scd2_as_of_lookup",
+    ops=("W1", "W14", "P3", "J7"),
+    doc="Bitemporal as-of query over the SCD Type-2 history "
+    "scd2_user_type_history builds: resolve, for every user, the "
+    "dimension version active at a fixed lookup instant "
+    "(valid_from <= t < valid_to, open-ended current rows included) "
+    "— the query pattern that makes versioned dimensions usable "
+    "(reproduce yesterday's join exactly, audit what the model saw). "
+    "The history build is the same one-shuffle per-user window "
+    "chain; the as-of filter is a residual predicate on it, so the "
+    "lookup costs nothing beyond the history itself. Also reports "
+    "how long the resolved version had been active at the instant "
+    "(exact integer seconds) and whether it is still current.",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_type, event_id,
+         make_timestamp(epoch_ns(ts) // 1000) AS et,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), changes AS (
+  SELECT user_id, event_type, et AS valid_from, event_id
+  FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type
+), versions AS (
+  SELECT user_id, event_type, valid_from,
+    LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+      AS valid_to
+  FROM changes
+)
+SELECT user_id, event_type AS active_type, valid_from,
+  valid_to IS NULL AS is_current,
+  date_diff('second', valid_from, TIMESTAMP '{_SCD2_AS_OF}')
+    AS active_for_sec
+FROM versions
+WHERE valid_from <= TIMESTAMP '{_SCD2_AS_OF}'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_SCD2_AS_OF}')
+""",
+)
+def scd2_as_of_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("et"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = ordered.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    ).select("user_id", "event_type", F.col("et").alias("valid_from"), "event_id")
+    wv = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    versions = changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+    )
+    as_of = F.lit(_SCD2_AS_OF).cast("timestamp")
+    return versions.filter(
+        (F.col("valid_from") <= as_of)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > as_of))
+    ).select(
+        "user_id",
+        F.col("event_type").alias("active_type"),
+        "valid_from",
+        F.col("valid_to").isNull().alias("is_current"),
+        (
+            (as_of.cast("long") - F.col("valid_from").cast("long"))
+        ).alias("active_for_sec"),
+    )
