@@ -1476,7 +1476,7 @@ SEM_TARGET = 250
     oracle=None,  # set below — shares the kmeans CTE chain
 )
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .mlprep import KMEANS_K, _q_col, _sqdist
+    from .mlprep import KMEANS_K, _lloyd_assign, _q_col
 
     e = table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id",
@@ -1494,18 +1494,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )
 
-    def assign(centroids: DataFrame) -> DataFrame:
-        scored = e.crossJoin(F.broadcast(centroids)).select(
-            "vec_id", "cid", "v", "q", _sqdist(F.col("v"), F.col("c")).alias("dist")
-        )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid", "v", "q")
-        )
-
-    a1 = assign(c0)
+    a1 = _lloyd_assign(e, c0, keep=("v",))
     comps = (
         a1.select("cid", F.posexplode(F.col("v")).alias("dim0", "qv"))
         .groupBy("cid", (F.col("dim0") + 1).alias("dim"))
@@ -1520,11 +1509,16 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm2 = F.aggregate(
         F.transform(F.col("q"), lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
     )
-    # Three consumers (both pair-join sides + the output frame);
-    # Catalyst's ReusedExchange computes the shared subplan once — a
-    # forced localCheckpoint here measured 1.5× SLOWER on the ×8 probe
-    # by breaking that reuse.
-    m = assign(c1).select("vec_id", "cid", "q", norm2.alias("nq"))
+    # Checkpoint the final assignment (n skinny rows): one Lloyd-chain
+    # execution feeds all three consumers, and the map-only assign has
+    # no exchanges left for ReusedExchange to share. (The old note
+    # about checkpointing being 1.5× slower predates the map-only
+    # assignment.)
+    m = (
+        _lloyd_assign(e, c1, keep=("q",))
+        .select("vec_id", "cid", "q", norm2.alias("nq"))
+        .localCheckpoint()
+    )
     a = m.select(
         F.col("vec_id").alias("vec_a"), "cid",
         F.col("q").alias("qa"), F.col("nq").alias("na"),
@@ -1538,6 +1532,13 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # Broadcast-sized corpora: hint the probe side so the pair join
+    # stays a 32-way map join instead of a K-partition SortMergeJoin
+    # (the checkpoint's origin stats overestimate m, K=8 → 8 tasks).
+    # At scale the equi-join on cid takes over; K ∝ n keeps tasks
+    # balanced.
+    if n <= 50_000:
+        b = F.broadcast(b)
     dominated = (
         a.join(b, "cid")
         .filter(F.col("vec_a") < F.col("vec_b"))

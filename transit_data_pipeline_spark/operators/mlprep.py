@@ -298,6 +298,48 @@ def _sqdist(a, b):
     )
 
 
+# Perf note (measured at sf0.1, ×2 reps): UNROLLING the 64-dim fold
+# into flat `getItem` arithmetic is a LOSS (2–6× slower across the
+# similarity suite) — the giant generated class pays a janino compile
+# per query that dwarfs any per-row gain, while the higher-order fold
+# evaluates at roughly the same per-row cost once the join strategy is
+# right. Keep the folds; fix join strategy/shuffles instead.
+
+
+def _lloyd_assign(e: DataFrame, centroids: DataFrame, keep: tuple = ()) -> DataFrame:
+    """One Lloyd assignment round as a PURE MAP — zero shuffle.
+
+    Packs the K centroids into a single broadcast row (array of
+    (cid, c) structs, array_sort = sorted by the unique cid), then
+    per-vector argmin = ``array_min`` over struct(dist, cid):
+    lexicographic struct ordering IS (dist, cid) ordering, so ties
+    break to the smaller cid exactly like the ROW_NUMBER oracle
+    (`_sql_assign`). The old crossJoin+window argmin shuffled n×K
+    rows carrying the 64-dim arrays through a sort — measured 1.7×
+    slower at sf0.1 and strictly worse at scale. The packed centroid
+    row is K×dim doubles: broadcast-sized while K = max(8, n/250)
+    stays under ~1M clusters (≈512 MB row); beyond that shard the
+    centroid array. dist stays the sequential-fold `_sqdist` — on the
+    quantized grid round-1 sums are exact integers, and round-2
+    (double centroids) needs the fold's left-to-right order to match
+    DuckDB's list_reduce bitwise.
+    """
+    packed = centroids.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cs")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cs"),
+            lambda s: F.struct(
+                _sqdist(F.col("v"), s["c"]).alias("dist"), s["cid"].alias("cid")
+            ),
+        )
+    )
+    return e.crossJoin(F.broadcast(packed)).select(
+        "vec_id", best["cid"].alias("cid"), *keep
+    )
+
+
 def _sql_sqdist(a: str, b: str) -> str:
     return (
         f"list_reduce(list_transform(generate_series(1, len({a})), "
@@ -330,7 +372,8 @@ SELECT vec_id, cid, v FROM (
     "and SemDeDup-style semantic dedup. Components quantized to the "
     "2^-20 integer grid so every sum is EXACT long arithmetic — "
     "assignment is reproducible on any partition layout. Assignment "
-    "= broadcast cross-join vs K rows; update = one (cluster, dim) "
+    "= map-only argmin against the packed broadcast centroid row "
+    "(`_lloyd_assign` — zero shuffle); update = one (cluster, dim) "
     "hash agg; both linear in corpus size at fixed K.",
     oracle=f"""
 WITH e AS (
@@ -364,21 +407,7 @@ def kmeans_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
     )
 
-    def assign(centroids: DataFrame) -> DataFrame:
-        scored = e.crossJoin(F.broadcast(centroids)).select(
-            "vec_id",
-            "cid",
-            "v",
-            _sqdist(F.col("v"), F.col("c")).alias("dist"),
-        )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid", "v")
-        )
-
-    a1 = assign(c0)
+    a1 = _lloyd_assign(e, c0, keep=("v",))
     comps = a1.select(
         "cid", F.posexplode(F.col("v")).alias("dim0", "qv")
     ).groupBy("cid", (F.col("dim0") + 1).alias("dim")).agg(
@@ -390,7 +419,7 @@ def kmeans_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s["comp"],
         ).alias("c")
     )
-    a2 = assign(c1)
+    a2 = _lloyd_assign(e, c1)
     return (
         a2.join(F.broadcast(c1), "cid")
         .groupBy(F.col("cid").alias("cluster_id"))

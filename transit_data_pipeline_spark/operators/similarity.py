@@ -498,7 +498,7 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import SEM_TARGET
-    from .mlprep import KMEANS_K, _q_col, _sqdist
+    from .mlprep import KMEANS_K, _lloyd_assign, _q_col
 
     e = table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id",
@@ -510,22 +510,7 @@ def embedding_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c0 = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )
-
-    def assign(centroids: DataFrame) -> DataFrame:
-        # Window argmin (not min_by-over-structs: carrying the two
-        # 64-dim arrays through hash-agg partial buffers measured
-        # 1.8× slower on the ×8 probe than the sort-based window).
-        scored = e.crossJoin(F.broadcast(centroids)).select(
-            "vec_id", "cid", "v", "q", _sqdist(F.col("v"), F.col("c")).alias("dist")
-        )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid", "v", "q")
-        )
-
-    a1 = assign(c0)
+    a1 = _lloyd_assign(e, c0, keep=("v",))
     comps = (
         a1.select("cid", F.posexplode(F.col("v")).alias("dim0", "qv"))
         .groupBy("cid", (F.col("dim0") + 1).alias("dim"))
@@ -537,11 +522,12 @@ def embedding_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s["comp"],
         ).alias("c")
     )
-    # The final assignment feeds three consumers (both self-join sides
-    # and the output frame); Catalyst's ReusedExchange computes the
-    # shared subplan once (verified: forcing a localCheckpoint here
-    # BROKE the reuse and ran 1.5× slower on the ×8 probe).
-    m = assign(c1).select("vec_id", "cid", "q")
+    # Checkpoint the final assignment (n skinny rows): it feeds both
+    # pair-join sides plus the output frame, and severing the lineage
+    # here keeps the Lloyd chain to one execution. (The earlier
+    # ReusedExchange note predates the map-only assignment — with no
+    # exchanges left in the assign subplan there is nothing to reuse.)
+    m = _lloyd_assign(e, c1, keep=("q",)).localCheckpoint()
     a = m.select(F.col("vec_id").alias("va"), "cid", F.col("q").alias("qa"))
     b = m.select(F.col("vec_id").alias("vb"), "cid", F.col("q").alias("qb"))
     # Exact integer squared distance on the 2^-20 grid: |Δ| ≤ 2^21 per
@@ -551,6 +537,14 @@ def embedding_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # Broadcast the probe side only while the corpus is broadcast-
+    # sized (50k × 64-dim packed longs ≈ 26 MB); at scale the plain
+    # equi-join on cid shuffles skinny rows and K ∝ n keeps task
+    # parallelism high. Without the hint the checkpoint's inflated
+    # origin stats force a SortMergeJoin over only K partitions —
+    # measured 7× slower at sf0.1 (K=8 → 8 tasks on 32 cores).
+    if n <= 50_000:
+        b = F.broadcast(b)
     nn = (
         a.join(b, "cid")
         .filter(F.col("va") != F.col("vb"))
