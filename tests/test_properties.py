@@ -1302,3 +1302,51 @@ def test_scd2_as_of_resolves_at_most_one_version_per_user(spark, sf_dir):
     assert len(users) == len(set(users))
     for r in rows:
         assert r.active_for_sec >= 0
+
+
+def test_epoch_shuffle_reshuffles_and_balances(spark, sf_dir):
+    """Shards cover 0..15, counts roughly balanced, and the stayed
+    fraction is near 1/16 (a broken seed would pin it at 1.0)."""
+    from transit_data_pipeline_spark.operators.mlprep import (
+        EPOCH_SHARDS,
+        epoch_shuffle_plan,
+    )
+
+    rows = epoch_shuffle_plan(spark, sf_dir).collect()
+    assert {r.shard for r in rows} == set(range(EPOCH_SHARDS))
+    n = sum(r.n_docs for r in rows)
+    for r in rows:
+        assert 0 <= r.n_stayed <= r.n_docs
+        assert abs(r.frac_stayed - r.n_stayed / r.n_docs) < 1e-12
+    overall_stayed = sum(r.n_stayed for r in rows) / n
+    assert overall_stayed < 0.5  # uniform expectation 1/16
+
+
+def test_group_kfold_has_no_customer_leakage(spark, sf_dir):
+    from transit_data_pipeline_spark.operators.mlprep import (
+        KFOLD_K,
+        group_kfold_split,
+    )
+
+    rows = group_kfold_split(spark, sf_dir).collect()
+    assert {r.fold for r in rows} <= set(range(KFOLD_K))
+    for r in rows:
+        assert r.max_folds_per_customer == 1
+        assert r.n_customers <= r.n_orders
+
+
+def test_fellegi_sunter_score_bounds(spark, sf_dir):
+    """Scores stay inside the [all-disagree, all-agree] envelope and
+    the match count never exceeds the pair count."""
+    from transit_data_pipeline_spark.operators.dedup import (
+        _FS_W,
+        fellegi_sunter_linkage,
+    )
+
+    lo = sum(w[1] for w in _FS_W.values())
+    hi = sum(w[0] for w in _FS_W.values())
+    rows = fellegi_sunter_linkage(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_matches <= r.n_pairs
+        assert lo <= r.mean_score <= r.max_score <= hi

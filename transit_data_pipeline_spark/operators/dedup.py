@@ -24,6 +24,7 @@ All hashing is md5-based and evaluated identically in Spark
 
 from __future__ import annotations
 
+import math as _math
 import random
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1985,4 +1986,99 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("corpus_share"),
             (F.col("component_size") > 1).alias("is_duplicate_cluster"),
         )
+    )
+
+
+# --- probabilistic record linkage (Fellegi–Sunter) -------------------
+
+#: Field-level (m, u) probabilities → integer log2-odds weights ×1000
+#: (computed once in Python and embedded as the SAME literal in both
+#: engines — no runtime log in either plan, the repo's standard
+#: libm-determinism discipline). Fields over the customer/supplier
+#: pair: account-balance k$-bucket, entity-number 2-digit suffix,
+#: balance cents.
+_FS_MU = {
+    "bal_bucket": (0.7, 0.1),
+    "num_suffix": (0.9, 0.01),
+    "cents": (0.8, 0.01),
+}
+_FS_W = {
+    f: (
+        round(_math.log2(m / u) * 1000),
+        round(_math.log2((1.0 - m) / (1.0 - u)) * 1000),
+    )
+    for f, (m, u) in _FS_MU.items()
+}
+#: Decision threshold on the summed integer weight.
+_FS_THR = 6000
+
+
+@register(
+    "fellegi_sunter_linkage",
+    ops=("J1", "A5", "A9", "P5"),
+    doc="Probabilistic record linkage (Fellegi & Sunter 1969): "
+    "customer×supplier pairs blocked on nationkey (the blocking key "
+    "bounds pair growth — at 100 TB you block on a higher-cardinality "
+    "key and this stays an equi-join with broadcast-able dim side), "
+    "each field comparison contributes its log2(m/u) agreement or "
+    "log2((1-m)/(1-u)) disagreement weight, match = summed weight ≥ "
+    "threshold. All weights are integer milli-bits embedded as "
+    "literals (no runtime log), so the score arithmetic is exact and "
+    "both engines classify identically. Reports per blocking group: "
+    "pair count, matches, max score and mean score.",
+    oracle=f"""
+WITH pairs AS (
+  SELECT c.c_nationkey AS nationkey,
+    (CASE WHEN floor(c.c_acctbal / 1000) = floor(s.s_acctbal / 1000)
+          THEN {_FS_W["bal_bucket"][0]} ELSE {_FS_W["bal_bucket"][1]} END)
+    + (CASE WHEN right(c.c_name, 2) = right(s.s_name, 2)
+            THEN {_FS_W["num_suffix"][0]} ELSE {_FS_W["num_suffix"][1]} END)
+    + (CASE WHEN CAST(round(c.c_acctbal * 100) AS BIGINT) % 100
+                 = CAST(round(s.s_acctbal * 100) AS BIGINT) % 100
+            THEN {_FS_W["cents"][0]} ELSE {_FS_W["cents"][1]} END)
+    AS score
+  FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+)
+SELECT nationkey,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(SUM(CASE WHEN score >= {_FS_THR} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_matches,
+  CAST(MAX(score) AS BIGINT) AS max_score,
+  CAST(SUM(score) AS DOUBLE) / COUNT(*) AS mean_score
+FROM pairs GROUP BY 1
+""",
+)
+def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer", spread=True)
+    s = table(spark, sf_dir, "supplier")
+
+    def field(agree, name):
+        w_a, w_d = _FS_W[name]
+        return F.when(agree, F.lit(w_a)).otherwise(F.lit(w_d))
+
+    cents = lambda col: (  # noqa: E731
+        F.round(col * 100).cast("bigint") % 100
+    )
+    score = (
+        field(
+            F.floor(F.col("c_acctbal") / 1000)
+            == F.floor(F.col("s_acctbal") / 1000),
+            "bal_bucket",
+        )
+        + field(
+            F.expr("right(c_name, 2)") == F.expr("right(s_name, 2)"),
+            "num_suffix",
+        )
+        + field(cents(F.col("c_acctbal")) == cents(F.col("s_acctbal")), "cents")
+    )
+    pairs = c.join(
+        F.broadcast(s), F.col("c_nationkey") == F.col("s_nationkey")
+    ).select(F.col("c_nationkey").alias("nationkey"), score.alias("score"))
+    return pairs.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("score") >= _FS_THR, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_matches"),
+        F.max("score").cast("bigint").alias("max_score"),
+        (F.sum("score").cast("double") / F.count(F.lit(1))).alias("mean_score"),
     )

@@ -1314,3 +1314,134 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: Epoch-shuffle geometry: W shards, two epochs compared.
+EPOCH_SHARDS = 16
+
+
+def _epoch_shard_sql(epoch: int) -> str:
+    """Shard id for one epoch: first md5 hex digit of (epoch, doc_id)
+    — one uniform 0..15 draw, identical spelling in Spark SQL and
+    DuckDB (md5/substring/instr behave the same)."""
+    return (
+        "(instr('0123456789abcdef', substring(md5("
+        f"'ep{epoch}:' || cast(doc_id as string)), 1, 1)) - 1)"
+    )
+
+
+@register(
+    "epoch_shuffle_plan",
+    ops=("F12", "A1", "A9", "P5"),
+    doc="Deterministic per-epoch global reshuffle for training: each "
+    "epoch e assigns every document to shard md5('ep'||e||':'||doc_id) "
+    "— a stateless per-row hash, so the 'shuffle' needs NO global "
+    "sort, no driver state, and reproduces identically on any "
+    "cluster layout (the scale answer to 'ORDER BY RANDOM(seed)' "
+    "epoch shuffling, which needs a total order over the corpus). "
+    "Reports, per epoch-1 shard: document count (load balance) and "
+    "the fraction of documents that stayed in the same shard as "
+    "epoch 0 — the reshuffle-quality check (expected ≈ 1/W; a "
+    "broken seed shows up as frac_stayed ≈ 1.0). Both epoch "
+    "assignments are columns of one row — no self-join.",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         {_epoch_shard_sql(0)} AS shard0,
+         {_epoch_shard_sql(1)} AS shard1
+  FROM documents
+)
+SELECT shard1 AS shard,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN shard0 = shard1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_stayed,
+  CAST(SUM(CASE WHEN shard0 = shard1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*) AS frac_stayed
+FROM s GROUP BY 1
+""",
+)
+def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    s = d.select(
+        "doc_id",
+        F.expr(_epoch_shard_sql(0)).alias("shard0"),
+        F.expr(_epoch_shard_sql(1)).alias("shard1"),
+    )
+    stayed = F.sum(F.when(F.col("shard0") == F.col("shard1"), 1).otherwise(0))
+    return s.groupBy(F.col("shard1").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        stayed.cast("bigint").alias("n_stayed"),
+        (stayed.cast("double") / F.count(F.lit(1))).alias("frac_stayed"),
+    )
+
+
+#: Group-aware cross-validation: folds over orders keyed by customer.
+KFOLD_K = 5
+
+_KFOLD_SQL = (
+    "((instr('0123456789abcdef', substring(md5('gkf:' || "
+    "cast(o_custkey as string)), 1, 1)) - 1) * 16 "
+    "+ (instr('0123456789abcdef', substring(md5('gkf:' || "
+    f"cast(o_custkey as string)), 2, 1)) - 1)) % {KFOLD_K}"
+)
+
+
+@register(
+    "group_kfold_split",
+    ops=("W5", "A2", "A3", "A12"),
+    doc="Group-aware k-fold assignment (sklearn GroupKFold semantics, "
+    "hash-deterministic): every ORDER lands in the fold of its "
+    "CUSTOMER — md5(custkey) mod K — so no customer ever straddles "
+    "folds and per-entity leakage between train and validation is "
+    "structurally impossible. The leakage audit is computed, not "
+    "assumed: max folds-per-customer is aggregated and reported on "
+    "every row (must be 1). Stateless per-row hash → identical on "
+    "any layout, no global sort; one hash-agg by fold + one by "
+    "customer.",
+    oracle=f"""
+WITH f AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, {_KFOLD_SQL} AS fold
+  FROM orders
+),
+leak AS (
+  SELECT MAX(nf) AS max_folds_per_customer FROM (
+    SELECT o_custkey, COUNT(DISTINCT fold) AS nf FROM f GROUP BY 1
+  )
+)
+SELECT fold,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+  l.max_folds_per_customer
+FROM f, leak l
+GROUP BY fold, l.max_folds_per_customer
+""",
+)
+def group_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders", spread=True)
+    f = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.expr(_KFOLD_SQL).alias("fold"),
+    )
+    leak = (
+        f.groupBy("o_custkey")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .agg(F.max("nf").alias("max_folds_per_customer"))
+    )
+    return (
+        f.crossJoin(F.broadcast(leak))
+        .groupBy("fold", "max_folds_per_customer")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            "fold", "n_orders", "n_customers", "total_price",
+            "max_folds_per_customer",
+        )
+    )
