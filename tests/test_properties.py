@@ -1350,3 +1350,91 @@ def test_fellegi_sunter_score_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_matches <= r.n_pairs
         assert lo <= r.mean_score <= r.max_score <= hi
+
+
+def test_acf_bounds_and_pair_counts(spark, sf_dir):
+    """ACF stays in [-1, 1]; pair count shrinks by exactly one row
+    per extra lag (the series is dense over the 1996 window)."""
+    from transit_data_pipeline_spark.operators.timeseries import (
+        ACF_MAX_LAG,
+        acf_daily_orders,
+    )
+
+    rows = sorted(acf_daily_orders(spark, sf_dir).collect(), key=lambda r: r.lag)
+    assert [r.lag for r in rows] == list(range(1, ACF_MAX_LAG + 1))
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_pairs == prev.n_pairs - 1
+    for r in rows:
+        assert -1.0 <= r.acf <= 1.0
+        assert r.noise_band > 0
+        assert r.significant == (abs(r.acf) > r.noise_band)
+
+
+def test_gains_lift_table_invariants(spark, sf_dir):
+    """Cumulative gain is monotone to 1.0; lift × base rate equals the
+    decile response rate; KS statistic is the max |gap|."""
+    from transit_data_pipeline_spark.operators.mlops import gains_lift_table
+
+    rows = sorted(gains_lift_table(spark, sf_dir).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    n_all = sum(r.n for r in rows)
+    resp_all = sum(r.n_responders for r in rows)
+    base = resp_all / n_all
+    cum = 0.0
+    for r in rows:
+        assert 0.0 <= r.response_rate <= 1.0
+        assert r.cum_gain >= cum - 1e-12
+        cum = r.cum_gain
+        assert abs(r.lift * base - r.response_rate) < 1e-9
+    assert abs(rows[-1].cum_gain - 1.0) < 1e-12
+    ks = max(abs(r.ks_gap) for r in rows)
+    assert all(abs(r.ks_statistic - ks) < 1e-15 for r in rows)
+
+
+def test_propensity_att_is_treated_weighted_mean_of_strata(spark, sf_dir):
+    from transit_data_pipeline_spark.operators.statsaudit import (
+        propensity_strata_att,
+    )
+
+    rows = propensity_strata_att(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.stratum <= 4
+        assert r.n_treated > 0 and r.n_control > 0
+        assert abs(r.stratum_diff - (r.mean_treated - r.mean_control)) < 1e-9
+    n_t = sum(r.n_treated for r in rows)
+    att = sum(r.n_treated * r.stratum_diff for r in rows) / n_t
+    assert abs(rows[0].att_overall - att) < 1e-6
+
+
+def test_length_bucket_packing_pad_accounting(spark, sf_dir):
+    from transit_data_pipeline_spark.operators.mlprep import (
+        PACK_BATCH,
+        length_bucket_packing,
+    )
+
+    rows = length_bucket_packing(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.padded_tokens >= r.real_tokens
+        assert 0.0 <= r.pad_overhead < 1.0
+        assert r.n_batches == -(-r.n_docs // PACK_BATCH)  # ceil div
+
+
+def test_negative_sampling_plan_bounds(spark, sf_dir):
+    from transit_data_pipeline_spark.operators.textops import (
+        NEG_BANDS,
+        negative_sampling_plan,
+    )
+
+    rows = negative_sampling_plan(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.band <= len(NEG_BANDS)
+        assert 0 <= r.n_accepted <= r.n_tokens
+        assert abs(r.accept_rate - r.n_accepted / r.n_tokens) < 1e-12
+        assert 0.0 < r.min_w <= r.max_w
+    # freq^0.75 is monotone in f, so band weight envelopes are ordered.
+    rows = sorted(rows, key=lambda r: r.band)
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.min_w >= prev.max_w * 0.999

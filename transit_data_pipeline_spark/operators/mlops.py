@@ -1428,3 +1428,112 @@ def covariate_shift_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("sw") * F.col("sw")) / F.col("sw2")) / F.col("n_src_total")
         ).alias("ess_ratio"),
     )
+
+
+#: Number of score deciles in the gains/lift table.
+GAINS_DECILES = 10
+
+
+@register(
+    "gains_lift_table",
+    ops=("W8", "A5", "A9", "W11", "O1"),
+    doc="Decile gains/lift table + KS statistic for a ranking score — "
+    "the standard campaign-targeting / model-triage report: rank "
+    "orders by the score (o_totalprice as the stand-in model "
+    "score), cut into 10 deciles (NTILE with a full tiebreaker so "
+    "the row SET is deterministic), and per decile report response "
+    "rate, cumulative gain (share of all responders captured so "
+    "far), lift vs the base rate, and the KS separation (max gap "
+    "between cumulative responder and non-responder shares). "
+    "Response = urgent/high order priority. Every rate is a single "
+    "division of exact int64 counts — bitwise identical across "
+    "engines; the cumulative windows run over the 10-row decile "
+    "frame. At 100 TB the decile edges come from a distributed "
+    "quantile sketch instead of a global NTILE sort; the decile "
+    "AGGREGATE is unchanged.",
+    oracle=f"""
+WITH scored AS (
+  SELECT o_totalprice AS score,
+    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         THEN 1 ELSE 0 END AS responder,
+    NTILE({GAINS_DECILES}) OVER (ORDER BY o_totalprice DESC, o_orderkey)
+      AS decile
+  FROM orders
+),
+per AS (
+  SELECT decile,
+    COUNT(*) AS n,
+    SUM(responder) AS resp
+  FROM scored GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS n_all, SUM(resp) AS resp_all FROM per),
+cum AS (
+  SELECT p.decile, p.n, p.resp, t.n_all, t.resp_all,
+    SUM(p.resp) OVER (ORDER BY p.decile) AS cum_resp,
+    SUM(p.n - p.resp) OVER (ORDER BY p.decile) AS cum_nonresp
+  FROM per p, tot t
+)
+SELECT decile,
+  CAST(n AS BIGINT) AS n,
+  CAST(resp AS BIGINT) AS n_responders,
+  CAST(resp AS DOUBLE) / n AS response_rate,
+  CAST(cum_resp AS DOUBLE) / resp_all AS cum_gain,
+  CAST(resp * n_all AS DOUBLE) / CAST(n * resp_all AS DOUBLE) AS lift,
+  CAST(cum_resp AS DOUBLE) / resp_all
+    - CAST(cum_nonresp AS DOUBLE) / (n_all - resp_all) AS ks_gap,
+  MAX(abs(CAST(cum_resp AS DOUBLE) / resp_all
+          - CAST(cum_nonresp AS DOUBLE) / (n_all - resp_all)))
+    OVER () AS ks_statistic
+FROM cum
+""",
+)
+def gains_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders", spread=True)
+    scored = o.select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("responder"),
+        F.ntile(GAINS_DECILES)
+        .over(Window.orderBy(F.col("o_totalprice").desc(), "o_orderkey"))
+        .alias("decile"),
+    )
+    per = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("responder").alias("resp")
+    )
+    tot = per.agg(
+        F.sum("n").alias("n_all"), F.sum("resp").alias("resp_all")
+    )
+    wc = Window.orderBy("decile")
+    cum = per.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n",
+        "resp",
+        "n_all",
+        "resp_all",
+        F.sum("resp").over(wc).alias("cum_resp"),
+        F.sum(F.col("n") - F.col("resp")).over(wc).alias("cum_nonresp"),
+    )
+    ks_gap = F.col("cum_resp").cast("double") / F.col("resp_all") - F.col(
+        "cum_nonresp"
+    ).cast("double") / (F.col("n_all") - F.col("resp_all"))
+    return cum.select(
+        "decile",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("resp").cast("bigint").alias("n_responders"),
+        (F.col("resp").cast("double") / F.col("n")).alias("response_rate"),
+        (F.col("cum_resp").cast("double") / F.col("resp_all")).alias(
+            "cum_gain"
+        ),
+        (
+            (F.col("resp") * F.col("n_all")).cast("double")
+            / (F.col("n") * F.col("resp_all")).cast("double")
+        ).alias("lift"),
+        ks_gap.alias("ks_gap"),
+        F.max(F.abs(ks_gap))
+        .over(Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        ))
+        .alias("ks_statistic"),
+    )

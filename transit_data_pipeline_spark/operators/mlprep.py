@@ -1445,3 +1445,89 @@ def group_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_folds_per_customer",
         )
     )
+
+
+#: Batch size for length-bucketed packing.
+PACK_BATCH = 16
+
+#: Pow-2-ish token-length bucket edges (upper bounds, last is open).
+PACK_EDGES = (16, 32, 64, 128, 256, 512)
+
+
+def _len_bucket_sql(n: str) -> str:
+    """Bucket id 0..len(PACK_EDGES) via explicit CASE (no libm log2 —
+    identical spelling in Spark SQL and DuckDB)."""
+    clauses = " ".join(
+        f"WHEN {n} <= {e} THEN {i}" for i, e in enumerate(PACK_EDGES)
+    )
+    return f"(CASE {clauses} ELSE {len(PACK_EDGES)} END)"
+
+
+@register(
+    "length_bucket_packing",
+    ops=("W4", "A3", "A9", "F10"),
+    doc="Length-bucketed batch packing audit — the dataloader recipe "
+    "that keeps padding waste bounded when batching variable-length "
+    "documents for training: docs land in pow-2-ish token-length "
+    "buckets (explicit CASE thresholds, no float log), are ordered "
+    "longest-first inside each bucket (deterministic doc_id "
+    "tiebreaker), and are cut into batches of 16; every batch pads "
+    "its members to the batch max. Reports per bucket: docs, "
+    "batches, real vs padded token totals and the padding overhead "
+    "— the number a curriculum/batching change is judged by. All "
+    "token math is exact int64; the per-bucket windows partition by "
+    "bucket id (bounded fan-in, no global sort).",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, len({SQL_TOKENS}) AS n_tokens FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens, {_len_bucket_sql("n_tokens")} AS bucket,
+    (ROW_NUMBER() OVER (PARTITION BY {_len_bucket_sql("n_tokens")}
+                        ORDER BY n_tokens DESC, doc_id) - 1)
+      // {PACK_BATCH} AS batch_id
+  FROM tok
+),
+batches AS (
+  SELECT bucket, batch_id, COUNT(*) AS n_in_batch,
+    SUM(n_tokens) AS real_tokens,
+    COUNT(*) * MAX(n_tokens) AS padded_tokens
+  FROM b GROUP BY 1, 2
+)
+SELECT bucket,
+  CAST(SUM(n_in_batch) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_batches,
+  CAST(SUM(real_tokens) AS BIGINT) AS real_tokens,
+  CAST(SUM(padded_tokens) AS BIGINT) AS padded_tokens,
+  CAST(SUM(padded_tokens - real_tokens) AS DOUBLE)
+    / SUM(padded_tokens) AS pad_overhead
+FROM batches GROUP BY 1
+""",
+)
+def length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    tok = d.select(
+        "doc_id", F.size(tokens_col()).alias("n_tokens")
+    ).withColumn("bucket", F.expr(_len_bucket_sql("n_tokens")))
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("n_tokens").desc(), "doc_id"
+    )
+    b = tok.withColumn(
+        "batch_id",
+        ((F.row_number().over(w) - 1) / PACK_BATCH).cast("bigint"),
+    )
+    batches = b.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_in_batch"),
+        F.sum("n_tokens").alias("real_tokens"),
+        (F.count(F.lit(1)) * F.max("n_tokens")).alias("padded_tokens"),
+    )
+    return batches.groupBy("bucket").agg(
+        F.sum("n_in_batch").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+        F.sum("real_tokens").cast("bigint").alias("real_tokens"),
+        F.sum("padded_tokens").cast("bigint").alias("padded_tokens"),
+        (
+            F.sum(F.col("padded_tokens") - F.col("real_tokens")).cast("double")
+            / F.sum("padded_tokens")
+        ).alias("pad_overhead"),
+    )

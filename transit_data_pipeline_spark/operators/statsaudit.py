@@ -620,3 +620,145 @@ def forecast_backtest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (mase_den.cast("double") / n)
         ).alias("mase"),
     )
+
+
+#: Number of propensity strata (Cochran's classic five subclasses).
+PROP_STRATA = 5
+
+
+@register(
+    "propensity_strata_att",
+    ops=("J1", "A5", "A9", "P5", "A11"),
+    doc="Propensity-score stratification ATT (Rosenbaum & Rubin 1983; "
+    "five subclasses per Cochran 1968): treatment = urgent/high "
+    "order priority, outcome = order price, covariate cells = "
+    "customer market-segment × nation. The propensity inside a "
+    "cell is the exact rational n_treated/n, so the stratum id is "
+    "pure int64 arithmetic ((n_t·5) div n, capped) — no float "
+    "boundary hazard. Cells without both a treated and a control "
+    "order are trimmed (positivity), then strata aggregate "
+    "decimal-exact outcome sums and the ATT folds the per-stratum "
+    "n_t·(mean_t − mean_c) terms in stratum order over a ≤5-element "
+    "sorted list — bitwise deterministic end to end. Two hash "
+    "aggregates over the order→customer equi-join (customer side "
+    "is the broadcastable dim); everything after runs on ≤125 "
+    "cells.",
+    oracle=f"""
+WITH unit AS (
+  SELECT c.c_mktsegment AS seg, c.c_nationkey AS nat,
+    CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+         THEN 1 ELSE 0 END AS treated,
+    o.o_totalprice AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+cells AS (
+  SELECT seg, nat, COUNT(*) AS n, SUM(treated) AS n_t,
+    SUM(CASE WHEN treated = 1
+             THEN CAST(y AS DECIMAL(18,4)) ELSE 0 END) AS s_t,
+    SUM(CASE WHEN treated = 0
+             THEN CAST(y AS DECIMAL(18,4)) ELSE 0 END) AS s_c
+  FROM unit GROUP BY 1, 2
+),
+kept AS (
+  SELECT *, LEAST((n_t * {PROP_STRATA}) // n, {PROP_STRATA - 1}) AS stratum
+  FROM cells WHERE n_t > 0 AND n_t < n
+),
+strata AS (
+  SELECT stratum,
+    COUNT(*) AS n_cells,
+    SUM(n_t) AS n_treated,
+    SUM(n - n_t) AS n_control,
+    CAST(SUM(s_t) AS DOUBLE) / SUM(n_t) AS mean_treated,
+    CAST(SUM(s_c) AS DOUBLE) / SUM(n - n_t) AS mean_control
+  FROM kept GROUP BY 1
+),
+att AS (
+  SELECT list_reduce(
+           list(n_treated * (mean_treated - mean_control) ORDER BY stratum),
+           (x, y) -> x + y) / SUM(n_treated) AS att_overall
+  FROM strata
+)
+SELECT s.stratum,
+  CAST(s.n_cells AS BIGINT) AS n_cells,
+  CAST(s.n_treated AS BIGINT) AS n_treated,
+  CAST(s.n_control AS BIGINT) AS n_control,
+  s.mean_treated, s.mean_control,
+  s.mean_treated - s.mean_control AS stratum_diff,
+  a.att_overall
+FROM strata s, att a
+""",
+)
+def propensity_strata_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders", spread=True)
+    c = table(spark, sf_dir, "customer")
+    unit = o.join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("treated"),
+        F.col("o_totalprice").alias("y"),
+    )
+    dec = F.col("y").cast(N.DEC)
+    cells = unit.groupBy("seg", "nat").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("treated").alias("n_t"),
+        F.sum(F.when(F.col("treated") == 1, dec).otherwise(F.lit(0).cast(N.DEC))).alias("s_t"),
+        F.sum(F.when(F.col("treated") == 0, dec).otherwise(F.lit(0).cast(N.DEC))).alias("s_c"),
+    )
+    kept = cells.filter(
+        (F.col("n_t") > 0) & (F.col("n_t") < F.col("n"))
+    ).withColumn(
+        "stratum",
+        F.least(
+            F.expr(f"(n_t * {PROP_STRATA}) DIV n"),
+            F.lit(PROP_STRATA - 1).cast("bigint"),
+        ),
+    )
+    strata = kept.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n_t").alias("n_treated"),
+        F.sum(F.col("n") - F.col("n_t")).alias("n_control"),
+        (F.sum("s_t").cast("double") / F.sum("n_t")).alias("mean_treated"),
+        (
+            F.sum("s_c").cast("double") / F.sum(F.col("n") - F.col("n_t"))
+        ).alias("mean_control"),
+    )
+    att = strata.agg(
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "stratum",
+                                (
+                                    F.col("n_treated")
+                                    * (
+                                        F.col("mean_treated")
+                                        - F.col("mean_control")
+                                    )
+                                ).alias("term"),
+                            )
+                        )
+                    ),
+                    lambda s: s["term"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.sum("n_treated")
+        ).alias("att_overall")
+    )
+    return strata.crossJoin(F.broadcast(att)).select(
+        "stratum",
+        F.col("n_cells").cast("bigint").alias("n_cells"),
+        F.col("n_treated").cast("bigint").alias("n_treated"),
+        F.col("n_control").cast("bigint").alias("n_control"),
+        "mean_treated",
+        "mean_control",
+        (F.col("mean_treated") - F.col("mean_control")).alias("stratum_diff"),
+        "att_overall",
+    )

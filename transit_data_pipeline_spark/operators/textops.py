@@ -1900,3 +1900,101 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "min_fingerprint",
     )
+
+
+#: Frequency-band upper bounds for the negative-sampling report.
+NEG_BANDS = (1, 2, 4, 8, 16, 32, 64)
+
+
+def _hex_u24_sql(expr: str) -> str:
+    """Uniform in [0,1) from the first 6 hex digits of md5(expr) —
+    24 bits assembled digit-by-digit (instr trick), identical
+    spelling in Spark SQL and DuckDB; /2^24 is an exact double."""
+    digits = " + ".join(
+        f"(instr('0123456789abcdef', substring(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"(CAST({digits} AS DOUBLE) / 16777216)"
+
+
+def _freq_band_sql(n: str) -> str:
+    clauses = " ".join(
+        f"WHEN {n} <= {e} THEN {i}" for i, e in enumerate(NEG_BANDS)
+    )
+    return f"(CASE {clauses} ELSE {len(NEG_BANDS)} END)"
+
+
+@register(
+    "negative_sampling_plan",
+    ops=("A2", "A3", "A9", "F12", "P5"),
+    doc="word2vec-style negative-sampling table plan: vocabulary "
+    "unigram counts are reweighted by freq^0.75 (computed as "
+    "sqrt(f·sqrt(f)) — IEEE sqrt is correctly rounded in both "
+    "engines, so the non-integer power is STILL bitwise "
+    "deterministic, unlike pow/exp which differ by ulps across "
+    "libms), and each token is accepted with probability w/w_max "
+    "via a stateless md5 uniform — a cluster-reproducible rejection "
+    "sample of the negative table. Reports per frequency band: "
+    "vocab size, accepted count, acceptance rate and the weight "
+    "envelope. One explode + one vocab aggregate; everything after "
+    "runs on the vocabulary frame (sub-linear in corpus rows).",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest({SQL_TOKENS}) AS term FROM documents
+),
+vocab AS (
+  SELECT term, COUNT(*) AS f,
+    sqrt(COUNT(*) * sqrt(COUNT(*))) AS w
+  FROM tok GROUP BY 1
+),
+mx AS (SELECT MAX(w) AS w_max FROM vocab),
+dec AS (
+  SELECT v.term, v.f, v.w,
+    {_hex_u24_sql("'neg:' || v.term")} < v.w / m.w_max AS accepted,
+    {_freq_band_sql("v.f")} AS band
+  FROM vocab v, mx m
+)
+SELECT band,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN accepted THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+  CAST(SUM(f) AS BIGINT) AS total_freq,
+  MIN(w) AS min_w,
+  MAX(w) AS max_w,
+  CAST(SUM(CASE WHEN accepted THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+    AS accept_rate
+FROM dec GROUP BY 1
+""",
+)
+def negative_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    vocab = (
+        d.select(F.explode(tokens_col()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .withColumn("w", F.sqrt(F.col("f") * F.sqrt(F.col("f"))))
+    )
+    mx = vocab.agg(F.max("w").alias("w_max"))
+    dec = vocab.crossJoin(F.broadcast(mx)).select(
+        "term",
+        "f",
+        "w",
+        (
+            F.expr(_hex_u24_sql("'neg:' || term"))
+            < F.col("w") / F.col("w_max")
+        ).alias("accepted"),
+        F.expr(_freq_band_sql("f")).alias("band"),
+    )
+    return dec.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("accepted"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_accepted"),
+        F.sum("f").cast("bigint").alias("total_freq"),
+        F.min("w").alias("min_w"),
+        F.max("w").alias("max_w"),
+        (
+            F.sum(F.when(F.col("accepted"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("accept_rate"),
+    )

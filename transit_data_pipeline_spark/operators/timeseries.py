@@ -952,3 +952,111 @@ def survival_km_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("log_survival"),
     ).orderBy("t")
+
+
+#: Maximum autocorrelation lag (days) scanned by acf_daily_orders.
+ACF_MAX_LAG = 14
+
+
+@register(
+    "acf_daily_orders",
+    ops=("A1", "A9", "F5", "J4", "W4"),
+    doc="Sample autocorrelation function of the daily order-count "
+    "series at lags 1..14 (weekly seasonality shows up as a spike "
+    "at lag 7) — the classic pre-forecasting diagnostic (Box & "
+    "Jenkins). All arithmetic is EXACT int64: with S = Σy and n "
+    "days, r_k = Σ(n·y_t − S)(n·y_{t−k} − S) / Σ(n·y_t − S)² — "
+    "the mean-centering is cleared of division by multiplying "
+    "through by n², so numerator and denominator are exact integer "
+    "sums and the only float op is one correctly-rounded division "
+    "per lag (bitwise identical on any engine / partition layout). "
+    "Lag pairing is a self-join on the row_number of the ~365-row "
+    "daily aggregate — the fact table is touched once; everything "
+    "after runs on the daily frame. The white-noise band is "
+    "±1.96/√n (IEEE sqrt, correctly rounded).",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS y
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1
+),
+s AS (SELECT COUNT(*) AS n, SUM(y) AS sy FROM daily),
+z AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn,
+         CAST(s.n * daily.y - s.sy AS BIGINT) AS z
+  FROM daily, s
+),
+den AS (SELECT SUM(z * z) AS den FROM z),
+pairs AS (
+  SELECT a.rn - b.rn AS lag, a.z * b.z AS zz
+  FROM z a JOIN z b
+    ON a.rn - b.rn BETWEEN 1 AND {ACF_MAX_LAG}
+)
+SELECT p.lag,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(SUM(p.zz) AS DOUBLE) / CAST(d.den AS DOUBLE) AS acf,
+  1.96 / sqrt(CAST(s.n AS DOUBLE)) AS noise_band,
+  abs(CAST(SUM(p.zz) AS DOUBLE) / CAST(d.den AS DOUBLE))
+    > 1.96 / sqrt(CAST(s.n AS DOUBLE)) AS significant
+FROM pairs p, den d, s
+GROUP BY p.lag, d.den, s.n
+""",
+)
+def acf_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy")
+    )
+    # The window runs on the ~365-row daily aggregate (single
+    # partition by construction — documented, not a fact-table sort).
+    z = (
+        daily.crossJoin(F.broadcast(stats))
+        .select(
+            F.row_number().over(Window.orderBy("d")).alias("rn"),
+            (F.col("n") * F.col("y") - F.col("sy")).cast("bigint").alias("z"),
+            "n",
+        )
+    )
+    den = z.agg(F.sum(F.col("z") * F.col("z")).alias("den"))
+    a, b = z.alias("a"), z.alias("b")
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("a.rn") - F.col("b.rn") >= 1)
+        & (F.col("a.rn") - F.col("b.rn") <= ACF_MAX_LAG),
+    ).select(
+        (F.col("a.rn") - F.col("b.rn")).alias("lag"),
+        (F.col("a.z") * F.col("b.z")).alias("zz"),
+        F.col("a.n").alias("n"),
+    )
+    acf = F.sum("zz").cast("double") / F.col("den").cast("double")
+    band = F.lit(1.96) / F.sqrt(F.col("n").cast("double"))
+    return (
+        pairs.crossJoin(F.broadcast(den))
+        .groupBy("lag", "den", "n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("zz").alias("szz"),
+        )
+        .select(
+            "lag",
+            "n_pairs",
+            (F.col("szz").cast("double") / F.col("den").cast("double")).alias(
+                "acf"
+            ),
+            band.alias("noise_band"),
+            (
+                F.abs(F.col("szz").cast("double") / F.col("den").cast("double"))
+                > band
+            ).alias("significant"),
+        )
+    )
