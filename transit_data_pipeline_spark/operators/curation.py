@@ -1011,3 +1011,250 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         emd.alias("emd_t"),
         (emd <= 0.2).alias("meets_t_02"),
     )
+
+
+@register(
+    "js_divergence_sources",
+    ops=("A3", "A9", "J5", "J10", "A11"),
+    doc="Pairwise Jensen–Shannon divergence between per-source unigram "
+    "token distributions — the corpus-curation distance that tells "
+    "you which sources are near-duplicates of each other's language "
+    "(candidates for mix rebalancing) and which add diversity. "
+    "JS(a,b) = ½KL(a‖m) + ½KL(b‖m) with m the midpoint; each "
+    "directed KL runs as the source-a term frame LEFT-joined to "
+    "source-b counts (absent term → q=0 → ln 2 branch, no outer "
+    "join needed), ln goes through the engine-rounded recipe (4 dp) "
+    "and per-pair sums are decimal-quantized (8 dp) so the fold "
+    "order can't change a bit. Work is |per-source vocab| × "
+    "(S−1) ordered pairs — linear in vocabulary, sub-linear in "
+    "corpus rows; the source grid is a broadcast.",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest({SQL_TOKENS}) AS term FROM documents
+),
+cnt AS (SELECT source, term, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+tot AS (SELECT source, SUM(n) AS big_n FROM cnt GROUP BY 1),
+grid AS (
+  SELECT a.source AS sa, a.big_n AS na, b.source AS sb, b.big_n AS nb
+  FROM tot a JOIN tot b ON a.source <> b.source
+),
+terms AS (
+  SELECT g.sa, g.sb, g.na, c.n,
+    -- L = ln(p/m) in integer tenth-milli-nats; n·L is exact int64,
+    -- and p/m = 2·n·nb / (n·nb + q_n·na) is a ratio of exact int64s,
+    -- so the only float ops before the final division are one LN and
+    -- one ROUND — the engine-rounded transcendental recipe.
+    c.n * CAST(ROUND(LN(CAST(2 * c.n * g.nb AS DOUBLE)
+                        / (c.n * g.nb + COALESCE(o.n, 0) * g.na))
+               * 10000) AS BIGINT) AS term_int,
+    CASE WHEN COALESCE(o.n, 0) > 0 THEN 1 ELSE 0 END AS common
+  FROM cnt c
+  JOIN grid g ON c.source = g.sa
+  LEFT JOIN cnt o ON o.source = g.sb AND o.term = c.term
+),
+dir_kl AS (
+  SELECT sa, sb,
+    CAST(SUM(term_int) AS DOUBLE) / na / 10000 AS kl,
+    SUM(common) AS n_common
+  FROM terms GROUP BY sa, sb, na
+)
+SELECT LEAST(sa, sb) AS source_a,
+  GREATEST(sa, sb) AS source_b,
+  SUM(kl) / 2 AS js_nats,
+  CAST(SUM(n_common) // 2 AS BIGINT) AS n_common_terms
+FROM dir_kl GROUP BY 1, 2
+""",
+)
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    tok = d.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    cnt = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("source").agg(F.sum("n").alias("big_n"))
+    grid = (
+        tot.alias("a")
+        .join(tot.alias("b"), F.col("a.source") != F.col("b.source"))
+        .select(
+            F.col("a.source").alias("sa"),
+            F.col("a.big_n").alias("na"),
+            F.col("b.source").alias("sb"),
+            F.col("b.big_n").alias("nb"),
+        )
+    )
+    other = cnt.select(
+        F.col("source").alias("sb_o"),
+        F.col("term").alias("term_o"),
+        F.col("n").alias("n_o"),
+    )
+    terms = (
+        cnt.join(F.broadcast(grid), F.col("source") == F.col("sa"))
+        .join(
+            other,
+            (F.col("sb") == F.col("sb_o")) & (F.col("term") == F.col("term_o")),
+            "left",
+        )
+        .select(
+            "sa",
+            "sb",
+            "na",
+            (
+                F.col("n")
+                * F.round(
+                    F.log(
+                        (2 * F.col("n") * F.col("nb")).cast("double")
+                        / (
+                            F.col("n") * F.col("nb")
+                            + F.coalesce(F.col("n_o"), F.lit(0)) * F.col("na")
+                        )
+                    )
+                    * 10000
+                ).cast("bigint")
+            ).alias("term_int"),
+            F.when(F.coalesce(F.col("n_o"), F.lit(0)) > 0, 1)
+            .otherwise(0)
+            .alias("common"),
+        )
+    )
+    dir_kl = terms.groupBy("sa", "sb", "na").agg(
+        (F.sum("term_int").cast("double") / F.col("na") / 10000).alias("kl"),
+        F.sum("common").alias("n_common"),
+    )
+    return dir_kl.groupBy(
+        F.least("sa", "sb").alias("source_a"),
+        F.greatest("sa", "sb").alias("source_b"),
+    ).agg(
+        (F.sum("kl") / 2).alias("js_nats"),
+        F.expr("SUM(n_common) DIV 2").cast("bigint").alias("n_common_terms"),
+    )
+
+
+#: Epoch cap for the token-budget solver, in milli-epochs (1.1 = a
+#: source may repeat at most 10% of itself).
+MIX_CAP_MILLI = 1100
+
+
+@register(
+    "token_budget_mix_solver",
+    ops=("A3", "A9", "A12", "P5", "J10"),
+    doc="Token-budget allocation under repetition caps (the "
+    "data-constrained-scaling planning step, cf. Muennighoff et al. "
+    "2023): a training budget of B = one corpus-epoch of tokens is "
+    "split uniformly across sources, but no source may contribute "
+    "more than 1.1 epochs of itself; round 1 caps the binding "
+    "sources, round 2 waterfills the freed budget equally across "
+    "the uncapped ones (re-capping where the refill overflows). "
+    "Every cross-source reduction (freed budget, uncapped count, "
+    "final allocation) folds over a source-sorted array so the "
+    "double sums are order-pinned; per-source arithmetic is int64 "
+    "counts and correctly-rounded divisions. One token-count "
+    "aggregate per source; everything after runs on the S-row "
+    "source frame.",
+    oracle=f"""
+WITH t AS (
+  SELECT source, SUM(len({SQL_TOKENS})) AS toks
+  FROM documents GROUP BY 1
+),
+g AS (
+  SELECT SUM(toks) AS b, COUNT(*) AS s FROM t
+),
+r1 AS (
+  SELECT t.source, t.toks, g.b, g.s,
+    t.toks * ({MIX_CAP_MILLI} / 1000.0) AS cap,
+    CAST(g.b AS DOUBLE) / g.s AS want,
+    CAST(g.b AS DOUBLE) / g.s > t.toks * ({MIX_CAP_MILLI} / 1000.0) AS capped
+  FROM t, g
+),
+freed AS (
+  SELECT
+    list_reduce(list(CASE WHEN capped THEN want - cap ELSE 0.0 END
+                     ORDER BY source), (x, y) -> x + y) AS freed,
+    SUM(CASE WHEN capped THEN 0 ELSE 1 END) AS n_uncapped
+  FROM r1
+),
+r2 AS (
+  SELECT r1.source, r1.toks, r1.b, r1.cap, r1.want, r1.capped,
+    CASE WHEN r1.capped THEN r1.cap
+         ELSE LEAST(r1.cap, r1.want + f.freed / f.n_uncapped) END AS final
+  FROM r1, freed f
+),
+leftover AS (
+  SELECT list_reduce(list(final ORDER BY source), (x, y) -> x + y) AS alloc
+  FROM r2
+)
+SELECT r2.source,
+  CAST(r2.toks AS BIGINT) AS tokens,
+  r2.cap AS cap_tokens,
+  LEAST(r2.want, r2.cap) AS alloc_r1,
+  r2.capped,
+  r2.final AS alloc_final,
+  r2.final / r2.toks AS epochs_final,
+  r2.final / r2.b AS final_share,
+  r2.b - l.alloc AS unallocated_tokens
+FROM r2, leftover l
+""",
+)
+def token_budget_mix_solver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    t = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("toks")
+    )
+    g = t.agg(F.sum("toks").alias("b"), F.count(F.lit(1)).alias("s"))
+    cap = F.col("toks") * (MIX_CAP_MILLI / 1000.0)
+    want = F.col("b").cast("double") / F.col("s")
+    r1 = t.crossJoin(F.broadcast(g)).select(
+        "source",
+        "toks",
+        "b",
+        "s",
+        cap.alias("cap"),
+        want.alias("want"),
+        (want > cap).alias("capped"),
+    )
+
+    def _fold(col):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", col.alias("v")))),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    freed = r1.agg(
+        _fold(
+            F.when(F.col("capped"), F.col("want") - F.col("cap")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("freed"),
+        F.sum(F.when(F.col("capped"), 0).otherwise(1)).alias("n_uncapped"),
+    )
+    r2 = r1.crossJoin(F.broadcast(freed)).select(
+        "source",
+        "toks",
+        "b",
+        "cap",
+        "want",
+        "capped",
+        F.when(F.col("capped"), F.col("cap"))
+        .otherwise(
+            F.least(
+                F.col("cap"),
+                F.col("want") + F.col("freed") / F.col("n_uncapped"),
+            )
+        )
+        .alias("final"),
+    )
+    leftover = r2.agg(_fold(F.col("final")).alias("alloc"))
+    return r2.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        F.col("toks").cast("bigint").alias("tokens"),
+        F.col("cap").alias("cap_tokens"),
+        F.least("want", "cap").alias("alloc_r1"),
+        "capped",
+        F.col("final").alias("alloc_final"),
+        (F.col("final") / F.col("toks")).alias("epochs_final"),
+        (F.col("final") / F.col("b")).alias("final_share"),
+        (F.col("b") - F.col("alloc")).alias("unallocated_tokens"),
+    )

@@ -1489,15 +1489,54 @@ FROM cum
 )
 def gains_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders", spread=True)
-    scored = o.select(
+    keyed = o.select(
+        "o_totalprice",
+        "o_orderkey",
         F.when(
             F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
         )
         .otherwise(0)
         .alias("responder"),
-        F.ntile(GAINS_DECILES)
-        .over(Window.orderBy(F.col("o_totalprice").desc(), "o_orderkey"))
-        .alias("decile"),
+    )
+    # Distributed two-phase global rank (never a single-partition
+    # NTILE window): range-partition on the sort key, row_number
+    # locally, add the exclusive prefix count of earlier partitions
+    # (a 64-row broadcast). The (score desc, orderkey) order is
+    # TOTAL, so the rank is unique and the exact-integer NTILE
+    # formula below reproduces the oracle's serial NTILE bit for bit.
+    order = (F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    part = keyed.repartitionByRange(64, *order).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local = part.withColumn(
+        "lrn", F.row_number().over(Window.partitionBy("pid").orderBy(*order))
+    )
+    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off"),
+        F.sum("cnt")
+        .over(
+            Window.orderBy("pid").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n_total"),
+    )
+    # NTILE(k) of unique 1-based rank r over N rows: the first N%k
+    # tiles take ceil(N/k) rows, the rest floor(N/k) — exact int64.
+    k = F.lit(GAINS_DECILES).cast("bigint")
+    r = (F.col("lrn") + F.col("off")).cast("bigint")
+    n_tot = F.col("n_total").cast("bigint")
+    q = F.expr(f"n_total DIV {GAINS_DECILES}")
+    m = n_tot % k
+    big = m * (q + 1)
+    decile = F.when(r <= big, (r - 1) / (q + 1)).otherwise(
+        m + (r - big - 1) / F.greatest(q, F.lit(1))
+    ).cast("bigint") + 1
+    scored = local.join(F.broadcast(offs), "pid").select(
+        "responder", decile.cast("int").alias("decile")
     )
     per = scored.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("responder").alias("resp")
