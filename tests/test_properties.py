@@ -1482,3 +1482,75 @@ def test_token_budget_solver_conserves_budget_and_respects_caps(spark, sf_dir):
     # capped after round 2 (refill overflow) — sanity: unallocated is
     # small relative to the budget on this near-uniform corpus.
     assert rows[0].unallocated_tokens < 0.1 * budget
+
+
+def test_hierarchy_closure_covers_every_customer_once(spark, sf_dir):
+    """Pointer-doubling closure: roots are exactly custkeys 0..6,
+    subtree sizes partition the customer set, and each root's
+    max_depth matches the arithmetic div-7 walk."""
+    from transit_data_pipeline_spark.operators.pipelineops import (
+        HIER_FANOUT,
+        hierarchy_closure_rollup,
+    )
+    from transit_data_pipeline_spark.catalog import table as _table
+
+    rows = hierarchy_closure_rollup(spark, sf_dir).collect()
+    n_customers = _table(spark, sf_dir, "customer").count()
+    assert {r.root for r in rows} <= set(range(HIER_FANOUT))
+    assert sum(r.subtree_size for r in rows) == n_customers
+
+    def walk(k):
+        d = 0
+        while k >= HIER_FANOUT:
+            k //= HIER_FANOUT
+            d += 1
+        return k, d
+
+    by_root = {}
+    for k in range(n_customers):
+        root, d = walk(k)
+        by_root.setdefault(root, [0, 0])
+        by_root[root][0] += 1
+        by_root[root][1] = max(by_root[root][1], d)
+    for r in rows:
+        assert by_root[r.root][0] == r.subtree_size
+        assert by_root[r.root][1] == r.max_depth
+
+
+def test_event_pattern_automaton_matches_python_dfa(spark, sf_dir):
+    """The distributed DFA fold agrees with a serial Python automaton
+    over the raw events, and the share/total bookkeeping is exact."""
+    from transit_data_pipeline_spark.operators.events import (
+        event_pattern_automaton,
+    )
+    from transit_data_pipeline_spark.catalog import table as _table
+
+    rows = event_pattern_automaton(spark, sf_dir).collect()
+    total_users = sum(r.n_users for r in rows)
+    assert all(abs(r.user_share - r.n_users / total_users) < 1e-12 for r in rows)
+    assert rows[0].total_matches == sum(r.n_matches * r.n_users for r in rows)
+
+    ev = (
+        _table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_time", "event_type")
+        .collect()
+    )
+    per_user = {}
+    for r in sorted(ev, key=lambda r: (r.event_time, r.event_id)):
+        per_user.setdefault(r.user_id, []).append(r.event_type)
+    dist = {}
+    for types in per_user.values():
+        state = cnt = 0
+        for t in types:
+            if t == "error":
+                state = 0
+            elif t == "view":
+                state = max(state, 1)
+            elif t == "click":
+                state = 2 if state >= 1 else 0
+            elif t == "purchase":
+                if state == 2:
+                    cnt += 1
+                state = 0
+        dist[cnt] = dist.get(cnt, 0) + 1
+    assert {r.n_matches: r.n_users for r in rows} == dist

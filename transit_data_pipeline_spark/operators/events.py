@@ -1594,3 +1594,126 @@ def source_freshness_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 2 * (F.col("last_ns") - F.col("first_ns"))
         ).alias("is_stale"),
     )
+
+
+#: Packed-accumulator radix for the pattern automaton (state·R + count).
+_DFA_RADIX = 1_000_000
+
+#: Event codes folded by the automaton: 0=view 1=click 2=error
+#: 3=purchase 4=other.
+_SQL_EVENT_CODE = (
+    "(CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 "
+    "WHEN 'error' THEN 2 WHEN 'purchase' THEN 3 ELSE 4 END)"
+)
+
+
+def _dfa_step_col(acc, x):
+    """One transition of the 3-state pattern DFA (view→click→purchase, "
+    "error kills the attempt, purchase restarts): accumulator is one "
+    "packed int64 state·R + count. Pure integer arithmetic — the "
+    "DuckDB twin in the oracle below is the same expression."""
+    cnt = acc % _DFA_RADIX
+    state = ((acc - cnt) / _DFA_RADIX).cast("bigint")
+    new_state = (
+        F.when(x == 2, F.lit(0).cast("bigint"))
+        .when(x == 0, F.greatest(state, F.lit(1).cast("bigint")))
+        .when(
+            x == 1,
+            F.when(state >= 1, F.lit(2).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        )
+        .when(x == 3, F.lit(0).cast("bigint"))
+        .otherwise(state)
+    )
+    new_cnt = cnt + F.when((x == 3) & (state == 2), 1).otherwise(0)
+    return (new_state * _DFA_RADIX + new_cnt).cast("bigint")
+
+
+def _dfa_step_sql(acc: str, e: str) -> str:
+    """DuckDB spelling of :func:`_dfa_step_col` (``//`` int division)."""
+    state = f"({acc} // {_DFA_RADIX})"
+    cnt = f"({acc} % {_DFA_RADIX})"
+    new_state = (
+        f"(CASE WHEN {e} = 2 THEN 0"
+        f" WHEN {e} = 0 THEN GREATEST({state}, 1)"
+        f" WHEN {e} = 1 THEN (CASE WHEN {state} >= 1 THEN 2 ELSE 0 END)"
+        f" WHEN {e} = 3 THEN 0"
+        f" ELSE {state} END)"
+    )
+    new_cnt = f"({cnt} + (CASE WHEN {e} = 3 AND {state} = 2 THEN 1 ELSE 0 END))"
+    return f"({new_state} * {_DFA_RADIX} + {new_cnt})"
+
+
+@register(
+    "event_pattern_automaton",
+    ops=("A1", "A9", "W3", "P5"),
+    doc="MATCH_RECOGNIZE-style sequence pattern matching (Spark has "
+    "none): counts NON-OVERLAPPING completions of view→click→"
+    "purchase per user where an intervening error kills the attempt "
+    "— semantics the first-occurrence funnel (event_funnel_steps) "
+    "cannot express. Each user's time-sorted event-code array is "
+    "folded through a 3-state DFA whose accumulator is one packed "
+    "int64 (state·10⁶ + count), all-integer arithmetic, so Spark's "
+    "F.aggregate and DuckDB's list_reduce (init element prepended) "
+    "agree exactly. One user-keyed aggregate; per-user state is "
+    "O(events-per-user); the unbounded-stream twin is an "
+    "applyInPandasWithState session fold.",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, {_SQL_EVENT_CODE} AS e, {SQL_EVENT_TIME} AS et, event_id
+  FROM events
+),
+folded AS (
+  SELECT user_id,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+                   list(CAST(e AS BIGINT) ORDER BY et, event_id)),
+      (acc, x) -> {_dfa_step_sql("acc", "x")}
+    ) % {_DFA_RADIX} AS n_matches
+  FROM ev GROUP BY 1
+),
+tot AS (SELECT COUNT(*) AS n_users_total, SUM(n_matches) AS total_matches
+        FROM folded)
+SELECT f.n_matches,
+  CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(COUNT(*) AS DOUBLE) / t.n_users_total AS user_share,
+  CAST(t.total_matches AS BIGINT) AS total_matches
+FROM folded f, tot t
+GROUP BY f.n_matches, t.n_users_total, t.total_matches
+""",
+)
+def event_pattern_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_time",
+        F.expr(_SQL_EVENT_CODE).cast("bigint").alias("e"),
+    )
+    codes = F.transform(
+        F.array_sort(F.collect_list(F.struct("event_time", "event_id", "e"))),
+        lambda s: s["e"],
+    )
+    folded = e.groupBy("user_id").agg(
+        (
+            F.aggregate(codes, F.lit(0).cast("bigint"), _dfa_step_col)
+            % _DFA_RADIX
+        ).alias("n_matches")
+    )
+    tot = folded.agg(
+        F.count(F.lit(1)).alias("n_users_total"),
+        F.sum("n_matches").alias("total_matches"),
+    )
+    return (
+        folded.crossJoin(F.broadcast(tot))
+        .groupBy("n_matches", "n_users_total", "total_matches")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(
+            "n_matches",
+            "n_users",
+            (F.col("n_users").cast("double") / F.col("n_users_total")).alias(
+                "user_share"
+            ),
+            F.col("total_matches").cast("bigint").alias("total_matches"),
+        )
+    )

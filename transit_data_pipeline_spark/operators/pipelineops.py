@@ -1777,3 +1777,83 @@ def ivm_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.col("rev_dec").cast("double").alias("revenue"),
     )
+
+
+#: Fan-out of the synthetic customer hierarchy (parent = custkey DIV 7).
+HIER_FANOUT = 7
+
+
+@register(
+    "hierarchy_closure_rollup",
+    ops=("J4", "A1", "A3", "A11"),
+    doc="Recursive-hierarchy rollup WITHOUT a recursive CTE (Spark has "
+    "none): a synthetic reporting tree over customers (parent = "
+    "custkey div 7, custkeys 0..6 are roots) is resolved to "
+    "(node → root, depth) by POINTER DOUBLING — the jump table "
+    "starts as the parent map with self-loops at roots and is "
+    "squared 4 times, so 4 self-equi-joins reach any depth ≤ 16 "
+    "(ceil(log2 depth) joins, each co-partitionable on the join "
+    "key; a row-by-row loop would need depth iterations). Steps "
+    "compose additively with 0-cost self-loops, so the step sum IS "
+    "the true depth. Rollup then aggregates each root's subtree: "
+    "size, decimal-exact balance, deepest leaf. The DuckDB oracle "
+    "is the plain WITH RECURSIVE walk — same rows, engine-idiomatic "
+    "each side.",
+    oracle=f"""
+WITH RECURSIVE walk AS (
+  SELECT c_custkey AS node, c_custkey AS anc, 0 AS d FROM customer
+  UNION ALL
+  SELECT node, anc // {HIER_FANOUT}, d + 1 FROM walk
+  WHERE anc >= {HIER_FANOUT}
+),
+resolved AS (
+  SELECT node, anc AS root, d AS depth FROM walk WHERE anc < {HIER_FANOUT}
+)
+SELECT r.root,
+  CAST(COUNT(*) AS BIGINT) AS subtree_size,
+  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS subtree_balance,
+  CAST(MAX(r.depth) AS BIGINT) AS max_depth
+FROM resolved r JOIN customer c ON r.node = c.c_custkey
+GROUP BY 1
+""",
+)
+def hierarchy_closure_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer", spread=True)
+    # Jump table J1: parent pointer, self-loop (0 steps) at roots.
+    j = c.select(
+        F.col("c_custkey").alias("node"),
+        F.when(
+            F.col("c_custkey") >= HIER_FANOUT,
+            F.expr(f"c_custkey DIV {HIER_FANOUT}"),
+        )
+        .otherwise(F.col("c_custkey"))
+        .alias("target"),
+        F.when(F.col("c_custkey") >= HIER_FANOUT, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("steps"),
+    )
+    # Square 4 times: J2 = J1∘J1, ... J16 — every node's target is its
+    # root once 2^k exceeds the tree depth (roots are fixpoints, so
+    # overshooting composes 0-step self-loops).
+    for i in range(4):
+        a, b = j.alias("a"), j.alias("b")
+        j = a.join(b, F.col("a.target") == F.col("b.node")).select(
+            F.col("a.node").alias("node"),
+            F.col("b.target").alias("target"),
+            (F.col("a.steps") + F.col("b.steps")).alias("steps"),
+        )
+    resolved = j.select(
+        "node", F.col("target").alias("root"), F.col("steps").alias("depth")
+    )
+    return (
+        resolved.join(c, F.col("node") == F.col("c_custkey"))
+        .groupBy("root")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("subtree_size"),
+            F.sum(F.col("c_acctbal").cast(N.DEC))
+            .cast("double")
+            .alias("subtree_balance"),
+            F.max("depth").cast("bigint").alias("max_depth"),
+        )
+    )
