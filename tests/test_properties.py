@@ -1554,3 +1554,86 @@ def test_event_pattern_automaton_matches_python_dfa(spark, sf_dir):
                 state = 0
         dist[cnt] = dist.get(cnt, 0) + 1
     assert {r.n_matches: r.n_users for r in rows} == dist
+
+
+def test_gap_fill_linear_interp_brackets_and_exact_on_observed(spark, sf_dir):
+    from transit_data_pipeline_spark.operators.timeseries import (
+        _daily,
+        gap_fill_linear_interp,
+    )
+
+    rows = gap_fill_linear_interp(spark, sf_dir).collect()
+    assert rows and all(r.y_filled is not None for r in rows)
+    observed = {
+        (r.o_orderpriority, r.d.isoformat()): r.n_orders
+        for r in _daily(spark, sf_dir).select(
+            "o_orderpriority", "d", "n_orders"
+        ).collect()
+    }
+    by_prio = {}
+    for r in sorted(rows, key=lambda r: (r.o_orderpriority, r.order_day)):
+        by_prio.setdefault(r.o_orderpriority, []).append(r)
+    for prio, seq in by_prio.items():
+        assert not seq[0].is_gap and not seq[-1].is_gap
+        for r in seq:
+            key = (prio, r.order_day)
+            if not r.is_gap:
+                assert r.y_filled == observed[key]
+            else:
+                assert key not in observed
+        lo = min(observed[k] for k in observed if k[0] == prio)
+        hi = max(observed[k] for k in observed if k[0] == prio)
+        for r in seq:
+            assert lo - 1e-9 <= r.y_filled <= hi + 1e-9
+
+
+def test_time_decay_attribution_shares_and_bounds(spark, sf_dir):
+    from transit_data_pipeline_spark.operators.events import (
+        time_decay_attribution,
+    )
+    from transit_data_pipeline_spark.catalog import table as _table
+
+    rows = time_decay_attribution(spark, sf_dir).collect()
+    assert {r.event_type for r in rows} <= {"view", "click"}
+    assert abs(sum(r.credit_share for r in rows) - 1.0) < 1e-12
+    n_purchases = (
+        _table(spark, sf_dir, "events")
+        .filter("event_type = 'purchase'")
+        .count()
+    )
+    for r in rows:
+        assert r.credited_value > 0
+        assert 0 < r.n_conversions_touched <= n_purchases
+        assert r.n_touches >= r.n_conversions_touched
+
+
+def test_topk_two_level_merge_certificate_is_sound(spark, sf_dir):
+    """When the certificate says exact, the result IS the true global
+    top-k (verified against a full aggregate); ranks and counts are
+    properly ordered either way."""
+    from pyspark.sql import functions as F
+    from transit_data_pipeline_spark.operators.sketches import (
+        TOPK_K,
+        topk_two_level_merge,
+    )
+    from transit_data_pipeline_spark.catalog import table as _table
+
+    rows = sorted(topk_two_level_merge(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, TOPK_K + 1))
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.global_count >= cur.global_count
+    for r in rows:
+        assert r.row_provably_top == (r.global_count >= r.unseen_bound)
+    if rows[0].topk_provably_exact:
+        truth = (
+            _table(spark, sf_dir, "documents")
+            .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+            .groupBy("term")
+            .count()
+            .orderBy(F.col("count").desc(), "term")
+            .limit(TOPK_K)
+            .collect()
+        )
+        assert [(r.term, r.global_count) for r in rows] == [
+            (t.term, t["count"]) for t in truth
+        ]

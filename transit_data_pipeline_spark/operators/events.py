@@ -1717,3 +1717,105 @@ def event_pattern_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_matches").cast("bigint").alias("total_matches"),
         )
     )
+
+
+#: Time-decay attribution: half-life 12h, lookback 7 days → decay
+#: exponent h ∈ 0..13; weights are exact powers of two scaled to
+#: int64 (2^(14−h)), so every credit is integer arithmetic.
+_TDA_HALFLIFE_US = 12 * 3600 * 1_000_000
+_TDA_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000
+_TDA_SCALE = 16384  # 2^14
+_TDA_W_CASE = (
+    "(CASE h "
+    + " ".join(f"WHEN {h} THEN {2 ** (14 - h)}" for h in range(14))
+    + " ELSE 0 END)"
+)
+#: credit_int → credited currency units: / (2^14 · 100 cents).
+_TDA_DENOM = _TDA_SCALE * 100
+
+
+@register(
+    "time_decay_attribution",
+    ops=("J7", "A2", "A3", "A9"),
+    doc="Time-decay marketing attribution (the exponential-decay "
+    "sibling of event_attribution_last_touch): every view/click in "
+    "the 7 days before a purchase earns credit value·2^-⌊Δt/12h⌋. "
+    "Half-life decay over a bounded lookback means the weight is an "
+    "exact power of two (int64 via a 14-entry CASE table — no "
+    "pow()), the purchase value is exact cents, and per-type credit "
+    "totals are exact int64 sums — fully deterministic, no float "
+    "accumulation anywhere; the only divisions are the final "
+    "per-type readouts. The touch×purchase pairing is a user-keyed "
+    "equi-join with a time-range predicate (pair count bounded by "
+    "per-user activity × lookback).",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id AS p_id, user_id, epoch_ns(ts) // 1000 AS p_us,
+    CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t_us
+  FROM events WHERE event_type IN ('view', 'click')
+),
+pair AS (
+  SELECT t.event_type, p.p_id, p.cents,
+    (p.p_us - t.t_us) // {_TDA_HALFLIFE_US} AS h
+  FROM t JOIN p ON t.user_id = p.user_id
+  WHERE t.t_us < p.p_us AND p.p_us - t.t_us <= {_TDA_LOOKBACK_US}
+),
+cred AS (
+  SELECT event_type,
+    COUNT(*) AS n_touches,
+    COUNT(DISTINCT p_id) AS n_conversions_touched,
+    SUM(cents * {_TDA_W_CASE}) AS credit_int
+  FROM pair GROUP BY 1
+),
+g AS (SELECT SUM(credit_int) AS grand FROM cred)
+SELECT c.event_type,
+  CAST(c.n_touches AS BIGINT) AS n_touches,
+  CAST(c.n_conversions_touched AS BIGINT) AS n_conversions_touched,
+  CAST(c.credit_int AS DOUBLE) / {_TDA_DENOM} AS credited_value,
+  CAST(c.credit_int AS DOUBLE) / g.grand AS credit_share
+FROM cred c, g
+""",
+)
+def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.expr("ts DIV 1000").alias("p_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    t = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "event_type", F.expr("ts DIV 1000").alias("t_us")
+    )
+    pair = t.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("t_us") < F.col("p_us"))
+        & (F.col("p_us") - F.col("t_us") <= _TDA_LOOKBACK_US),
+    ).select(
+        "event_type",
+        "p_id",
+        "cents",
+        F.expr(f"(p_us - t_us) DIV {_TDA_HALFLIFE_US}").alias("h"),
+    )
+    cred = pair.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.countDistinct("p_id").cast("bigint").alias("n_conversions_touched"),
+        F.sum(F.col("cents") * F.expr(_TDA_W_CASE)).alias("credit_int"),
+    )
+    g = cred.agg(F.sum("credit_int").alias("grand"))
+    return cred.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_touches",
+        "n_conversions_touched",
+        (F.col("credit_int").cast("double") / _TDA_DENOM).alias(
+            "credited_value"
+        ),
+        (F.col("credit_int").cast("double") / F.col("grand")).alias(
+            "credit_share"
+        ),
+    )

@@ -1008,3 +1008,107 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+#: Two-level top-k geometry: shards, per-shard candidates, final k.
+TOPK_SHARDS = 8
+TOPK_LOCAL_M = 20
+TOPK_K = 10
+
+#: Shared SQL spelling of the tokenizer (kept in sync with
+#: textops.SQL_TOKENS — re-derived here to avoid a circular import).
+_TOPK_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@register(
+    "topk_two_level_merge",
+    ops=("A1", "W4", "O1", "J9"),
+    doc="Distributed top-k with an EXACTNESS CERTIFICATE (threshold-"
+    "algorithm bound, cf. Fagin et al.): token counts are first "
+    "aggregated per doc-hash shard (a partial aggregate — no global "
+    "all-terms shuffle), each shard contributes its local top-20 "
+    "and its 20th-place count τ_s; any term unreported everywhere "
+    "can have global count at most Σ τ_s, so after exactly "
+    "re-scoring ONLY the ≤160 candidates, the result is provably "
+    "the true global top-10 whenever the k-th candidate count ≥ "
+    "Σ τ_s — the flag is emitted, not assumed. This is the 100 TB "
+    "shape for heavy hitters: per-shard state is fixed (m rows), "
+    "the merge touches S·m rows, and the rescore is a broadcast "
+    "semi-join, never a full-vocabulary global sort.",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id % {TOPK_SHARDS} AS shard, unnest({_TOPK_TOKENS}) AS term
+  FROM documents
+),
+local AS (
+  SELECT shard, term, COUNT(*) AS n FROM tok GROUP BY 1, 2
+),
+ranked AS (
+  SELECT shard, term, n,
+    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY n DESC, term) AS r
+  FROM local
+),
+kept AS (SELECT * FROM ranked WHERE r <= {TOPK_LOCAL_M}),
+tau AS (SELECT SUM(mn) AS bound FROM
+        (SELECT shard, MIN(n) AS mn FROM kept GROUP BY 1)),
+cand AS (SELECT DISTINCT term FROM kept),
+exact AS (
+  SELECT l.term, SUM(l.n) AS global_count
+  FROM local l JOIN cand c ON l.term = c.term
+  GROUP BY 1
+),
+top AS (
+  SELECT term, global_count,
+    ROW_NUMBER() OVER (ORDER BY global_count DESC, term) AS rank
+  FROM exact
+)
+SELECT t.rank, t.term,
+  CAST(t.global_count AS BIGINT) AS global_count,
+  CAST(u.bound AS BIGINT) AS unseen_bound,
+  t.global_count >= u.bound AS row_provably_top,
+  MIN(t.global_count) OVER () >= u.bound AS topk_provably_exact
+FROM top t, tau u
+WHERE t.rank <= {TOPK_K}
+""",
+)
+def topk_two_level_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    tok = d.select(
+        (F.col("doc_id") % TOPK_SHARDS).alias("shard"),
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("term"),
+    )
+    local = tok.groupBy("shard", "term").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.partitionBy("shard").orderBy(F.col("n").desc(), "term")
+    kept = local.withColumn("r", F.row_number().over(wr)).filter(
+        F.col("r") <= TOPK_LOCAL_M
+    )
+    tau = (
+        kept.groupBy("shard")
+        .agg(F.min("n").alias("mn"))
+        .agg(F.sum("mn").alias("bound"))
+    )
+    cand = kept.select("term").distinct()
+    exact = (
+        local.join(F.broadcast(cand), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.sum("n").alias("global_count"))
+    )
+    top = exact.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("global_count").desc(), "term")
+        ),
+    ).filter(F.col("rank") <= TOPK_K)
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return top.crossJoin(F.broadcast(tau)).select(
+        "rank",
+        "term",
+        F.col("global_count").cast("bigint").alias("global_count"),
+        F.col("bound").cast("bigint").alias("unseen_bound"),
+        (F.col("global_count") >= F.col("bound")).alias("row_provably_top"),
+        (F.min("global_count").over(wall) >= F.col("bound")).alias(
+            "topk_provably_exact"
+        ),
+    )

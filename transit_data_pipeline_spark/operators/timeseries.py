@@ -1060,3 +1060,114 @@ def acf_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("significant"),
         )
     )
+
+
+@register(
+    "gap_fill_linear_interp",
+    ops=("F7", "W9", "J5", "A9"),
+    doc="Calendar gap fill by LINEAR INTERPOLATION between the "
+    "bracketing observed days (the sensor-series upgrade of "
+    "gap_fill_locf, which carries the last value flat): per "
+    "priority the full calendar is generated, missing days find "
+    "their previous/next observed (day, count) via IGNORE NULLS "
+    "window frames, and the fill is the single exact division "
+    "(y_prev·gap + Δy·offset)/gap — numerator and denominator are "
+    "exact int64, so the interpolated double is bitwise identical "
+    "on any engine/layout. Edges can't dangle (the calendar spans "
+    "observed min..max). One fact aggregate; everything after runs "
+    "on the ~365-row-per-priority calendar frame.",
+    oracle=f"""
+WITH daily AS ({_DAILY_SQL}),
+b AS (
+  SELECT o_orderpriority, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1
+),
+cal AS (
+  SELECT b.o_orderpriority, CAST(u.g AS DATE) AS day
+  FROM b, UNNEST(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) u(g)
+),
+j AS (
+  SELECT c.o_orderpriority, c.day, dl.n_orders AS y
+  FROM cal c LEFT JOIN daily dl
+    ON c.o_orderpriority = dl.o_orderpriority AND c.day = dl.d
+),
+br AS (
+  SELECT *,
+    last_value(y IGNORE NULLS) OVER
+      (PARTITION BY o_orderpriority ORDER BY day
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y_prev,
+    last_value(CASE WHEN y IS NOT NULL THEN day END IGNORE NULLS) OVER
+      (PARTITION BY o_orderpriority ORDER BY day
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d_prev,
+    first_value(y IGNORE NULLS) OVER
+      (PARTITION BY o_orderpriority ORDER BY day
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS y_next,
+    first_value(CASE WHEN y IS NOT NULL THEN day END IGNORE NULLS) OVER
+      (PARTITION BY o_orderpriority ORDER BY day
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS d_next
+  FROM j
+)
+SELECT o_orderpriority,
+  strftime(day, '%Y-%m-%d') AS order_day,
+  y IS NULL AS is_gap,
+  CASE WHEN y IS NOT NULL THEN CAST(y AS DOUBLE)
+       ELSE CAST(y_prev * date_diff('day', d_prev, d_next)
+                 + (y_next - y_prev) * date_diff('day', d_prev, day)
+                 AS DOUBLE)
+            / date_diff('day', d_prev, d_next)
+  END AS y_filled
+FROM br
+""",
+)
+def gap_fill_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir).select(
+        "o_orderpriority", "d", F.col("n_orders").alias("y")
+    )
+    b = daily.groupBy("o_orderpriority").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    cal = b.select(
+        "o_orderpriority",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    j = cal.join(
+        daily,
+        (cal["o_orderpriority"] == daily["o_orderpriority"])
+        & (cal["day"] == daily["d"]),
+        "left",
+    ).select(cal["o_orderpriority"], "day", "y")
+    wp = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("y").isNotNull(), F.col("day"))
+    br = j.select(
+        "o_orderpriority",
+        "day",
+        "y",
+        F.last("y", ignorenulls=True).over(wp).alias("y_prev"),
+        F.last(obs_day, ignorenulls=True).over(wp).alias("d_prev"),
+        F.first("y", ignorenulls=True).over(wn).alias("y_next"),
+        F.first(obs_day, ignorenulls=True).over(wn).alias("d_next"),
+    )
+    gap = F.datediff("d_next", "d_prev")
+    off = F.datediff("day", "d_prev")
+    return br.select(
+        "o_orderpriority",
+        F.date_format("day", "yyyy-MM-dd").alias("order_day"),
+        F.col("y").isNull().alias("is_gap"),
+        F.when(F.col("y").isNotNull(), F.col("y").cast("double"))
+        .otherwise(
+            (
+                F.col("y_prev") * gap
+                + (F.col("y_next") - F.col("y_prev")) * off
+            ).cast("double")
+            / gap
+        )
+        .alias("y_filled"),
+    )
