@@ -1637,3 +1637,49 @@ def test_topk_two_level_merge_certificate_is_sound(spark, sf_dir):
         assert [(r.term, r.global_count) for r in rows] == [
             (t.term, t["count"]) for t in truth
         ]
+
+
+def test_ridge_closed_form_matches_numpy_solve(spark, sf_dir):
+    """Cramer's-rule coefficients agree with numpy solving the same
+    ridge normal equations built from the raw rows."""
+    import numpy as np
+    from transit_data_pipeline_spark.operators.mlops import (
+        RIDGE_LAMBDA,
+        ridge_regression_closed_form,
+    )
+    from transit_data_pipeline_spark.catalog import table as _table
+
+    row = ridge_regression_closed_form(spark, sf_dir).collect()[0]
+    li = (
+        _table(spark, sf_dir, "lineitem")
+        .select("l_quantity", "l_discount", "l_extendedprice")
+        .collect()
+    )
+    X = np.array([[r.l_quantity, r.l_discount, 1.0] for r in li])
+    y = np.array([r.l_extendedprice for r in li])
+    A = X.T @ X + RIDGE_LAMBDA * np.eye(3)
+    w = np.linalg.solve(A, X.T @ y)
+    assert row.n_rows == len(li)
+    assert abs(row.w_qty - w[0]) < 1e-6 * max(1, abs(w[0]))
+    assert abs(row.w_disc - w[1]) < 1e-4 * max(1, abs(w[1]))
+    assert abs(row.w_0 - w[2]) < 1e-6 * max(1, abs(w[2]))
+    assert 0.0 < row.r_squared <= 1.0
+
+
+def test_jl_projection_distortion_is_centred(spark, sf_dir):
+    """±1 JL: per-pair ratios straddle 1, the aggregate distortion is
+    inside the per-pair envelope and near 1 (k=16 gives loose but
+    real concentration)."""
+    from transit_data_pipeline_spark.operators.similarity import (
+        JL_K,
+        JL_SIGNS,
+        jl_random_projection,
+    )
+
+    assert len(JL_SIGNS) == JL_K and all(len(r) == 64 for r in JL_SIGNS)
+    assert all(s in (-1, 1) for r in JL_SIGNS for s in r)
+    row = jl_random_projection(spark, sf_dir).collect()[0]
+    assert row.n_pairs > 0
+    assert 0.0 <= row.min_ratio <= row.agg_distortion <= row.max_ratio
+    assert 0.4 < row.agg_distortion < 1.6
+    assert 0.0 <= row.frac_within_50 <= 1.0

@@ -1576,3 +1576,166 @@ def gains_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
         .alias("ks_statistic"),
     )
+
+
+#: Ridge penalty for the closed-form regression (applied to every
+#: coefficient incl. the intercept — documented simplification).
+RIDGE_LAMBDA = 1.0
+
+
+@register(
+    "ridge_regression_closed_form",
+    ops=("A3", "A9", "A12"),
+    doc="Distributed ridge regression WITHOUT an ML library: predict "
+    "l_extendedprice from (l_quantity, l_discount, 1) by "
+    "accumulating the 3×3 normal-equation sufficient statistics "
+    "(Σx², Σxd, Σxy, …) as ONE decimal-exact aggregate pass over "
+    "the fact table, then solving (XᵀX + λI)w = Xᵀy in closed form "
+    "via Cramer's rule on the 1-row stats frame — a fixed "
+    "polynomial of exactly-summed entries, so the coefficients and "
+    "R² are bitwise deterministic on any partition layout (the "
+    "classic 'ML on sufficient statistics' pattern: the model fits "
+    "in one row no matter how many rows X has). λ = 1 regularizes "
+    "all three coefficients (incl. intercept — documented).",
+    oracle=f"""
+WITH s AS (
+  SELECT
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+             * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+             * CAST(l_discount AS DECIMAL(19,4))) AS DOUBLE) AS sxd,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_discount AS DECIMAL(19,4))
+             * CAST(l_discount AS DECIMAL(19,4))) AS DOUBLE) AS sdd,
+    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sd,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+             * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(l_discount AS DECIMAL(19,4))
+             * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sdy,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+             * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy
+  FROM lineitem
+),
+m AS (
+  SELECT *,
+    sxx + {RIDGE_LAMBDA} AS a11, sxd AS a12, sx AS a13,
+    sdd + {RIDGE_LAMBDA} AS a22, sd AS a23,
+    n + {RIDGE_LAMBDA} AS a33
+  FROM s
+),
+det AS (
+  SELECT *,
+    a11 * (a22 * a33 - a23 * a23)
+    - a12 * (a12 * a33 - a23 * a13)
+    + a13 * (a12 * a23 - a22 * a13) AS d
+  FROM m
+),
+w AS (
+  SELECT *,
+    (sxy * (a22 * a33 - a23 * a23)
+     - a12 * (sdy * a33 - a23 * sy)
+     + a13 * (sdy * a23 - a22 * sy)) / d AS w_qty,
+    (a11 * (sdy * a33 - a23 * sy)
+     - sxy * (a12 * a33 - a23 * a13)
+     + a13 * (a12 * sy - sdy * a13)) / d AS w_disc,
+    (a11 * (a22 * sy - sdy * a23)
+     - a12 * (a12 * sy - sdy * a13)
+     + sxy * (a12 * a23 - a22 * a13)) / d AS w_0
+  FROM det
+)
+SELECT CAST(n AS BIGINT) AS n_rows, w_qty, w_disc, w_0,
+  1.0 - (syy
+         - 2.0 * (w_qty * sxy + w_disc * sdy + w_0 * sy)
+         + (w_qty * w_qty * sxx + w_disc * w_disc * sdd + w_0 * w_0 * n
+            + 2.0 * w_qty * w_disc * sxd + 2.0 * w_qty * w_0 * sx
+            + 2.0 * w_disc * w_0 * sd))
+        / (syy - sy * sy / n) AS r_squared
+FROM w
+""",
+)
+def ridge_regression_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem", spread=True)
+    dq = F.col("l_quantity").cast("decimal(18,4)")
+    dd = F.col("l_discount").cast("decimal(18,4)")
+    dy = F.col("l_extendedprice").cast("decimal(18,4)")
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dq * dq).cast("double").alias("sxx"),
+        F.sum(dq * dd).cast("double").alias("sxd"),
+        F.sum(dq).cast("double").alias("sx"),
+        F.sum(dd * dd).cast("double").alias("sdd"),
+        F.sum(dd).cast("double").alias("sd"),
+        F.sum(dq * dy).cast("double").alias("sxy"),
+        F.sum(dd * dy).cast("double").alias("sdy"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+    )
+    lam = F.lit(RIDGE_LAMBDA)
+    m = s.select(
+        "*",
+        (F.col("sxx") + lam).alias("a11"),
+        F.col("sxd").alias("a12"),
+        F.col("sx").alias("a13"),
+        (F.col("sdd") + lam).alias("a22"),
+        F.col("sd").alias("a23"),
+        (F.col("n") + lam).alias("a33"),
+    )
+    c = F.col
+    det = m.select(
+        "*",
+        (
+            c("a11") * (c("a22") * c("a33") - c("a23") * c("a23"))
+            - c("a12") * (c("a12") * c("a33") - c("a23") * c("a13"))
+            + c("a13") * (c("a12") * c("a23") - c("a22") * c("a13"))
+        ).alias("d"),
+    )
+    w = det.select(
+        "*",
+        (
+            (
+                c("sxy") * (c("a22") * c("a33") - c("a23") * c("a23"))
+                - c("a12") * (c("sdy") * c("a33") - c("a23") * c("sy"))
+                + c("a13") * (c("sdy") * c("a23") - c("a22") * c("sy"))
+            )
+            / c("d")
+        ).alias("w_qty"),
+        (
+            (
+                c("a11") * (c("sdy") * c("a33") - c("a23") * c("sy"))
+                - c("sxy") * (c("a12") * c("a33") - c("a23") * c("a13"))
+                + c("a13") * (c("a12") * c("sy") - c("sdy") * c("a13"))
+            )
+            / c("d")
+        ).alias("w_disc"),
+        (
+            (
+                c("a11") * (c("a22") * c("sy") - c("sdy") * c("a23"))
+                - c("a12") * (c("a12") * c("sy") - c("sdy") * c("a13"))
+                + c("sxy") * (c("a12") * c("a23") - c("a22") * c("a13"))
+            )
+            / c("d")
+        ).alias("w_0"),
+    )
+    sse = (
+        c("syy")
+        - 2.0 * (c("w_qty") * c("sxy") + c("w_disc") * c("sdy") + c("w_0") * c("sy"))
+        + (
+            c("w_qty") * c("w_qty") * c("sxx")
+            + c("w_disc") * c("w_disc") * c("sdd")
+            + c("w_0") * c("w_0") * c("n")
+            + 2.0 * c("w_qty") * c("w_disc") * c("sxd")
+            + 2.0 * c("w_qty") * c("w_0") * c("sx")
+            + 2.0 * c("w_disc") * c("w_0") * c("sd")
+        )
+    )
+    return w.select(
+        c("n").cast("bigint").alias("n_rows"),
+        "w_qty",
+        "w_disc",
+        "w_0",
+        (F.lit(1.0) - sse / (c("syy") - c("sy") * c("sy") / c("n"))).alias(
+            "r_squared"
+        ),
+    )

@@ -1154,3 +1154,144 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("pn").cast("double") / 5).alias("recall_at_5"),
         F.max((F.col("r_full") == 1) & (F.col("r_pre") == 1)).alias("top1_match"),
     )
+
+
+#: Johnson–Lindenstrauss target dimension and the ±1 sign matrix
+#: (md5-derived, computed once in Python → identical literals in both
+#: engines; Achlioptas 2001 shows ±1 entries suffice for JL).
+JL_K = 16
+JL_SIGNS = [
+    [
+        1
+        if int(
+            __import__("hashlib")
+            .md5(f"jl:{j}:{i}".encode())
+            .hexdigest()[0],
+            16,
+        )
+        % 2
+        == 0
+        else -1
+        for i in range(64)
+    ]
+    for j in range(JL_K)
+]
+
+
+from .mlprep import _SQL_QVEC as _JL_QVEC  # noqa: E402 (shared q-grid recipe)
+
+
+def _jl_sql_list(j: int) -> str:
+    return "[" + ", ".join(str(s) for s in JL_SIGNS[j]) + "]"
+
+
+@register(
+    "jl_random_projection",
+    ops=("A3", "A9", "J5", "F12"),
+    doc="Johnson–Lindenstrauss random projection 64→16 dims with a "
+    "distortion audit: embeddings are quantized to the repo's exact "
+    "2^-20 integer grid, the projection matrix is ±1 signs (md5-"
+    "derived Python literals — Achlioptas-style, no gaussians "
+    "needed), so every projected coordinate, every original and "
+    "projected pairwise distance, and the aggregate distortion are "
+    "EXACT int64 arithmetic — sum order cannot matter. Audited on "
+    "the deterministic consecutive-id pair set: per-pair ratio "
+    "proj²/(k·orig²), reporting the envelope, the ±50% capture "
+    "fraction, and the aggregate distortion Σproj²/(k·Σorig²) as "
+    "one int/int division. Projection is a map-only pass (16 "
+    "folds over 64 dims per row) — embarrassingly parallel at any "
+    "scale; this is the cheap front half of every LSH/ANN stack.",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, {_JL_QVEC} AS q FROM embeddings
+),
+proj AS (
+  SELECT vec_id, q,
+    [{", ".join(
+        f"list_reduce(list_transform(generate_series(1, 64), "
+        f"i -> q[i] * ({_jl_sql_list(j)})[i]), (a, b) -> a + b)"
+        for j in range(JL_K)
+    )}] AS p
+  FROM q
+),
+pair AS (
+  SELECT a.vec_id AS va,
+    list_reduce(list_transform(generate_series(1, 64),
+      i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i])), (x, y) -> x + y)
+      AS orig_d2,
+    list_reduce(list_transform(generate_series(1, {JL_K}),
+      j -> (a.p[j] - b.p[j]) * (a.p[j] - b.p[j])), (x, y) -> x + y)
+      AS proj_d2
+  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+),
+r AS (
+  SELECT *, CAST(proj_d2 AS DOUBLE) / ({JL_K} * orig_d2) AS ratio
+  FROM pair WHERE orig_d2 > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  MIN(ratio) AS min_ratio,
+  MAX(ratio) AS max_ratio,
+  CAST(SUM(CASE WHEN abs(ratio - 1.0) <= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*) AS frac_within_50,
+  CAST(SUM(proj_d2) AS DOUBLE) / ({JL_K} * SUM(orig_d2)) AS agg_distortion
+FROM r
+""",
+)
+def jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .mlprep import _q_col
+
+    e = table(spark, sf_dir, "embeddings", spread=True)
+    q = e.select("vec_id", _q_col(F.col("embedding")).alias("q"))
+
+    def proj_col(j: int):
+        signs = F.array(*[F.lit(s).cast("bigint") for s in JL_SIGNS[j]])
+        return F.aggregate(
+            F.zip_with(F.col("q"), signs, lambda x, s: x * s),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    proj = q.select(
+        "vec_id", "q", F.array(*[proj_col(j) for j in range(JL_K)]).alias("p")
+    )
+    a = proj.select(
+        F.col("vec_id").alias("va"),
+        F.col("q").alias("qa"),
+        F.col("p").alias("pa"),
+    )
+    b = proj.select(
+        F.col("vec_id").alias("vb"),
+        F.col("q").alias("qb"),
+        F.col("p").alias("pb"),
+    )
+
+    def sq(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    pair = a.join(b, F.col("vb") == F.col("va") + 1).select(
+        sq(F.col("qa"), F.col("qb")).alias("orig_d2"),
+        sq(F.col("pa"), F.col("pb")).alias("proj_d2"),
+    )
+    r = pair.filter(F.col("orig_d2") > 0).withColumn(
+        "ratio",
+        F.col("proj_d2").cast("double") / (JL_K * F.col("orig_d2")),
+    )
+    return r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.min("ratio").alias("min_ratio"),
+        F.max("ratio").alias("max_ratio"),
+        (
+            F.sum(
+                F.when(F.abs(F.col("ratio") - 1.0) <= 0.5, 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("frac_within_50"),
+        (
+            F.sum("proj_d2").cast("double")
+            / (JL_K * F.sum("orig_d2")).cast("double")
+        ).alias("agg_distortion"),
+    )
