@@ -1683,3 +1683,37 @@ def test_jl_projection_distortion_is_centred(spark, sf_dir):
     assert 0.0 <= row.min_ratio <= row.agg_distortion <= row.max_ratio
     assert 0.4 < row.agg_distortion < 1.6
     assert 0.0 <= row.frac_within_50 <= 1.0
+
+
+def test_decision_stump_gain_bookkeeping(spark, sf_dir):
+    from transit_data_pipeline_spark.operators.mlops import (
+        decision_stump_gain,
+    )
+
+    rows = decision_stump_gain(spark, sf_dir).collect()
+    assert rows
+    assert sum(1 for r in rows if r.is_best) == 1
+    best = max(r.info_gain for r in rows)
+    assert any(r.is_best and r.info_gain == best for r in rows)
+    n_all = rows[0].n_left + rows[0].n_right
+    pos_all = rows[0].pos_left + rows[0].pos_right
+    for r in rows:
+        assert r.n_left + r.n_right == n_all
+        assert r.pos_left + r.pos_right == pos_all
+        assert 0 < r.n_left < n_all
+        assert r.info_gain > -1e-3  # exact-math IG ≥ 0; ln rounded at 4dp
+
+
+def test_shapley_attribution_efficiency_axiom(spark, sf_dir):
+    from transit_data_pipeline_spark.operators.events import (
+        shapley_channel_attribution,
+    )
+
+    rows = shapley_channel_attribution(spark, sf_dir).collect()
+    assert {r.channel for r in rows} == {"view", "click", "signup"}
+    assert abs(sum(r.phi_share for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        # v is monotone (subset-sum of non-negative cents), so every
+        # marginal contribution — hence every φ — is non-negative.
+        assert r.phi_value >= 0
+        assert -1e-12 <= r.phi_share <= 1 + 1e-12

@@ -1819,3 +1819,142 @@ def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "credit_share"
         ),
     )
+
+
+#: Shapley channels (bit positions in the touch mask) and the 3!-scaled
+#: coalition weights w6(|S|) = |S|!·(2−|S|)!  ∈ {2, 1, 2}.
+_SHAP_CHANNELS = (("view", 1), ("click", 2), ("signup", 4))
+_SHAP_W6 = "(CASE bit_count(s) WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END)"
+
+
+@register(
+    "shapley_channel_attribution",
+    ops=("J7", "A5", "A9", "J10"),
+    doc="Exact Shapley-value channel attribution over three touch "
+    "channels (view/click/signup in the 7-day pre-purchase window): "
+    "each purchase reduces to a 3-bit touch mask, coalition worth "
+    "v(S) = Σ cents of purchases whose mask ⊆ S (an 8×8 subset-sum "
+    "over the mask histogram), and the Shapley sum φ_i = "
+    "Σ_{S∌i} |S|!(2−|S|)!/3! · (v(S∪i) − v(S)) is computed with "
+    "3!-scaled INTEGER weights — every number up to the final "
+    "readout divisions is exact int64, so the attribution is "
+    "bitwise deterministic and the efficiency axiom (shares sum to "
+    "1 over v(full)−v(∅)) holds exactly. Fact work is one "
+    "purchase-keyed mask aggregate; the Shapley algebra runs on 8 "
+    "coalition rows.",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id AS p_id, user_id, epoch_ns(ts) // 1000 AS p_us,
+    CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t_us
+  FROM events WHERE event_type IN ('view', 'click', 'signup')
+),
+masked AS (
+  SELECT p.p_id, MAX(p.cents) AS cents,
+    COALESCE(BIT_OR(CASE t.event_type WHEN 'view' THEN 1
+                    WHEN 'click' THEN 2 WHEN 'signup' THEN 4 END), 0) AS mask
+  FROM p LEFT JOIN t
+    ON t.user_id = p.user_id AND t.t_us < p.p_us
+   AND p.p_us - t.t_us <= {_TDA_LOOKBACK_US}
+  GROUP BY p.p_id
+),
+m AS (SELECT mask, SUM(cents) AS cents FROM masked GROUP BY 1),
+coal AS (
+  SELECT s.s, COALESCE(SUM(m.cents), 0) AS v
+  FROM (SELECT UNNEST(generate_series(0, 7)) AS s) s
+  LEFT JOIN m ON (m.mask & ~s.s) = 0
+  GROUP BY 1
+),
+phi AS (
+  SELECT ch.name AS channel,
+    SUM((CASE bit_count(vs.s) WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END) * (vb.v - vs.v)) AS phi6
+  FROM (VALUES ('view', 1), ('click', 2), ('signup', 4)) ch(name, bit)
+  JOIN coal vs ON (vs.s & ch.bit) = 0
+  JOIN coal vb ON vb.s = vs.s + ch.bit
+  GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT v FROM coal WHERE s = 7) - (SELECT v FROM coal WHERE s = 0)
+    AS span
+)
+SELECT p.channel,
+  CAST(p.phi6 AS DOUBLE) / 600 AS phi_value,
+  CAST(p.phi6 AS DOUBLE) / (6 * t.span) AS phi_share
+FROM phi p, tot t
+""",
+)
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.expr("ts DIV 1000").alias("p_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    t = e.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select("user_id", "event_type", F.expr("ts DIV 1000").alias("t_us"))
+    bit = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .otherwise(4)
+    )
+    masked = (
+        p.join(
+            t,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("t_us") < F.col("p_us"))
+            & (F.col("p_us") - F.col("t_us") <= _TDA_LOOKBACK_US),
+            "left",
+        )
+        .groupBy("p_id")
+        .agg(
+            F.max("cents").alias("cents"),
+            F.coalesce(
+                F.bit_or(F.when(F.col("t_us").isNotNull(), bit)), F.lit(0)
+            ).alias("mask"),
+        )
+    )
+    m = masked.groupBy("mask").agg(F.sum("cents").alias("cents"))
+    s = spark.range(8).select(F.col("id").cast("int").alias("s"))
+    coal = (
+        s.join(
+            F.broadcast(m),
+            F.expr("(mask & ~s) = 0"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).alias("v"))
+    )
+    ch = spark.createDataFrame(
+        list(_SHAP_CHANNELS), "channel string, bit int"
+    )
+    vs = coal.select(F.col("s"), F.col("v").alias("v_s"))
+    vb = coal.select(F.col("s").alias("sb"), F.col("v").alias("v_sb"))
+    phi = (
+        ch.crossJoin(vs)
+        .filter(F.expr("(s & bit) = 0"))
+        .join(F.broadcast(vb), F.expr("sb = s + bit"))
+        .groupBy("channel")
+        .agg(
+            F.sum(
+                F.expr(_SHAP_W6) * (F.col("v_sb") - F.col("v_s"))
+            ).alias("phi6")
+        )
+    )
+    span = coal.agg(
+        (
+            F.sum(F.when(F.col("s") == 7, F.col("v")).otherwise(0))
+            - F.sum(F.when(F.col("s") == 0, F.col("v")).otherwise(0))
+        ).alias("span")
+    )
+    return phi.crossJoin(F.broadcast(span)).select(
+        "channel",
+        (F.col("phi6").cast("double") / 600).alias("phi_value"),
+        (F.col("phi6").cast("double") / (6 * F.col("span"))).alias(
+            "phi_share"
+        ),
+    )
