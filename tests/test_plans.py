@@ -507,3 +507,45 @@ def test_global_no_cartesian_across_registry(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_gains_table_rank_is_range_partitioned(spark, sf_dir):
+    """The decile assignment must be the distributed two-phase rank
+    (range partition + per-partition row_number), never a
+    single-partition NTILE window over the fact table."""
+    plan = _plan(spark, sf_dir, "gains_lift_table")
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "ntile" not in plan.lower()
+
+
+def test_topk_two_level_rescore_is_broadcast_semi(spark, sf_dir):
+    """Candidate rescoring must reach the shard counts via a broadcast
+    LeftSemi join — a shuffled join against ≤160 candidates is the
+    anti-pattern the operator exists to avoid."""
+    plan = _plan(spark, sf_dir, "topk_two_level_merge")
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), plan
+
+
+def test_fellegi_blocking_join_broadcasts_supplier(spark, sf_dir):
+    """The record-linkage blocking join keeps the supplier side
+    broadcast (dim-sized); the pair generator must be a broadcast
+    hash equi-join on the blocking key."""
+    plan = _plan(spark, sf_dir, "fellegi_sunter_linkage")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pattern_automaton_has_no_window(spark, sf_dir):
+    """The DFA fold is a user-keyed aggregate — no global or per-user
+    Window node may appear (a window over the raw stream would
+    serialize on the partition spec)."""
+    plan = _plan(spark, sf_dir, "event_pattern_automaton")
+    assert "Window" not in plan, plan
+
+
+def test_hierarchy_closure_joins_are_equi(spark, sf_dir):
+    """Pointer doubling must compose via hash equi-joins (4 of them),
+    never nested-loop."""
+    plan = _plan(spark, sf_dir, "hierarchy_closure_rollup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1717,3 +1717,45 @@ def test_shapley_attribution_efficiency_axiom(spark, sf_dir):
         # marginal contribution — hence every φ — is non-negative.
         assert r.phi_value >= 0
         assert -1e-12 <= r.phi_share <= 1 + 1e-12
+
+
+def test_pmi_collocations_ranked_and_consistent(spark, sf_dir):
+    """Top-k is rank-ordered by (pmi desc, a, b), counts respect the
+    min-count floor, and PMI matches a direct recomputation from raw
+    token streams."""
+    import math
+    from pyspark.sql import functions as F
+    from transit_data_pipeline_spark.operators.textops import (
+        PMI_MIN_COUNT,
+        PMI_TOP_K,
+        pmi_collocations,
+        tokens_col,
+    )
+    from transit_data_pipeline_spark.catalog import table as _table
+
+    rows = sorted(pmi_collocations(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert 0 < len(rows) <= PMI_TOP_K
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    for prev, cur in zip(rows, rows[1:]):
+        assert (
+            prev.pmi > cur.pmi
+            or (prev.pmi == cur.pmi and (prev.term_a, prev.term_b) < (cur.term_a, cur.term_b))
+        )
+    docs = _table(spark, sf_dir, "documents").select(
+        tokens_col().alias("w")
+    ).collect()
+    uni, big = {}, {}
+    for d in docs:
+        w = d.w
+        for t in w:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(w, w[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    n, m = sum(uni.values()), sum(big.values())
+    for r in rows:
+        c_ab = big[(r.term_a, r.term_b)]
+        assert c_ab == r.n_bigram >= PMI_MIN_COUNT
+        expect = round(
+            math.log(c_ab * n * n / (m * uni[r.term_a] * uni[r.term_b])), 4
+        )
+        assert abs(r.pmi - expect) < 5e-4

@@ -1935,7 +1935,7 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs = coal.select(F.col("s"), F.col("v").alias("v_s"))
     vb = coal.select(F.col("s").alias("sb"), F.col("v").alias("v_sb"))
     phi = (
-        ch.crossJoin(vs)
+        ch.crossJoin(F.broadcast(vs))
         .filter(F.expr("(s & bit) = 0"))
         .join(F.broadcast(vb), F.expr("sb = s + bit"))
         .groupBy("channel")

@@ -10,7 +10,7 @@ transcendentals) so Spark and the DuckDB oracle agree bitwise.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -1997,4 +1997,114 @@ def negative_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("accepted"), 1).otherwise(0)).cast("double")
             / F.count(F.lit(1))
         ).alias("accept_rate"),
+    )
+
+
+#: Collocation mining thresholds: minimum bigram count, result size.
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+@register(
+    "pmi_collocations",
+    ops=("A1", "A9", "O1", "F10"),
+    doc="Collocation mining by pointwise mutual information (Church & "
+    "Hanks 1990): adjacent-token bigrams vs their unigram marginals, "
+    "PMI = ln(c_ab·N²/(M·c_a·c_b)) with the ln argument built as a "
+    "ratio of two exact int64 products (one correctly-rounded "
+    "division) and the ln itself going through the engine-rounded "
+    "4 dp recipe. Bigrams below 5 occurrences are dropped (PMI's "
+    "classic low-count pathology), and the top-20 is a sort+limit "
+    "take-ordered (never a global row_number) with a full (pmi "
+    "desc, a, b) tiebreak. One explode pass for bigrams + one for "
+    "unigrams; everything after runs on the vocabulary/bigram "
+    "aggregates.",
+    oracle=f"""
+WITH tok AS (
+  SELECT {SQL_TOKENS} AS w FROM documents WHERE len({SQL_TOKENS}) >= 2
+),
+big AS (
+  SELECT unnest(w[1:len(w)-1]) AS a, unnest(w[2:len(w)]) AS b FROM tok
+),
+cb AS (SELECT a, b, COUNT(*) AS c_ab FROM big GROUP BY 1, 2),
+uni AS (
+  SELECT unnest({SQL_TOKENS}) AS term FROM documents
+),
+cu AS (SELECT term, COUNT(*) AS c FROM uni GROUP BY 1),
+tot AS (
+  SELECT (SELECT SUM(c) FROM cu) AS n_uni,
+         (SELECT SUM(c_ab) FROM cb) AS m_big
+),
+scored AS (
+  SELECT cb.a, cb.b, cb.c_ab,
+    ROUND(LN(CAST(cb.c_ab * t.n_uni * t.n_uni AS DOUBLE)
+             / CAST(t.m_big * ca.c * bb.c AS DOUBLE)), 4) AS pmi
+  FROM cb
+  JOIN cu ca ON cb.a = ca.term
+  JOIN cu bb ON cb.b = bb.term
+  CROSS JOIN tot t
+  WHERE cb.c_ab >= {PMI_MIN_COUNT}
+),
+top AS (
+  SELECT * FROM scored ORDER BY pmi DESC, a, b LIMIT {PMI_TOP_K}
+)
+SELECT ROW_NUMBER() OVER (ORDER BY pmi DESC, a, b) AS rank,
+  a AS term_a, b AS term_b,
+  CAST(c_ab AS BIGINT) AS n_bigram, pmi
+FROM top
+""",
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    tok = d.select(tokens_col().alias("w")).filter(F.size("w") >= 2)
+    big = tok.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> struct(element_at(w, i) AS a, "
+                "element_at(w, i + 1) AS b))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    cb = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    cu = (
+        d.select(F.explode(tokens_col()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cb.agg(F.sum("c_ab").alias("m_big")).crossJoin(
+        cu.agg(F.sum("c").alias("n_uni"))
+    )
+    ca = cu.select(F.col("term").alias("a"), F.col("c").alias("c_a"))
+    bb = cu.select(F.col("term").alias("b"), F.col("c").alias("c_b"))
+    scored = (
+        cb.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .join(ca, "a")
+        .join(bb, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                F.log(
+                    (
+                        F.col("c_ab") * F.col("n_uni") * F.col("n_uni")
+                    ).cast("double")
+                    / (F.col("m_big") * F.col("c_a") * F.col("c_b")).cast(
+                        "double"
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(F.col("pmi").desc(), "a", "b").limit(PMI_TOP_K)
+    w = Window.orderBy(F.col("pmi").desc(), "a", "b")
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        F.col("a").alias("term_a"),
+        F.col("b").alias("term_b"),
+        F.col("c_ab").cast("bigint").alias("n_bigram"),
+        "pmi",
     )
