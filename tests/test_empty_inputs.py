@@ -112,6 +112,27 @@ _OPS = [
     "vocab_coverage_curve",
     "text_winnowing_fingerprints",
     "embedding_matryoshka_recall",
+    "fellegi_sunter_linkage",
+    "epoch_shuffle_plan",
+    "group_kfold_split",
+    "acf_daily_orders",
+    "gains_lift_table",
+    "propensity_strata_att",
+    "length_bucket_packing",
+    "negative_sampling_plan",
+    "js_divergence_sources",
+    "token_budget_mix_solver",
+    "hierarchy_closure_rollup",
+    "gap_fill_linear_interp",
+    "topk_two_level_merge",
+    "ridge_regression_closed_form",
+    "jl_random_projection",
+    "decision_stump_gain",
+    "pmi_collocations",
+    # (event_pattern_automaton / time_decay_attribution /
+    # shapley_channel_attribution read the events table, which the
+    # empty fixture omits — its TIMESTAMP_NANOS schema can't round-trip
+    # through a limit(0) rewrite.)
 ]
 
 _TABLES = (
