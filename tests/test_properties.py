@@ -1759,3 +1759,36 @@ def test_pmi_collocations_ranked_and_consistent(spark, sf_dir):
             math.log(c_ab * n * n / (m * uni[r.term_a] * uni[r.term_b])), 4
         )
         assert abs(r.pmi - expect) < 5e-4
+
+
+def test_cdc_apply_conserves_rowcounts(spark, sf_dir):
+    """Merged rowcount = base − applied deletes + inserts; tallies are
+    identical on every row."""
+    from transit_data_pipeline_spark.operators.pipelineops import (
+        cdc_apply_changes,
+    )
+    from transit_data_pipeline_spark.catalog import table as _table
+
+    rows = cdc_apply_changes(spark, sf_dir).collect()
+    assert rows
+    tallies = {(r.n_inserted, r.n_updated, r.n_deleted) for r in rows}
+    assert len(tallies) == 1
+    n_ins, n_upd, n_del = tallies.pop()
+    o = _table(spark, sf_dir, "orders").select("o_orderkey").collect()
+    keys = [r.o_orderkey for r in o]
+    base = [k for k in keys if k % 10 != 0]
+    assert n_ins == sum(1 for k in keys if k % 10 == 0)
+    assert n_del == sum(1 for k in base if k % 13 == 0)
+    assert n_upd == sum(1 for k in base if k % 13 != 0 and k % 7 == 0)
+    assert sum(r.n_rows for r in rows) == len(base) - n_del + n_ins
+
+
+def test_bitmap_intersection_equals_direct_scan(spark, sf_dir):
+    from transit_data_pipeline_spark.operators.sources import (
+        bitmap_index_intersect,
+    )
+
+    row = bitmap_index_intersect(spark, sf_dir).collect()[0]
+    assert row.bitmap_agrees
+    assert row.matched_via_bitmap == row.matched_direct
+    assert row.n_shared_words <= min(row.n_words_status, row.n_words_priority)

@@ -1857,3 +1857,127 @@ def hierarchy_closure_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("depth").cast("bigint").alias("max_depth"),
         )
     )
+
+
+@register(
+    "cdc_apply_changes",
+    ops=("J2", "U1", "A5", "S4"),
+    doc="MERGE INTO semantics applied as relational algebra (Spark "
+    "batch has no MERGE without a lakehouse format): a synthetic "
+    "change feed over the orders snapshot — inserts (key%10=0, the "
+    "rows held out of the base), deletes (key%13=0), updates "
+    "(key%7=0, +1000.00 price adjustment), precedence I>D>U fixed "
+    "by one CASE — is applied as base⟕anti(del∪upd) ∪ updated ∪ "
+    "inserted, the inverse of snapshot_diff_cdc. Emits the merged "
+    "state per order status (rowcount + decimal-exact revenue) with "
+    "the applied I/U/D tallies carried on every row, so the oracle "
+    "hash certifies BOTH the final state and the change accounting. "
+    "All joins are keyed on the merge key — co-partitionable; at "
+    "scale this is one shuffle join + one union-aggregate.",
+    oracle="""
+WITH base AS (
+  SELECT * FROM orders WHERE o_orderkey % 10 <> 0
+),
+feed AS (
+  SELECT o_orderkey AS k,
+    CASE WHEN o_orderkey % 10 = 0 THEN 'I'
+         WHEN o_orderkey % 13 = 0 THEN 'D'
+         WHEN o_orderkey % 7 = 0 THEN 'U' END AS op,
+    o_orderstatus, o_totalprice
+  FROM orders
+  WHERE o_orderkey % 10 = 0 OR o_orderkey % 13 = 0 OR o_orderkey % 7 = 0
+),
+merged AS (
+  SELECT b.o_orderstatus, b.o_totalprice
+  FROM base b LEFT JOIN feed f ON b.o_orderkey = f.k AND f.op IN ('D', 'U')
+  WHERE f.k IS NULL
+  UNION ALL
+  SELECT b.o_orderstatus, b.o_totalprice + 1000.0
+  FROM base b JOIN feed f ON b.o_orderkey = f.k AND f.op = 'U'
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice FROM feed WHERE op = 'I'
+),
+tallies AS (
+  SELECT
+    SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS n_ins,
+    SUM(CASE WHEN f.op = 'U' AND b.o_orderkey IS NOT NULL
+             THEN 1 ELSE 0 END) AS n_upd,
+    SUM(CASE WHEN f.op = 'D' AND b.o_orderkey IS NOT NULL
+             THEN 1 ELSE 0 END) AS n_del
+  FROM feed f LEFT JOIN base b ON f.k = b.o_orderkey
+)
+SELECT m.o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(m.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+  CAST(t.n_ins AS BIGINT) AS n_inserted,
+  CAST(t.n_upd AS BIGINT) AS n_updated,
+  CAST(t.n_del AS BIGINT) AS n_deleted
+FROM merged m, tallies t
+GROUP BY m.o_orderstatus, t.n_ins, t.n_upd, t.n_del
+""",
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders", spread=True)
+    base = o.filter(F.col("o_orderkey") % 10 != 0)
+    feed = o.filter(
+        (F.col("o_orderkey") % 10 == 0)
+        | (F.col("o_orderkey") % 13 == 0)
+        | (F.col("o_orderkey") % 7 == 0)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 10 == 0, "I")
+        .when(F.col("o_orderkey") % 13 == 0, "D")
+        .when(F.col("o_orderkey") % 7 == 0, "U")
+        .alias("op"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    touch = feed.filter(F.col("op").isin("D", "U")).select("k")
+    untouched = base.join(
+        touch, base["o_orderkey"] == touch["k"], "left_anti"
+    ).select("o_orderstatus", "o_totalprice")
+    updated = base.join(
+        feed.filter(F.col("op") == "U").select("k"),
+        base["o_orderkey"] == F.col("k"),
+    ).select(
+        "o_orderstatus", (F.col("o_totalprice") + 1000.0).alias("o_totalprice")
+    )
+    inserted = feed.filter(F.col("op") == "I").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    merged = untouched.unionByName(updated).unionByName(inserted)
+    base_keys = base.select(F.col("o_orderkey").alias("bk"))
+    tallies = (
+        feed.join(base_keys, feed["k"] == F.col("bk"), "left")
+        .agg(
+            F.sum(F.when(F.col("op") == "I", 1).otherwise(0)).alias("n_ins"),
+            F.sum(
+                F.when(
+                    (F.col("op") == "U") & F.col("bk").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("n_upd"),
+            F.sum(
+                F.when(
+                    (F.col("op") == "D") & F.col("bk").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("n_del"),
+        )
+    )
+    return (
+        merged.crossJoin(F.broadcast(tallies))
+        .groupBy("o_orderstatus", "n_ins", "n_upd", "n_del")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast(N.DEC))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_rows",
+            "total_price",
+            F.col("n_ins").cast("bigint").alias("n_inserted"),
+            F.col("n_upd").cast("bigint").alias("n_updated"),
+            F.col("n_del").cast("bigint").alias("n_deleted"),
+        )
+    )

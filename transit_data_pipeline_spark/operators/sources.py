@@ -1005,3 +1005,99 @@ def zone_map_skipping_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_match")
         ).alias("scan_amplification"),
     )
+
+
+@register(
+    "bitmap_index_intersect",
+    ops=("A1", "A5", "J1", "P4"),
+    doc="Bitmap-index AND-intersection (the roaring/bitmap secondary-"
+    "index technique OLAP stores use for multi-predicate point "
+    "filters): order keys pack 62 bits per int64 word (word = key "
+    "div 62, bit = key mod 62 — staying inside the signed shift range "
+    "of both engines), one bitmap per predicate is built as a "
+    "per-word BIT_OR aggregate, the conjunction count is "
+    "Σ bit_count(word_a & word_b) over the word-aligned equi-join, "
+    "and the result is certified against the direct predicate scan "
+    "on the same row. Bitmap state is |keys|/64 words per predicate "
+    "— 8 bytes per 62 rows, mergeable by OR, the textbook trade of "
+    "space for intersection speed; all arithmetic is int64 bit "
+    "operations, bitwise deterministic by construction.",
+    oracle="""
+WITH b1 AS (
+  SELECT o_orderkey // 62 AS w,
+    BIT_OR(CAST(1 AS BIGINT) << CAST(o_orderkey % 62 AS INTEGER)) AS bits
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+),
+b2 AS (
+  SELECT o_orderkey // 62 AS w,
+    BIT_OR(CAST(1 AS BIGINT) << CAST(o_orderkey % 62 AS INTEGER)) AS bits
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') GROUP BY 1
+),
+meet AS (
+  SELECT SUM(bit_count(b1.bits & b2.bits)) AS via_bitmap,
+    COUNT(*) AS n_shared_words
+  FROM b1 JOIN b2 ON b1.w = b2.w
+),
+direct AS (
+  SELECT COUNT(*) AS via_scan FROM orders
+  WHERE o_orderstatus = 'F'
+    AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+),
+sizes AS (
+  SELECT (SELECT COUNT(*) FROM b1) AS n_words_status,
+         (SELECT COUNT(*) FROM b2) AS n_words_priority
+)
+SELECT CAST(s.n_words_status AS BIGINT) AS n_words_status,
+  CAST(s.n_words_priority AS BIGINT) AS n_words_priority,
+  CAST(m.n_shared_words AS BIGINT) AS n_shared_words,
+  CAST(m.via_bitmap AS BIGINT) AS matched_via_bitmap,
+  CAST(d.via_scan AS BIGINT) AS matched_direct,
+  m.via_bitmap = d.via_scan AS bitmap_agrees
+FROM meet m, direct d, sizes s
+""",
+)
+def bitmap_index_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders", spread=True)
+
+    def bitmap(cond):
+        return (
+            o.filter(cond)
+            .select(
+                F.expr("o_orderkey DIV 62").alias("w"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), "
+                    "CAST(o_orderkey % 62 AS INT))"
+                ).alias("bit"),
+            )
+            .groupBy("w")
+            .agg(F.bit_or("bit").alias("bits"))
+        )
+    b1 = bitmap(F.col("o_orderstatus") == "F")
+    b2 = bitmap(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    meet = (
+        b1.join(b2.withColumnsRenamed({"w": "w2", "bits": "bits2"}),
+                F.col("w") == F.col("w2"))
+        .agg(
+            F.sum(F.bit_count(F.expr("bits & bits2"))).alias("via_bitmap"),
+            F.count(F.lit(1)).alias("n_shared_words"),
+        )
+    )
+    direct = o.filter(
+        (F.col("o_orderstatus") == "F")
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).agg(F.count(F.lit(1)).alias("via_scan"))
+    sizes = b1.agg(F.count(F.lit(1)).alias("n_words_status")).crossJoin(
+        b2.agg(F.count(F.lit(1)).alias("n_words_priority"))
+    )
+    return (
+        meet.crossJoin(F.broadcast(direct))
+        .crossJoin(F.broadcast(sizes))
+        .select(
+            F.col("n_words_status").cast("bigint").alias("n_words_status"),
+            F.col("n_words_priority").cast("bigint").alias("n_words_priority"),
+            F.col("n_shared_words").cast("bigint").alias("n_shared_words"),
+            F.col("via_bitmap").cast("bigint").alias("matched_via_bitmap"),
+            F.col("via_scan").cast("bigint").alias("matched_direct"),
+            (F.col("via_bitmap") == F.col("via_scan")).alias("bitmap_agrees"),
+        )
+    )
