@@ -1792,3 +1792,37 @@ def test_bitmap_intersection_equals_direct_scan(spark, sf_dir):
     assert row.bitmap_agrees
     assert row.matched_via_bitmap == row.matched_direct
     assert row.n_shared_words <= min(row.n_words_status, row.n_words_priority)
+
+
+def test_dp_quantile_utility_accounting(spark, sf_dir):
+    from transit_data_pipeline_spark.operators.curation import (
+        DPQ_BINS,
+        dp_quantile_exponential,
+    )
+
+    row = dp_quantile_exponential(spark, sf_dir).collect()[0]
+    assert 0 <= row.chosen_bin < DPQ_BINS
+    assert row.utility_loss2 == row.chosen_err2 - row.best_err2 >= 0
+    assert row.best_err2 >= 0
+
+
+def test_holm_stepdown_never_rejects_more_than_naive(spark, sf_dir):
+    """Holm is uniformly more conservative than per-test α; the
+    step-down property holds (a non-rejected rank blocks all later
+    ones) and critical values shrink with rank."""
+    from transit_data_pipeline_spark.operators.statsaudit import (
+        holm_stepdown_ab_tests,
+    )
+
+    rows = sorted(
+        holm_stepdown_ab_tests(spark, sf_dir).collect(),
+        key=lambda r: r.abs_rank,
+    )
+    assert rows
+    for r in rows:
+        assert not (r.reject_holm and not r.reject_naive)
+        assert r.n_a >= 2 and r.n_b >= 2
+    for prev, cur in zip(rows, rows[1:]):
+        assert abs(prev.z) >= abs(cur.z)
+        assert prev.crit >= cur.crit  # fewer remaining tests → smaller crit
+        assert not (cur.reject_holm and not prev.reject_holm)

@@ -19,7 +19,7 @@ this extends the engine for the LLM-training-data workload
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -1257,4 +1257,126 @@ def token_budget_mix_solver(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("final") / F.col("toks")).alias("epochs_final"),
         (F.col("final") / F.col("b")).alias("final_share"),
         (F.col("b") - F.col("alloc")).alias("unallocated_tokens"),
+    )
+
+
+#: Exponential-mechanism DP median: ε, candidate bins.
+DPQ_EPSILON = 1.0
+DPQ_BINS = 32
+
+
+def _dpq_u24(expr: str) -> str:
+    """24-bit md5 uniform in (0,1] — identical spelling both engines
+    (the +1 keeps the Gumbel's inner ln away from ln(0))."""
+    digits = " + ".join(
+        f"(instr('0123456789abcdef', substring(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"(CAST(({digits}) + 1 AS DOUBLE) / 16777216)"
+
+
+@register(
+    "dp_quantile_exponential",
+    ops=("A1", "W11", "A9", "O1"),
+    doc="Differentially-private median via the EXPONENTIAL MECHANISM "
+    "(McSherry & Talwar 2007) — the selection-query release "
+    "completing the privacy suite beside the Laplace counts and the "
+    "k-anon/l-div/t-closeness audits: candidate outputs are 32 "
+    "histogram bin edges, utility −|2·count_below − n| (exact "
+    "int64, sensitivity 2), and the draw uses the Gumbel-max trick "
+    "with keyed-hash uniforms (deterministic seeded release — "
+    "re-running does not spend fresh ε) and the engine-rounded ln "
+    "recipe. Reports the chosen edge beside the exact-best edge "
+    "and the utility loss — the privacy/accuracy audit row. One "
+    "fact histogram + prefix sums over 32 bins.",
+    oracle=f"""
+WITH lab AS (SELECT o_totalprice AS x FROM orders),
+b AS (SELECT MIN(x) AS lo, GREATEST(MAX(x) - MIN(x), 1e-9) AS width FROM lab),
+binned AS (
+  SELECT LEAST(CAST(FLOOR((l.x - b.lo) * {DPQ_BINS} / b.width) AS BIGINT),
+               {DPQ_BINS - 1}) AS bin
+  FROM lab l, b
+),
+hist AS (SELECT bin, COUNT(*) AS n FROM binned GROUP BY 1),
+pre AS (
+  SELECT bin, SUM(n) OVER (ORDER BY bin) AS cb, SUM(n) OVER () AS n_all
+  FROM hist
+),
+scored AS (
+  SELECT bin, cb, n_all,
+    abs(2 * cb - n_all) AS err2,
+    -- ε·u/(2Δu) with u = −err2/2, Δu = 1 → −ε·err2/4, plus Gumbel.
+    -{DPQ_EPSILON} * abs(2 * cb - n_all) / 4.0
+      + (-ROUND(LN(-ROUND(LN({_dpq_u24("'dpq:' || cast(bin as string)")}), 4)), 4))
+      AS gumbel_score
+  FROM pre
+),
+pick AS (
+  SELECT bin, err2,
+    ROW_NUMBER() OVER (ORDER BY gumbel_score DESC, bin) AS r
+  FROM scored
+),
+best AS (SELECT MIN(err2) AS best_err2 FROM scored)
+SELECT p.bin AS chosen_bin,
+  bb.lo + (p.bin + 1) * bb.width / {DPQ_BINS} AS chosen_edge,
+  CAST(p.err2 AS BIGINT) AS chosen_err2,
+  CAST(be.best_err2 AS BIGINT) AS best_err2,
+  CAST(p.err2 - be.best_err2 AS BIGINT) AS utility_loss2
+FROM pick p, best be, b bb
+WHERE p.r = 1
+""",
+)
+def dp_quantile_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders", spread=True)
+    lab = o.select(F.col("o_totalprice").alias("x"))
+    b = lab.agg(
+        F.min("x").alias("lo"),
+        F.greatest(F.max("x") - F.min("x"), F.lit(1e-9)).alias("width"),
+    )
+    binned = lab.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor((F.col("x") - F.col("lo")) * DPQ_BINS / F.col("width"))
+            .cast("bigint"),
+            F.lit(DPQ_BINS - 1).cast("bigint"),
+        ).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pre = hist.select(
+        "bin",
+        F.sum("n").over(wcum).alias("cb"),
+        F.sum("n").over(wall).alias("n_all"),
+    )
+    err2 = F.abs(2 * F.col("cb") - F.col("n_all"))
+    gumbel = -F.round(
+        F.log(-F.round(F.log(F.expr(_dpq_u24("'dpq:' || cast(bin as string)"))), 4)),
+        4,
+    )
+    scored = pre.select(
+        "bin",
+        err2.alias("err2"),
+        (F.lit(-DPQ_EPSILON) * err2 / 4.0 + gumbel).alias("gumbel_score"),
+    )
+    pick = scored.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("gumbel_score").desc(), "bin"))
+    ).filter(F.col("r") == 1)
+    best = scored.agg(F.min("err2").alias("best_err2"))
+    return (
+        pick.crossJoin(F.broadcast(best))
+        .crossJoin(F.broadcast(b))
+        .select(
+            F.col("bin").alias("chosen_bin"),
+            (
+                F.col("lo") + (F.col("bin") + 1) * F.col("width") / DPQ_BINS
+            ).alias("chosen_edge"),
+            F.col("err2").cast("bigint").alias("chosen_err2"),
+            F.col("best_err2").cast("bigint").alias("best_err2"),
+            (F.col("err2") - F.col("best_err2"))
+            .cast("bigint")
+            .alias("utility_loss2"),
+        )
     )

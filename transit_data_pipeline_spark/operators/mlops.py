@@ -1508,9 +1508,14 @@ def gains_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = keyed.repartitionByRange(64, *order).withColumn(
         "pid", F.spark_partition_id()
     )
+    # localCheckpoint: the offsets aggregate AND the decile join both
+    # consume this frame, and RangePartitioner SAMPLES its boundaries —
+    # two independent executions can route rows to different pids,
+    # making offset+local_rank inconsistent. Materializing once (3
+    # skinny int columns) pins a single partitioning for both readers.
     local = part.withColumn(
         "lrn", F.row_number().over(Window.partitionBy("pid").orderBy(*order))
-    )
+    ).select("responder", "pid", "lrn").localCheckpoint()
     counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
     woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = counts.select(
@@ -1601,21 +1606,21 @@ RIDGE_LAMBDA = 1.0
 WITH s AS (
   SELECT
     CAST(COUNT(*) AS DOUBLE) AS n,
-    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
-             * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
-    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
-             * CAST(l_discount AS DECIMAL(19,4))) AS DOUBLE) AS sxd,
-    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
-    CAST(SUM(CAST(l_discount AS DECIMAL(19,4))
-             * CAST(l_discount AS DECIMAL(19,4))) AS DOUBLE) AS sdd,
-    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sd,
-    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
-             * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy,
-    CAST(SUM(CAST(l_discount AS DECIMAL(19,4))
-             * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sdy,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
-             * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+             * CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+             * CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sxd,
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(SUM(CAST(l_discount AS DECIMAL(19,4))
+             * CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sdd,
+    CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sd,
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+             * CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sxy,
+    CAST(CAST(SUM(CAST(l_discount AS DECIMAL(19,4))
+             * CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sdy,
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+             * CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS syy
   FROM lineitem
 ),
 m AS (

@@ -762,3 +762,201 @@ def propensity_strata_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("mean_treated") - F.col("mean_control")).alias("stratum_diff"),
         "att_overall",
     )
+
+
+#: Holm step-down critical values: z* = Φ⁻¹(1 − 0.025/j) for j
+#: remaining hypotheses, precomputed with Python's stdlib NormalDist
+#: and embedded as string-cast literals (strtod parses identically in
+#: both engines — a bare decimal literal would become DECIMAL in
+#: DuckDB and double-round).
+import statistics as _statistics  # noqa: E402
+
+HOLM_ALPHA = 0.05
+_HOLM_MAX_M = 25
+_HOLM_CRIT = {
+    j: _statistics.NormalDist().inv_cdf(1 - (HOLM_ALPHA / 2) / j)
+    for j in range(1, _HOLM_MAX_M + 1)
+}
+
+
+def _holm_crit_sql(j: str) -> str:
+    clauses = " ".join(
+        f"WHEN {jj} THEN CAST('{v!r}' AS DOUBLE)"
+        for jj, v in _HOLM_CRIT.items()
+    )
+    return f"(CASE {j} {clauses} END)"
+
+
+@register(
+    "holm_stepdown_ab_tests",
+    ops=("A4", "A9", "W4", "P5", "J3"),
+    doc="Family-wise-error-controlled A/B readout (Holm 1979 step-"
+    "down): a Welch z-statistic per NATION (md5-split variants over "
+    "order prices, variances from decimal-exact sufficient "
+    "statistics), then the 25-test family is ranked by |z| and "
+    "tested against shrinking critical values Φ⁻¹(1−α/2j) — "
+    "precomputed stdlib literals, no erf in either engine — with "
+    "the step-down stop (a failure blocks all later rejections) as "
+    "a prefix-min window over the rank. Reports the naive per-test "
+    "verdict beside the Holm one — the multiple-testing damage "
+    "audit every experimentation platform needs. One broadcast dim "
+    "join + one hash aggregate; the stepdown runs on ≤25 rows.",
+    oracle=f"""
+WITH unit AS (
+  SELECT c.c_nationkey AS nation,
+    CASE WHEN (instr('0123456789abcdef',
+                substring(md5(CAST(c.c_custkey AS VARCHAR)), 1, 1)) - 1)
+              % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+    o.o_totalprice AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+cells AS (
+  SELECT nation, variant, COUNT(*) AS n,
+    SUM(CAST(y AS DECIMAL(18,4))) AS s,
+    -- 19×18 forces DuckDB onto int128 while keeping Spark's exact
+    -- DECIMAL(37,8) product type (see functions/numeric.sql_dstddev)
+    SUM(CAST(y AS DECIMAL(19,4)) * CAST(y AS DECIMAL(18,4))) AS s2
+  FROM unit GROUP BY 1, 2
+),
+wide AS (
+  SELECT nation,
+    MAX(CASE WHEN variant = 'A' THEN n END) AS na,
+    MAX(CASE WHEN variant = 'B' THEN n END) AS nb,
+    -- VARCHAR round-trip: DuckDB's int128-decimal→double cast
+    -- double-rounds; strtod on the decimal string is correctly
+    -- rounded (matches Spark's BigDecimal.doubleValue bitwise).
+    MAX(CASE WHEN variant = 'A'
+        THEN CAST(CAST(s AS VARCHAR) AS DOUBLE) END) AS sa,
+    MAX(CASE WHEN variant = 'B'
+        THEN CAST(CAST(s AS VARCHAR) AS DOUBLE) END) AS sb,
+    MAX(CASE WHEN variant = 'A'
+        THEN CAST(CAST(s2 AS VARCHAR) AS DOUBLE) END) AS sa2,
+    MAX(CASE WHEN variant = 'B'
+        THEN CAST(CAST(s2 AS VARCHAR) AS DOUBLE) END) AS sb2
+  FROM cells GROUP BY 1
+  HAVING MAX(CASE WHEN variant = 'A' THEN n END) >= 2
+     AND MAX(CASE WHEN variant = 'B' THEN n END) >= 2
+),
+z AS (
+  SELECT nation, na, nb,
+    (sa / na - sb / nb)
+      / sqrt((sa2 - sa * sa / na) / (na - 1) / na
+             + (sb2 - sb * sb / nb) / (nb - 1) / nb) AS z
+  FROM wide
+),
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (ORDER BY abs(z) DESC, nation) AS k,
+    COUNT(*) OVER () AS m
+  FROM z
+),
+tested AS (
+  SELECT *,
+    {_holm_crit_sql("(m - k + 1)")} AS crit,
+    CASE WHEN abs(z) >= {_holm_crit_sql("(m - k + 1)")}
+         THEN 1 ELSE 0 END AS pass
+  FROM ranked
+)
+SELECT nation, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  z, CAST(k AS BIGINT) AS abs_rank, crit,
+  abs(z) >= {_holm_crit_sql("1")} AS reject_naive,
+  MIN(pass) OVER (ORDER BY k
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+    AS reject_holm
+FROM tested
+""",
+)
+def holm_stepdown_ab_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders", spread=True)
+    c = table(spark, sf_dir, "customer")
+    unit = o.join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        F.col("c_nationkey").alias("nation"),
+        F.when(
+            F.expr(
+                "(instr('0123456789abcdef', "
+                "substring(md5(cast(c_custkey as string)), 1, 1)) - 1) % 2"
+            )
+            == 0,
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+        F.col("o_totalprice").alias("y"),
+    )
+    dy = F.col("y").cast("decimal(18,4)")
+    # The square stays exact at decimal(18,4)² → (37,8) in Spark; the
+    # oracle spells DECIMAL(19,4) to push DuckDB onto int128 (its
+    # (18,4)² keeps 18 digits and overflows) — both sums are exact, so
+    # the doubles agree bitwise.
+    dy2 = F.col("y").cast("decimal(18,4)")
+    cells = unit.groupBy("nation", "variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dy).alias("s"),
+        F.sum(dy2 * dy2).alias("s2"),
+    )
+
+    def pick(v, col, cast=None):
+        e = F.max(F.when(F.col("variant") == v, F.col(col)))
+        return e.cast("double") if cast else e
+
+    wide = (
+        cells.groupBy("nation")
+        .agg(
+            pick("A", "n").alias("na"),
+            pick("B", "n").alias("nb"),
+            pick("A", "s", True).alias("sa"),
+            pick("B", "s", True).alias("sb"),
+            pick("A", "s2", True).alias("sa2"),
+            pick("B", "s2", True).alias("sb2"),
+        )
+        .filter((F.col("na") >= 2) & (F.col("nb") >= 2))
+    )
+    z = wide.select(
+        "nation",
+        "na",
+        "nb",
+        (
+            (F.col("sa") / F.col("na") - F.col("sb") / F.col("nb"))
+            / F.sqrt(
+                (F.col("sa2") - F.col("sa") * F.col("sa") / F.col("na"))
+                / (F.col("na") - 1)
+                / F.col("na")
+                + (F.col("sb2") - F.col("sb") * F.col("sb") / F.col("nb"))
+                / (F.col("nb") - 1)
+                / F.col("nb")
+            )
+        ).alias("z"),
+    )
+    wrank = Window.orderBy(F.abs(F.col("z")).desc(), "nation")
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = z.select(
+        "*",
+        F.row_number().over(wrank).alias("k"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    tested = ranked.select(
+        "*",
+        F.expr(_holm_crit_sql("(m - k + 1)")).alias("crit"),
+        F.when(
+            F.abs(F.col("z")) >= F.expr(_holm_crit_sql("(m - k + 1)")), 1
+        )
+        .otherwise(0)
+        .alias("pass"),
+    )
+    wpre = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    return tested.select(
+        "nation",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        "z",
+        F.col("k").cast("bigint").alias("abs_rank"),
+        "crit",
+        (F.abs(F.col("z")) >= F.expr(_holm_crit_sql("1"))).alias(
+            "reject_naive"
+        ),
+        (F.min("pass").over(wpre) == 1).alias("reject_holm"),
+    )
