@@ -145,6 +145,8 @@ _R5_FRONT = (
     "events_rate_anomaly",
     "similarity_pq_codes",
     "funnel_time_to_convert",
+    "bfs_shortest_hops",
+    "kcore_trade_graph",
 )
 
 

@@ -129,6 +129,8 @@ _OPS = [
     "jl_random_projection",
     "decision_stump_gain",
     "pmi_collocations",
+    "bfs_shortest_hops",
+    "kcore_trade_graph",
     # (event_pattern_automaton / time_decay_attribution /
     # shapley_channel_attribution read the events table, which the
     # empty fixture omits — its TIMESTAMP_NANOS schema can't round-trip

@@ -512,9 +512,17 @@ def test_global_no_cartesian_across_registry(spark, sf_dir):
 def test_gains_table_rank_is_range_partitioned(spark, sf_dir):
     """The decile assignment must be the distributed two-phase rank
     (range partition + per-partition row_number), never a
-    single-partition NTILE window over the fact table."""
+    single-partition NTILE window over the fact table. The final
+    query's plan starts at the eager localCheckpoint (which exists to
+    pin ONE sampled range partitioning for both consumers), so the
+    range-partition assertion inspects the pre-checkpoint frame."""
+    from transit_data_pipeline_spark.operators.mlops import _gains_local_rank
+
+    pre = _gains_local_rank(spark, sf_dir)
+    pre_plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in pre_plan.lower(), pre_plan
+    assert "ntile" not in pre_plan.lower()
     plan = _plan(spark, sf_dir, "gains_lift_table")
-    assert "rangepartitioning" in plan.lower(), plan
     assert "ntile" not in plan.lower()
 
 

@@ -1,0 +1,297 @@
+"""Iterative graph algorithms over the nation trade graph: bounded
+single-source BFS (frontier relaxation) and k-core decomposition
+(degree peeling).
+
+These complete the graph-audit family (`nation_trade_pagerank`,
+`hits_trade_graph`, `dedup_graph_triangles`, `dedup_components`) with
+the two classic distance/density primitives. Both run on a SPARSE
+"trade backbone": the weighted nation→nation edge list is thinned to
+each source's top-k partners (row_number per src — deterministic
+tiebreak on dst) and symmetrized, so hop distances and core membership
+are non-trivial (the full trade graph is near-complete and both
+answers would be degenerate).
+
+Scale notes: the one corpus-scale pass is the weighted-edge build
+(lineitem ⋈ orders ⋈ customer ⋈ supplier → groupBy(src,dst)) — the
+same map-side-combinable aggregate PageRank pays. Everything after
+runs on the |nations|²-bounded edge list, localCheckpoint-ed so the
+fact-table lineage executes once, not once per iteration. The BFS
+iteration is the standard Pregel frontier shape (join frontier→edges
+keyed on src, min-aggregate on dst); the peel iteration is one
+degree aggregate + one semi-join per round. At web scale both remain
+join+aggregate per round with no driver-side data movement — the
+driver holds only loop counters (fixed bounds, so the plan is static
+and the DuckDB twin can unroll the same rounds).
+
+Reference parity: the reference ships no graph operators; these are
+north-star extensions in the spirit of its network-style analyses
+(`sql/analysis_queries.sql` route-cascade chains).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from .registry import register
+
+#: Bounded-BFS hop budget: distances beyond this are reported NULL on
+#: BOTH sides (the oracle's recursive walk carries the same bound, so
+#: the contract is "shortest distance within _BFS_HOPS hops").
+_BFS_HOPS = 8
+#: Out-degree kept per source nation in the thinned backbone.
+_BFS_TOPK = 2
+_CORE_TOPK = 3
+#: k-core threshold and fixed peel rounds (25 nodes stabilize in ≤3
+#: rounds; 6 is slack — the oracle unrolls the same 6).
+_CORE_K = 3
+_CORE_ROUNDS = 6
+
+
+def _backbone_sql(k: int) -> str:
+    """Shared oracle CTEs: weighted pairs → top-k per src → symmetric."""
+    return f"""
+pairs AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey <> c.c_nationkey
+  GROUP BY 1, 2
+),
+topk AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+      ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rk
+    FROM pairs
+  ) WHERE rk <= {k}
+),
+edges AS (
+  SELECT src, dst FROM topk
+  UNION
+  SELECT dst AS src, src AS dst FROM topk
+)"""
+
+
+def _backbone_edges(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Symmetric top-k trade backbone, materialized (localCheckpoint)
+    so the fact-scale lineage runs once across all iterations."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pairs = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wrk = Window.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst"))
+    topk = (
+        pairs.select("src", "dst", F.row_number().over(wrk).alias("rk"))
+        .filter(F.col("rk") <= k)
+        .select("src", "dst")
+    )
+    return (
+        topk.unionByName(
+            topk.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+def _bfs_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_backbone_sql(_BFS_TOPK)},
+walk AS (
+  SELECT CAST(0 AS INT) AS node, 0 AS hops
+  UNION
+  SELECT CAST(e.dst AS INT) AS node, w.hops + 1
+  FROM walk w JOIN edges e ON w.node = e.src
+  WHERE w.hops < {_BFS_HOPS}
+),
+dist AS (SELECT node, MIN(hops) AS hops FROM walk GROUP BY 1)
+SELECT n.n_nationkey AS nationkey, n.n_name,
+  CAST(d.hops AS BIGINT) AS hops,
+  d.hops IS NOT NULL AS reachable
+FROM nation n LEFT JOIN dist d ON n.n_nationkey = d.node
+"""
+
+
+@register(
+    "bfs_shortest_hops",
+    ops=("J4", "A3", "A11", "W4"),
+    doc="Bounded single-source BFS over the thinned (top-2-partner) "
+    "trade backbone: shortest hop count from nation 0 to every "
+    "nation, computed by frontier relaxation — each of the "
+    f"{_BFS_HOPS} rounds is dist ⋈ edges (keyed on src) → "
+    "min-aggregate on dst → merge with the running distances, the "
+    "standard Pregel shape with no driver-side state. Distances "
+    "beyond the hop budget are NULL. Integer arithmetic throughout, "
+    "so every round is bitwise-reproducible under any partitioning; "
+    "the DuckDB twin is the engine-idiomatic recursive CTE carrying "
+    "the same hop bound. The corpus-scale work is the one weighted-"
+    "edge aggregate (shared shape with nation_trade_pagerank); the "
+    "iteration runs on the checkpointed |nations|²-bounded edges.",
+    oracle=_bfs_oracle(),
+)
+def bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _backbone_edges(spark, sf_dir, _BFS_TOPK)
+    nation = table(spark, sf_dir, "nation")
+    dist = nation.select(
+        F.col("n_nationkey").cast("int").alias("node"),
+        F.when(F.col("n_nationkey") == 0, F.lit(0)).alias("hops"),
+    )
+    for _ in range(_BFS_HOPS):
+        cand = (
+            dist.filter(F.col("hops").isNotNull())
+            .join(F.broadcast(edges), dist["node"] == edges["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.min("hops") + 1).alias("via"))
+        )
+        dist = (
+            dist.join(F.broadcast(cand), "node", "left")
+            .select(
+                "node",
+                # Explicit null-aware min — Spark's least() skips
+                # NULLs but engines disagree on that contract, so the
+                # CASE spells it out identically on both sides.
+                F.when(F.col("hops").isNull(), F.col("via"))
+                .when(F.col("via").isNull(), F.col("hops"))
+                .when(F.col("via") < F.col("hops"), F.col("via"))
+                .otherwise(F.col("hops"))
+                .alias("hops"),
+            )
+            # 25-row frame; cutting lineage per round keeps analysis/
+            # planning cost O(1) per round instead of O(round depth)
+            # (measured 8.7 s → a chained-plan tax, not data).
+            .localCheckpoint()
+        )
+    return dist.join(
+        F.broadcast(nation), dist["node"] == nation["n_nationkey"]
+    ).select(
+        F.col("n_nationkey").alias("nationkey"),
+        "n_name",
+        F.col("hops").cast("bigint").alias("hops"),
+        F.col("hops").isNotNull().alias("reachable"),
+    )
+
+
+def _kcore_oracle() -> str:
+    ctes = [
+        "nodes AS (SELECT n_nationkey AS node FROM nation)",
+        """deg0 AS (
+  SELECT x.node, COUNT(e.dst) AS deg
+  FROM nodes x LEFT JOIN edges e ON x.node = e.src
+  GROUP BY 1
+)""",
+        f"a0 AS (SELECT node FROM deg0 WHERE deg >= {_CORE_K})",
+    ]
+    for r in range(1, _CORE_ROUNDS + 1):
+        ctes.append(
+            f"""d{r} AS (
+  SELECT x.node, COUNT(y.node) AS deg
+  FROM a{r - 1} x
+  LEFT JOIN edges e ON x.node = e.src
+  LEFT JOIN a{r - 1} y ON e.dst = y.node
+  GROUP BY 1
+)"""
+        )
+        ctes.append(
+            f"a{r} AS (SELECT node FROM d{r} WHERE deg >= {_CORE_K})"
+        )
+    return (
+        f"WITH {_backbone_sql(_CORE_TOPK)},\n"
+        + ",\n".join(ctes)
+        + f"""
+SELECT n.n_nationkey AS nationkey, n.n_name,
+  CAST(d0.deg AS BIGINT) AS degree_initial,
+  a.node IS NOT NULL AS in_core,
+  CAST(CASE WHEN a.node IS NOT NULL THEN df.deg END AS BIGINT)
+    AS degree_in_core
+FROM nation n
+JOIN deg0 d0 ON n.n_nationkey = d0.node
+LEFT JOIN a{_CORE_ROUNDS} a ON n.n_nationkey = a.node
+LEFT JOIN d{_CORE_ROUNDS} df ON n.n_nationkey = df.node
+"""
+    )
+
+
+@register(
+    "kcore_trade_graph",
+    ops=("J4", "A1", "A11", "J2"),
+    doc=f"{_CORE_K}-core decomposition of the top-{_CORE_TOPK} trade "
+    "backbone by degree peeling: each round drops every node whose "
+    f"degree among survivors is < {_CORE_K}, fixed {_CORE_ROUNDS} "
+    "rounds (25 nodes stabilize in ≤3; the DuckDB twin unrolls the "
+    "same rounds as chained CTEs). Per round the plan is one degree "
+    "aggregate over the survivor-restricted edge list + one filter — "
+    "at web scale each round is a semi-join + aggregate keyed on the "
+    "node id, the textbook distributed k-core. Emits every nation's "
+    "initial degree, core membership, and in-core degree; integer "
+    "counts throughout.",
+    oracle=_kcore_oracle(),
+)
+def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _backbone_edges(spark, sf_dir, _CORE_TOPK)
+    nation = table(spark, sf_dir, "nation")
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    deg0 = (
+        nodes.join(F.broadcast(edges), nodes["node"] == edges["src"], "left")
+        .groupBy("node")
+        .agg(F.count(edges["dst"]).alias("deg"))
+    )
+    alive = deg0.filter(F.col("deg") >= _CORE_K).select("node")
+    deg = deg0
+    for _ in range(_CORE_ROUNDS):
+        # Fresh column names per round: `alive` feeds the round twice
+        # (as survivors and as the neighbor filter), so renamed
+        # projections keep the self-join unambiguous.
+        e = edges.select(
+            F.col("src").alias("e_src"), F.col("dst").alias("e_dst")
+        )
+        nbr = alive.select(F.col("node").alias("nbr"))
+        deg = (
+            alive.join(F.broadcast(e), alive["node"] == F.col("e_src"), "left")
+            .join(F.broadcast(nbr), F.col("e_dst") == F.col("nbr"), "left")
+            .groupBy("node")
+            .agg(F.count("nbr").alias("deg"))
+            # 25-row frame; per-round lineage cut (see bfs note).
+            .localCheckpoint()
+        )
+        alive = deg.filter(F.col("deg") >= _CORE_K).select("node")
+    return (
+        nation.join(
+            deg0.withColumnRenamed("deg", "deg_init"),
+            nation["n_nationkey"] == F.col("node"),
+        )
+        .drop("node")
+        .join(
+            alive.select(F.col("node").alias("core_node")),
+            nation["n_nationkey"] == F.col("core_node"),
+            "left",
+        )
+        .join(
+            deg.select(
+                F.col("node").alias("deg_node"), F.col("deg").alias("deg_final")
+            ),
+            nation["n_nationkey"] == F.col("deg_node"),
+            "left",
+        )
+        .select(
+            F.col("n_nationkey").alias("nationkey"),
+            "n_name",
+            F.col("deg_init").cast("bigint").alias("degree_initial"),
+            F.col("core_node").isNotNull().alias("in_core"),
+            F.when(F.col("core_node").isNotNull(), F.col("deg_final"))
+            .cast("bigint")
+            .alias("degree_in_core"),
+        )
+    )

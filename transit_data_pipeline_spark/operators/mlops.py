@@ -1434,6 +1434,36 @@ def covariate_shift_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 GAINS_DECILES = 10
 
 
+def _gains_local_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint two-phase-rank frame. Exposed (unregistered) so
+    the plan suite can assert the range partitioning that the eager
+    localCheckpoint in :func:`gains_lift_table` truncates out of the
+    final executed plan."""
+    o = table(spark, sf_dir, "orders", spread=True)
+    keyed = o.select(
+        "o_totalprice",
+        "o_orderkey",
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("responder"),
+    )
+    # Distributed two-phase global rank (never a single-partition
+    # NTILE window): range-partition on the sort key, row_number
+    # locally, add the exclusive prefix count of earlier partitions
+    # (a 64-row broadcast). The (score desc, orderkey) order is
+    # TOTAL, so the rank is unique and the exact-integer NTILE
+    # formula below reproduces the oracle's serial NTILE bit for bit.
+    order = (F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    part = keyed.repartitionByRange(64, *order).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    return part.withColumn(
+        "lrn", F.row_number().over(Window.partitionBy("pid").orderBy(*order))
+    ).select("responder", "pid", "lrn")
+
+
 @register(
     "gains_lift_table",
     ops=("W8", "A5", "A9", "W11", "O1"),
@@ -1488,34 +1518,12 @@ FROM cum
 """,
 )
 def gains_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders", spread=True)
-    keyed = o.select(
-        "o_totalprice",
-        "o_orderkey",
-        F.when(
-            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
-        )
-        .otherwise(0)
-        .alias("responder"),
-    )
-    # Distributed two-phase global rank (never a single-partition
-    # NTILE window): range-partition on the sort key, row_number
-    # locally, add the exclusive prefix count of earlier partitions
-    # (a 64-row broadcast). The (score desc, orderkey) order is
-    # TOTAL, so the rank is unique and the exact-integer NTILE
-    # formula below reproduces the oracle's serial NTILE bit for bit.
-    order = (F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    part = keyed.repartitionByRange(64, *order).withColumn(
-        "pid", F.spark_partition_id()
-    )
     # localCheckpoint: the offsets aggregate AND the decile join both
     # consume this frame, and RangePartitioner SAMPLES its boundaries —
     # two independent executions can route rows to different pids,
     # making offset+local_rank inconsistent. Materializing once (3
     # skinny int columns) pins a single partitioning for both readers.
-    local = part.withColumn(
-        "lrn", F.row_number().over(Window.partitionBy("pid").orderBy(*order))
-    ).select("responder", "pid", "lrn").localCheckpoint()
+    local = _gains_local_rank(spark, sf_dir).localCheckpoint()
     counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
     woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = counts.select(

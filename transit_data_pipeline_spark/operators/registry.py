@@ -43,6 +43,7 @@ _MODULES = (
     "transit_data_pipeline_spark.operators.timeseries",
     "transit_data_pipeline_spark.operators.tpch",
     "transit_data_pipeline_spark.operators.statsaudit",
+    "transit_data_pipeline_spark.operators.graphops",
 )
 
 
