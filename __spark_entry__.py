@@ -147,6 +147,9 @@ _R5_FRONT = (
     "funnel_time_to_convert",
     "bfs_shortest_hops",
     "kcore_trade_graph",
+    "sketch_ddsketch_quantiles",
+    "permutation_test_means",
+    "downsample_lttb",
 )
 
 

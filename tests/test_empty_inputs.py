@@ -131,6 +131,9 @@ _OPS = [
     "pmi_collocations",
     "bfs_shortest_hops",
     "kcore_trade_graph",
+    "sketch_ddsketch_quantiles",
+    "permutation_test_means",
+    "downsample_lttb",
     # (event_pattern_automaton / time_decay_attribution /
     # shapley_channel_attribution read the events table, which the
     # empty fixture omits — its TIMESTAMP_NANOS schema can't round-trip

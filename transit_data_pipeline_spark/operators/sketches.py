@@ -1112,3 +1112,144 @@ def topk_two_level_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "topk_provably_exact"
         ),
     )
+
+
+#: DDSketch-style relative-error quantile sketch (Masson, Lee & Rim,
+#: VLDB 2019 — public): geometric buckets i = ceil(log_γ x) with
+#: γ = (1+α)/(1−α) guarantee |est/true − 1| ≤ α per bucket. Both
+#: constants are embedded as the SAME Python-computed double literal
+#: in the Spark plan and the DuckDB twin, so the only per-engine libm
+#: call is ln(x) — and the index rounds the log ratio to 6 dp before
+#: ceil, collapsing sub-ulp libm disagreement.
+_DD_ALPHA = 0.02
+_DD_GAMMA = 1.02 / 0.98
+_DD_LN_GAMMA = 0.040005334613699206
+_DD_QS = "[0.5, 0.95, 0.99]"
+
+
+@register(
+    "sketch_ddsketch_quantiles",
+    ops=("A8", "A1", "W11", "A11"),
+    doc="DDSketch relative-error quantile sketch per order status: "
+    "log-γ geometric buckets (α = 2% relative accuracy), counts per "
+    "bucket — fixed mergeable state like the equi-width histogram "
+    "sketch above, but with RELATIVE error bounds, so p99 of a "
+    "heavy-tailed column stays accurate where equi-width bins "
+    "collapse. Quantile pick = first bucket whose cumulative count "
+    "reaches q·n; estimate = bucket midpoint 2γ^i/(γ+1), rounded to "
+    "cents so a final-ulp pow() disagreement cannot leak into the "
+    "hash gate. Emitted beside the exact percentile with the "
+    "relative error, keeping the approximate structure inside the "
+    "bitwise oracle gate (engine-portable, unlike t-digest). At "
+    "100 TB: two aggregates (bucket counts merge by addition), no "
+    "global sort — the exact-percentile twin column is the part "
+    "that would be dropped.",
+    oracle=f"""
+WITH binned AS (
+  SELECT o_orderstatus AS status,
+    CAST(CEIL(ROUND(LN(o_totalprice) / {_DD_LN_GAMMA!r}, 6)) AS INT) AS bkt
+  FROM orders
+),
+hist AS (SELECT status, bkt, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+tot AS (SELECT status, SUM(c) AS n FROM hist GROUP BY 1),
+cum AS (
+  SELECT status, bkt, c, SUM(c) OVER (PARTITION BY status ORDER BY bkt) AS cum
+  FROM hist
+),
+qs AS (SELECT unnest({_DD_QS}) AS q),
+pick AS (
+  SELECT c.status, q.q, MIN(c.bkt) AS bkt
+  FROM qs q, cum c JOIN tot t ON c.status = t.status
+  WHERE c.cum >= q.q * t.n
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT o_orderstatus AS status, unnest({_DD_QS}) AS q,
+    unnest(quantile_cont(o_totalprice, {_DD_QS})) AS exact_value
+  FROM orders GROUP BY 1
+)
+SELECT p.status, p.q, CAST(t.n AS BIGINT) AS n,
+  p.bkt AS bucket,
+  ROUND(2.0 * POWER({_DD_GAMMA!r}, p.bkt) / ({_DD_GAMMA!r} + 1.0), 2)
+    AS est,
+  ex.exact_value,
+  ROUND(ABS(ROUND(2.0 * POWER({_DD_GAMMA!r}, p.bkt) / ({_DD_GAMMA!r} + 1.0), 2)
+            - ex.exact_value) / ex.exact_value, 4) AS rel_err,
+  ROUND(ABS(ROUND(2.0 * POWER({_DD_GAMMA!r}, p.bkt) / ({_DD_GAMMA!r} + 1.0), 2)
+            - ex.exact_value) / ex.exact_value, 4) <= {_DD_ALPHA!r}
+    AS within_alpha
+FROM pick p
+JOIN tot t ON p.status = t.status
+JOIN ex ON p.status = ex.status AND p.q = ex.q
+""",
+)
+def sketch_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    binned = o.select(
+        F.col("o_orderstatus").alias("status"),
+        F.ceil(F.round(F.log(x) / F.lit(_DD_LN_GAMMA), 6))
+        .cast("int")
+        .alias("bkt"),
+    )
+    hist = binned.groupBy("status", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    tot = hist.groupBy("status").agg(F.sum("c").alias("n"))
+    cum = hist.select(
+        "status",
+        "bkt",
+        "c",
+        F.sum("c")
+        .over(Window.partitionBy("status").orderBy("bkt"))
+        .alias("cum"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.expr("array(0.5D, 0.95D, 0.99D)")).alias("q")
+    )
+    pick = (
+        cum.join(tot, "status")
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("status", "q")
+        .agg(F.min("bkt").alias("bkt"))
+    )
+    ex = (
+        o.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.expr(
+                f"percentile(o_totalprice, array{tuple(eval(_DD_QS))})"
+            ).alias("pcts")
+        )
+        .select(
+            "status",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("array(0.5D, 0.95D, 0.99D)").alias("q"),
+                    F.col("pcts").alias("exact_value"),
+                )
+            ).alias("z"),
+        )
+        .select(
+            "status",
+            F.col("z.q").alias("q"),
+            F.col("z.exact_value").alias("exact_value"),
+        )
+    )
+    est = F.round(
+        F.lit(2.0) * F.pow(F.lit(_DD_GAMMA), F.col("bkt")) / F.lit(_DD_GAMMA + 1.0),
+        2,
+    )
+    rel = F.round(F.abs(est - F.col("exact_value")) / F.col("exact_value"), 4)
+    return (
+        pick.join(tot, "status")
+        .join(ex, ["status", "q"])
+        .select(
+            "status",
+            "q",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("bkt").cast("int").alias("bucket"),
+            est.alias("est"),
+            "exact_value",
+            rel.alias("rel_err"),
+            (rel <= F.lit(_DD_ALPHA)).alias("within_alpha"),
+        )
+    )

@@ -960,3 +960,134 @@ def holm_stepdown_ab_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.min("pass").over(wpre) == 1).alias("reject_holm"),
     )
+
+
+#: Permutation-test replicas. Each replica re-assigns every UNIT (not
+#: row) to a pseudo-variant by hashing (unit, replica) — the standard
+#: Fisher randomization test, made cluster-deterministic by replacing
+#: the RNG with a keyed md5 draw.
+_PERM_REPS = 128
+
+
+@register(
+    "permutation_test_means",
+    ops=("A3", "A9", "J10", "A12"),
+    doc="Seeded permutation test for the A/B difference in per-"
+    "customer spend: the observed split is the md5-parity variant "
+    "(same unit hash as holm_stepdown_ab_tests), the null "
+    "distribution is 128 re-randomizations, each re-hashing every "
+    "customer with the replica id as salt. p = (1 + #extreme) / "
+    "(R + 1), the standard add-one permutation p-value. The corpus-"
+    "scale pass happens ONCE (per-customer decimal-exact totals); "
+    "the replica explosion runs on the unit frame (units × 128 — "
+    "linear in units, never in facts), one hash aggregate per "
+    "replica keyed by (rep, variant). Every mean is a single "
+    "division of an exact decimal sum, so the double comparisons "
+    "match DuckDB bitwise. At 100 TB: same two aggregates; the "
+    "replica fan-out stays unit-bounded, the permutation-null "
+    "machinery every experimentation platform wants but usually "
+    "monte-carlos nondeterministically.",
+    oracle=f"""
+WITH unit AS (
+  SELECT o_custkey AS u,
+    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS y
+  FROM orders GROUP BY 1
+),
+obs AS (
+  SELECT
+    CAST(CAST(SUM(CASE WHEN (instr('0123456789abcdef',
+          substring(md5(CAST(u AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+        THEN y END) AS VARCHAR) AS DOUBLE)
+      / SUM(CASE WHEN (instr('0123456789abcdef',
+          substring(md5(CAST(u AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+        THEN 1 ELSE 0 END)
+    - CAST(CAST(SUM(CASE WHEN (instr('0123456789abcdef',
+          substring(md5(CAST(u AS VARCHAR)), 1, 1)) - 1) % 2 = 1
+        THEN y END) AS VARCHAR) AS DOUBLE)
+      / SUM(CASE WHEN (instr('0123456789abcdef',
+          substring(md5(CAST(u AS VARCHAR)), 1, 1)) - 1) % 2 = 1
+        THEN 1 ELSE 0 END) AS diff_obs,
+    COUNT(*) AS n_units
+  FROM unit
+),
+reps AS (SELECT r FROM range(1, {_PERM_REPS} + 1) t(r)),
+null_dist AS (
+  SELECT r.r,
+    CAST(CAST(SUM(CASE WHEN (instr('0123456789abcdef',
+          substring(md5(concat(CAST(u.u AS VARCHAR), ':', CAST(r.r AS VARCHAR))), 1, 1)) - 1) % 2 = 0
+        THEN u.y END) AS VARCHAR) AS DOUBLE)
+      / SUM(CASE WHEN (instr('0123456789abcdef',
+          substring(md5(concat(CAST(u.u AS VARCHAR), ':', CAST(r.r AS VARCHAR))), 1, 1)) - 1) % 2 = 0
+        THEN 1 ELSE 0 END)
+    - CAST(CAST(SUM(CASE WHEN (instr('0123456789abcdef',
+          substring(md5(concat(CAST(u.u AS VARCHAR), ':', CAST(r.r AS VARCHAR))), 1, 1)) - 1) % 2 = 1
+        THEN u.y END) AS VARCHAR) AS DOUBLE)
+      / SUM(CASE WHEN (instr('0123456789abcdef',
+          substring(md5(concat(CAST(u.u AS VARCHAR), ':', CAST(r.r AS VARCHAR))), 1, 1)) - 1) % 2 = 1
+        THEN 1 ELSE 0 END) AS diff_r
+  FROM unit u CROSS JOIN reps r
+  GROUP BY 1
+)
+SELECT o.n_units, CAST({_PERM_REPS} AS BIGINT) AS n_reps, o.diff_obs,
+  CAST(SUM(CASE WHEN ABS(n.diff_r) >= ABS(o.diff_obs)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+  (1.0 + SUM(CASE WHEN ABS(n.diff_r) >= ABS(o.diff_obs)
+             THEN 1 ELSE 0 END)) / (1.0 + {_PERM_REPS}) AS p_value,
+  (1.0 + SUM(CASE WHEN ABS(n.diff_r) >= ABS(o.diff_obs)
+             THEN 1 ELSE 0 END)) / (1.0 + {_PERM_REPS}) < 0.05
+    AS reject_05
+FROM null_dist n CROSS JOIN obs o
+GROUP BY 1, 2, 3
+""",
+)
+def permutation_test_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    unit = o.groupBy(F.col("o_custkey").alias("u")).agg(
+        F.sum(F.col("o_totalprice").cast(N.DEC)).alias("y")
+    )
+
+    def split_diff(df: DataFrame, keycol, extra_group=None):
+        par = (
+            F.instr(
+                F.lit("0123456789abcdef"), F.substring(F.md5(keycol), 1, 1)
+            )
+            - 1
+        ) % 2
+        grouped = df.groupBy(*extra_group) if extra_group else df.groupBy()
+        return grouped.agg(
+            (
+                F.sum(F.when(par == 0, F.col("y"))).cast("double")
+                / F.sum(F.when(par == 0, 1).otherwise(0))
+                - F.sum(F.when(par == 1, F.col("y"))).cast("double")
+                / F.sum(F.when(par == 1, 1).otherwise(0))
+            ).alias("diff"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+
+    obs = split_diff(unit, F.col("u").cast("string")).select(
+        F.col("diff").alias("diff_obs"), F.col("n_rows").alias("n_units")
+    )
+    reps = spark.range(1, _PERM_REPS + 1).select(
+        F.col("id").cast("int").alias("r")
+    )
+    exploded = unit.crossJoin(F.broadcast(reps))
+    null_dist = split_diff(
+        exploded,
+        F.concat(
+            F.col("u").cast("string"), F.lit(":"), F.col("r").cast("string")
+        ),
+        extra_group=["r"],
+    ).select("r", F.col("diff").alias("diff_r"))
+    extreme = F.sum(
+        F.when(F.abs(F.col("diff_r")) >= F.abs(F.col("diff_obs")), 1).otherwise(0)
+    )
+    p = (F.lit(1.0) + extreme) / F.lit(1.0 + _PERM_REPS)
+    return (
+        null_dist.crossJoin(F.broadcast(obs))
+        .groupBy("n_units", F.lit(_PERM_REPS).cast("bigint").alias("n_reps"), "diff_obs")
+        .agg(
+            extreme.cast("bigint").alias("n_extreme"),
+            p.alias("p_value"),
+            (p < 0.05).alias("reject_05"),
+        )
+    )

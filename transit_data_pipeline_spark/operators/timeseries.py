@@ -1171,3 +1171,117 @@ def gap_fill_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("y_filled"),
     )
+
+
+#: LTOB target buckets (interior); the first/last points are anchors.
+_LTOB_BUCKETS = 48
+
+
+@register(
+    "downsample_lttb",
+    ops=("A3", "W3", "W4", "F5"),
+    doc="Largest-Triangle-One-Bucket downsampling of the daily revenue "
+    "series (Steinarsson 2013, public thesis — the dashboard-"
+    "rendering standard): the ~2.4k-day series is cut into 48 equal-"
+    "rank buckets and each bucket keeps the visually most important "
+    "point — the one maximizing the triangle area against its "
+    "immediate neighbors (LAG/LEAD row frame); the series endpoints "
+    "are unconditional anchors. All geometry is IEEE double "
+    "arithmetic on (integer epoch-day, decimal-exact revenue) "
+    "inputs — bitwise portable, no libm. The corpus-scale pass is "
+    "the daily pre-aggregate; every window runs on the day frame "
+    "(rows = days, invariant to fact volume). At 100 TB with many "
+    "series, partition every window by the series key — the global "
+    "windows here are day-bounded by construction.",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+    {{dsum}} AS y
+  FROM orders GROUP BY 1, 2
+),
+seq AS (
+  SELECT d, x, y,
+    ROW_NUMBER() OVER (ORDER BY d) AS rn,
+    COUNT(*) OVER () AS m,
+    LAG(x) OVER (ORDER BY d) AS xp, LAG(y) OVER (ORDER BY d) AS yp,
+    LEAD(x) OVER (ORDER BY d) AS xn, LEAD(y) OVER (ORDER BY d) AS yn
+  FROM daily
+),
+scored AS (
+  SELECT d, y, rn, m,
+    CASE WHEN rn = 1 THEN CAST(0 AS BIGINT)
+         WHEN rn = m THEN CAST({_LTOB_BUCKETS} + 1 AS BIGINT)
+         ELSE 1 + ((rn - 2) * {_LTOB_BUCKETS}) // GREATEST(m - 2, 1)
+    END AS bucket,
+    CASE WHEN rn = 1 OR rn = m THEN 0.0
+         ELSE ABS((xp - xn) * (y - yp) - (xp - x) * (yn - yp))
+    END AS area
+  FROM seq
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+  CAST(d AS TIMESTAMP) AS d, y AS day_revenue, area
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY bucket ORDER BY area DESC, d) AS rk
+  FROM scored
+) WHERE rk = 1
+""".format(dsum="__DSUM__").replace("__DSUM__", "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)"),
+)
+def downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("d"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("x"),
+    ).agg(N.dsum("o_totalprice").alias("y"))
+    w = Window.orderBy("d")
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    seq = daily.select(
+        "d",
+        "x",
+        "y",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+        F.lag("x").over(w).alias("xp"),
+        F.lag("y").over(w).alias("yp"),
+        F.lead("x").over(w).alias("xn"),
+        F.lead("y").over(w).alias("yn"),
+    )
+    bucket = (
+        F.when(F.col("rn") == 1, F.lit(0).cast("bigint"))
+        .when(F.col("rn") == F.col("m"), F.lit(_LTOB_BUCKETS + 1).cast("bigint"))
+        .otherwise(
+            1
+            + F.expr(
+                f"((rn - 2) * {_LTOB_BUCKETS}) div greatest(m - 2, 1)"
+            )
+        )
+    )
+    area = F.when(
+        (F.col("rn") == 1) | (F.col("rn") == F.col("m")), F.lit(0.0)
+    ).otherwise(
+        F.abs(
+            (F.col("xp") - F.col("xn")) * (F.col("y") - F.col("yp"))
+            - (F.col("xp") - F.col("x")) * (F.col("yn") - F.col("yp"))
+        )
+    )
+    scored = seq.select(
+        "d", "y", bucket.alias("bucket"), area.alias("area")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("bucket").orderBy(F.col("area").desc(), "d")
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("d").cast("timestamp").alias("d"),
+            F.col("y").alias("day_revenue"),
+            "area",
+        )
+    )
