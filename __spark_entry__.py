@@ -150,6 +150,8 @@ _R5_FRONT = (
     "sketch_ddsketch_quantiles",
     "permutation_test_means",
     "downsample_lttb",
+    "dedup_sorted_neighborhood",
+    "span_corruption_plan",
 )
 
 

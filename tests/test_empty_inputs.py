@@ -134,6 +134,8 @@ _OPS = [
     "sketch_ddsketch_quantiles",
     "permutation_test_means",
     "downsample_lttb",
+    "dedup_sorted_neighborhood",
+    "span_corruption_plan",
     # (event_pattern_automaton / time_decay_attribution /
     # shapley_channel_attribution read the events table, which the
     # empty fixture omits — its TIMESTAMP_NANOS schema can't round-trip

@@ -2082,3 +2082,134 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("score").cast("bigint").alias("max_score"),
         (F.sum("score").cast("double") / F.count(F.lit(1))).alias("mean_score"),
     )
+
+
+#: Sorted-neighborhood window size: each record is compared with the
+#: next _SN_WINDOW records in normalized-key order (Hernández &
+#: Stolfo 1995, the classic merge/purge blocking scheme — public).
+_SN_WINDOW = 3
+_SN_KEY_LEN = 24
+_SN_THRESHOLD = 0.5
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    ops=("W4", "J1", "A9", "P5"),
+    doc="Sorted-neighborhood near-dup blocking (Hernández-Stolfo "
+    "merge/purge): documents are ranked by a normalized key (first "
+    f"{_SN_KEY_LEN} chars of the lowercased alphanumeric collapse), "
+    f"and each doc is paired with its next {_SN_WINDOW} neighbors "
+    "in key order (LEAD array — no self-join for candidate "
+    "generation); candidates are then exactly verified by word-"
+    "3-shingle Jaccard. Complements the hash-based blockers "
+    "(minhash bands, simhash prefixes, pHash bands): sorted "
+    "neighborhoods catch prefix-preserving near-dups those can "
+    "miss, and candidate volume is EXACTLY w·n by construction — "
+    "no collision skew. The global rank is the one scale caveat: "
+    "at 100 TB it becomes the two-phase range-partitioned rank "
+    "(see gains_lift_table); the verify join touches candidate "
+    "pairs only. Ref dedup role: `load_gtfs_data.py:151` "
+    "ON CONFLICT dedup, upgraded to fuzzy keys.",
+    oracle=f"""
+WITH sh AS ({SQL_DOC_SHINGLES}),
+keyed AS (
+  SELECT doc_id,
+    substr(regexp_replace(lower(trim(text)), '[^a-z0-9]', '', 'g'),
+           1, {_SN_KEY_LEN}) AS k
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn FROM keyed
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(b.rn - a.rn AS BIGINT) AS neighbor_offset
+  FROM ranked a JOIN ranked b
+    ON b.rn - a.rn BETWEEN 1 AND {_SN_WINDOW}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+  FROM cand c
+  JOIN sh sa ON c.doc_a = sa.doc_id
+  JOIN sh sb ON c.doc_b = sb.doc_id AND sa.sh = sb.sh
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, c.neighbor_offset,
+  CAST(COALESCE(i.ni, 0) AS BIGINT) AS n_inter,
+  CAST(COALESCE(pa.ns, 0) AS BIGINT) AS n_a,
+  CAST(COALESCE(pb.ns, 0) AS BIGINT) AS n_b,
+  CAST(COALESCE(i.ni, 0) AS DOUBLE)
+    / NULLIF(COALESCE(pa.ns, 0) + COALESCE(pb.ns, 0) - COALESCE(i.ni, 0), 0)
+    AS jaccard,
+  COALESCE(CAST(COALESCE(i.ni, 0) AS DOUBLE)
+    / NULLIF(COALESCE(pa.ns, 0) + COALESCE(pb.ns, 0) - COALESCE(i.ni, 0), 0)
+    >= {_SN_THRESHOLD!r}, FALSE) AS is_dup
+FROM cand c
+LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+LEFT JOIN sizes pa ON c.doc_a = pa.doc_id
+LEFT JOIN sizes pb ON c.doc_b = pb.doc_id
+""",
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    sh = _doc_shingles(spark, sf_dir)
+    keyed = d.select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9]", ""),
+            1,
+            _SN_KEY_LEN,
+        ).alias("k"),
+    )
+    w = Window.orderBy("k", "doc_id")
+    leads = F.array(
+        *[F.lead("doc_id", o).over(w) for o in range(1, _SN_WINDOW + 1)]
+    )
+    cand = (
+        keyed.select("doc_id", leads.alias("nbrs"))
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.posexplode("nbrs").alias("pos", "doc_b"),
+        )
+        .filter(F.col("doc_b").isNotNull())
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("pos") + 1).cast("bigint").alias("neighbor_offset"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("sb_id"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("sb_id")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy(cand["doc_a"].alias("ia"), cand["doc_b"].alias("ib"))
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    pa = sizes.select(F.col("doc_id").alias("pa_id"), F.col("ns").alias("ns_a"))
+    pb = sizes.select(F.col("doc_id").alias("pb_id"), F.col("ns").alias("ns_b"))
+    ni = F.coalesce(F.col("ni"), F.lit(0)).cast("bigint")
+    na = F.coalesce(F.col("ns_a"), F.lit(0)).cast("bigint")
+    nb = F.coalesce(F.col("ns_b"), F.lit(0)).cast("bigint")
+    jac = ni.cast("double") / F.nullif(na + nb - ni, F.lit(0))
+    return (
+        cand.join(
+            inter,
+            (cand["doc_a"] == F.col("ia")) & (cand["doc_b"] == F.col("ib")),
+            "left",
+        )
+        .join(pa, cand["doc_a"] == F.col("pa_id"), "left")
+        .join(pb, cand["doc_b"] == F.col("pb_id"), "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "neighbor_offset",
+            ni.alias("n_inter"),
+            na.alias("n_a"),
+            nb.alias("n_b"),
+            jac.alias("jaccard"),
+            F.coalesce(jac >= _SN_THRESHOLD, F.lit(False)).alias("is_dup"),
+        )
+    )

@@ -1531,3 +1531,111 @@ def length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("padded_tokens")
         ).alias("pad_overhead"),
     )
+
+
+#: T5-style span corruption plan: ~15% of tokens masked in mean-
+#: length-3 spans (Raffel et al. 2020, public). n_spans = round(n/20)
+#: computed in EXACT integer arithmetic ((n+10) div 20, half-up) so
+#: both engines agree; span j lives inside its own stride-sized cell,
+#: offset by a keyed md5 draw — non-overlap by construction, no RNG.
+_SPAN_LEN = 3
+_SPAN_EVERY = 20  # 1 span per 20 tokens ≈ 15% corruption at len 3
+
+
+@register(
+    "span_corruption_plan",
+    ops=("F7", "F10", "A3", "A9"),
+    doc="Deterministic T5-style span-corruption plan over documents: "
+    "per doc, n_spans = greatest(1, (n+10) div 20) mean-3-token "
+    "spans; each span's start is a keyed md5 draw inside its own "
+    "stride cell (j·stride + hash mod (stride−2)), so spans never "
+    "overlap and every worker computes the identical plan — the "
+    "denoising-objective precursor that usually hides inside the "
+    "tokenizer pipeline, lifted into an auditable relational plan. "
+    "Emits one row per span (start, length, sentinel id) plus the "
+    "doc's token count and realized corruption rate. Pure codegen "
+    "(sequence+explode+md5), no shuffle, embarrassingly parallel at "
+    "any scale.",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, len({SQL_TOKENS}) AS n FROM documents
+  WHERE len({SQL_TOKENS}) >= {_SPAN_LEN}
+),
+planned AS (
+  SELECT doc_id, n,
+    GREATEST(1, (n + {_SPAN_EVERY // 2}) // {_SPAN_EVERY}) AS n_spans,
+    n // GREATEST(1, (n + {_SPAN_EVERY // 2}) // {_SPAN_EVERY}) AS stride
+  FROM tok
+),
+spans AS (
+  SELECT doc_id, n, n_spans, stride,
+    UNNEST(generate_series(0, n_spans - 1)) AS j
+  FROM planned
+)
+SELECT doc_id,
+  CAST(j AS BIGINT) AS span_idx,
+  CAST(j * stride
+    + CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':',
+                                          CAST(j AS VARCHAR))), 1, 8))
+           AS BIGINT) % GREATEST(stride - {_SPAN_LEN} + 1, 1)
+    AS BIGINT) AS span_start,
+  CAST(LEAST({_SPAN_LEN}, n) AS BIGINT) AS span_len,
+  CAST(n AS BIGINT) AS n_tokens,
+  CAST(n_spans AS BIGINT) AS n_spans,
+  CAST(n_spans * {_SPAN_LEN} AS DOUBLE) / n AS corruption_rate,
+  concat('<extra_id_', CAST(j AS VARCHAR), '>') AS sentinel
+FROM spans
+""",
+)
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    t = d.select(
+        "doc_id", F.size(tokens_col()).cast("bigint").alias("n")
+    ).filter(F.col("n") >= _SPAN_LEN)
+    planned = t.select(
+        "doc_id",
+        "n",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.expr(f"(n + {_SPAN_EVERY // 2}) div {_SPAN_EVERY}"),
+        ).alias("n_spans"),
+    ).withColumn("stride", F.expr("n div n_spans"))
+    spans = planned.select(
+        "doc_id",
+        "n",
+        "n_spans",
+        "stride",
+        F.explode(F.sequence(F.lit(0), F.col("n_spans") - 1)).alias("j"),
+    )
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.greatest(F.col("stride") - _SPAN_LEN + 1, F.lit(1).cast("bigint"))
+    )
+    return spans.select(
+        "doc_id",
+        F.col("j").cast("bigint").alias("span_idx"),
+        (F.col("j") * F.col("stride") + draw).cast("bigint").alias("span_start"),
+        F.least(F.lit(_SPAN_LEN).cast("bigint"), F.col("n")).alias("span_len"),
+        F.col("n").alias("n_tokens"),
+        F.col("n_spans").cast("bigint").alias("n_spans"),
+        (
+            (F.col("n_spans") * _SPAN_LEN).cast("double") / F.col("n")
+        ).alias("corruption_rate"),
+        F.concat(
+            F.lit("<extra_id_"), F.col("j").cast("string"), F.lit(">")
+        ).alias("sentinel"),
+    )
