@@ -152,6 +152,9 @@ _R5_FRONT = (
     "downsample_lttb",
     "dedup_sorted_neighborhood",
     "span_corruption_plan",
+    "bh_fdr_control",
+    "mann_kendall_trend",
+    "survivorship_merge",
 )
 
 

@@ -136,6 +136,9 @@ _OPS = [
     "downsample_lttb",
     "dedup_sorted_neighborhood",
     "span_corruption_plan",
+    "bh_fdr_control",
+    "mann_kendall_trend",
+    "survivorship_merge",
     # (event_pattern_automaton / time_decay_attribution /
     # shapley_channel_attribution read the events table, which the
     # empty fixture omits — its TIMESTAMP_NANOS schema can't round-trip

@@ -1380,3 +1380,133 @@ def dp_quantile_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("utility_loss2"),
         )
     )
+
+
+#: Survivorship entity key: shorter than the sorted-neighborhood key
+#: (16 normalized chars) so clusters actually merge several records.
+_SURV_KEY_LEN = 16
+
+
+@register(
+    "survivorship_merge",
+    ops=("W4", "A1", "A2", "J1"),
+    doc="MDM survivorship (golden-record) merge: documents are "
+    "clustered by a normalized entity key (first 16 chars of the "
+    "lowercased alphanumeric collapse) and each multi-member "
+    "cluster is resolved FIELD BY FIELD — canonical id = min "
+    "doc_id (the keep-first rule, ref load_gtfs_data.py:151 "
+    "ON CONFLICT), longest-text representative via per-cluster "
+    "rank (n_chars desc, doc_id tiebreak), modal language via "
+    "count-then-rank (count desc, lang asc — deterministic mode, "
+    "dropDuplicates would be arbitrary). Complements dedup_keep_"
+    "best (which picks ONE row): survivorship composes the best "
+    "VALUE per field across the cluster, the standard MDM merge "
+    "rule set. Every shuffle and window is keyed by the entity "
+    "key — partition-parallel at any scale; integer/string "
+    "outputs only, no float surface.",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+    substr(regexp_replace(lower(trim(text)), '[^a-z0-9]', '', 'g'),
+           1, {_SURV_KEY_LEN}) AS entity_key
+  FROM documents
+),
+clusters AS (
+  SELECT entity_key,
+    COUNT(*) AS n_members,
+    MIN(doc_id) AS canonical_doc_id,
+    COUNT(DISTINCT lang) AS n_distinct_langs
+  FROM keyed GROUP BY 1
+  HAVING COUNT(*) >= 2
+),
+longest AS (
+  SELECT entity_key, doc_id AS longest_doc_id, n_chars AS longest_n_chars
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY entity_key ORDER BY n_chars DESC, doc_id) AS rk
+    FROM keyed
+  ) WHERE rk = 1
+),
+modal AS (
+  SELECT entity_key, lang AS modal_lang, c AS lang_support
+  FROM (
+    SELECT entity_key, lang, COUNT(*) AS c,
+      ROW_NUMBER() OVER (
+        PARTITION BY entity_key ORDER BY COUNT(*) DESC, lang) AS rk
+    FROM keyed GROUP BY 1, 2
+  ) WHERE rk = 1
+)
+SELECT c.entity_key,
+  CAST(c.n_members AS BIGINT) AS n_members,
+  c.canonical_doc_id,
+  CAST(c.n_distinct_langs AS BIGINT) AS n_distinct_langs,
+  l.longest_doc_id,
+  CAST(l.longest_n_chars AS BIGINT) AS longest_n_chars,
+  m.modal_lang,
+  CAST(m.lang_support AS BIGINT) AS lang_support
+FROM clusters c
+JOIN longest l ON c.entity_key = l.entity_key
+JOIN modal m ON c.entity_key = m.entity_key
+""",
+)
+def survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.substring(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9]", ""),
+            1,
+            _SURV_KEY_LEN,
+        ).alias("entity_key"),
+    )
+    clusters = (
+        keyed.groupBy("entity_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.countDistinct("lang").alias("n_distinct_langs"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    wlong = Window.partitionBy("entity_key").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    longest = (
+        keyed.withColumn("rk", F.row_number().over(wlong))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("entity_key").alias("lk"),
+            F.col("doc_id").alias("longest_doc_id"),
+            F.col("n_chars").alias("longest_n_chars"),
+        )
+    )
+    wmod = Window.partitionBy("entity_key").orderBy(
+        F.col("c").desc(), "lang"
+    )
+    modal = (
+        keyed.groupBy("entity_key", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rk", F.row_number().over(wmod))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("entity_key").alias("mk"),
+            F.col("lang").alias("modal_lang"),
+            F.col("c").alias("lang_support"),
+        )
+    )
+    return (
+        clusters.join(longest, F.col("entity_key") == F.col("lk"))
+        .join(modal, F.col("entity_key") == F.col("mk"))
+        .select(
+            "entity_key",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            "canonical_doc_id",
+            F.col("n_distinct_langs").cast("bigint").alias("n_distinct_langs"),
+            "longest_doc_id",
+            F.col("longest_n_chars").cast("bigint").alias("longest_n_chars"),
+            "modal_lang",
+            F.col("lang_support").cast("bigint").alias("lang_support"),
+        )
+    )

@@ -787,22 +787,10 @@ def _holm_crit_sql(j: str) -> str:
     return f"(CASE {j} {clauses} END)"
 
 
-@register(
-    "holm_stepdown_ab_tests",
-    ops=("A4", "A9", "W4", "P5", "J3"),
-    doc="Family-wise-error-controlled A/B readout (Holm 1979 step-"
-    "down): a Welch z-statistic per NATION (md5-split variants over "
-    "order prices, variances from decimal-exact sufficient "
-    "statistics), then the 25-test family is ranked by |z| and "
-    "tested against shrinking critical values Φ⁻¹(1−α/2j) — "
-    "precomputed stdlib literals, no erf in either engine — with "
-    "the step-down stop (a failure blocks all later rejections) as "
-    "a prefix-min window over the rank. Reports the naive per-test "
-    "verdict beside the Holm one — the multiple-testing damage "
-    "audit every experimentation platform needs. One broadcast dim "
-    "join + one hash aggregate; the stepdown runs on ≤25 rows.",
-    oracle=f"""
-WITH unit AS (
+#: Shared oracle CTEs producing the per-nation Welch z table (used by
+#: the Holm step-down AND the Benjamini-Hochberg step-up readouts —
+#: one definition so the two multiple-testing oracles can't drift).
+_AB_Z_CTES = """unit AS (
   SELECT c.c_nationkey AS nation,
     CASE WHEN (instr('0123456789abcdef',
                 substring(md5(CAST(c.c_custkey AS VARCHAR)), 1, 1)) - 1)
@@ -843,30 +831,12 @@ z AS (
       / sqrt((sa2 - sa * sa / na) / (na - 1) / na
              + (sb2 - sb * sb / nb) / (nb - 1) / nb) AS z
   FROM wide
-),
-ranked AS (
-  SELECT *,
-    ROW_NUMBER() OVER (ORDER BY abs(z) DESC, nation) AS k,
-    COUNT(*) OVER () AS m
-  FROM z
-),
-tested AS (
-  SELECT *,
-    {_holm_crit_sql("(m - k + 1)")} AS crit,
-    CASE WHEN abs(z) >= {_holm_crit_sql("(m - k + 1)")}
-         THEN 1 ELSE 0 END AS pass
-  FROM ranked
-)
-SELECT nation, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-  z, CAST(k AS BIGINT) AS abs_rank, crit,
-  abs(z) >= {_holm_crit_sql("1")} AS reject_naive,
-  MIN(pass) OVER (ORDER BY k
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
-    AS reject_holm
-FROM tested
-""",
-)
-def holm_stepdown_ab_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+)"""
+
+
+def _ab_z_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Welch z table (Spark twin of _AB_Z_CTES), shared by
+    the Holm step-down and Benjamini-Hochberg step-up readouts."""
     o = table(spark, sf_dir, "orders", spread=True)
     c = table(spark, sf_dir, "customer")
     unit = o.join(
@@ -929,6 +899,49 @@ def holm_stepdown_ab_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z"),
     )
+    return z
+
+
+@register(
+    "holm_stepdown_ab_tests",
+    ops=("A4", "A9", "W4", "P5", "J3"),
+    doc="Family-wise-error-controlled A/B readout (Holm 1979 step-"
+    "down): a Welch z-statistic per NATION (md5-split variants over "
+    "order prices, variances from decimal-exact sufficient "
+    "statistics), then the 25-test family is ranked by |z| and "
+    "tested against shrinking critical values Φ⁻¹(1−α/2j) — "
+    "precomputed stdlib literals, no erf in either engine — with "
+    "the step-down stop (a failure blocks all later rejections) as "
+    "a prefix-min window over the rank. Reports the naive per-test "
+    "verdict beside the Holm one — the multiple-testing damage "
+    "audit every experimentation platform needs. One broadcast dim "
+    "join + one hash aggregate; the stepdown runs on ≤25 rows.",
+    oracle=f"""
+WITH {_AB_Z_CTES},
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (ORDER BY abs(z) DESC, nation) AS k,
+    COUNT(*) OVER () AS m
+  FROM z
+),
+tested AS (
+  SELECT *,
+    {_holm_crit_sql("(m - k + 1)")} AS crit,
+    CASE WHEN abs(z) >= {_holm_crit_sql("(m - k + 1)")}
+         THEN 1 ELSE 0 END AS pass
+  FROM ranked
+)
+SELECT nation, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  z, CAST(k AS BIGINT) AS abs_rank, crit,
+  abs(z) >= {_holm_crit_sql("1")} AS reject_naive,
+  MIN(pass) OVER (ORDER BY k
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+    AS reject_holm
+FROM tested
+""",
+)
+def holm_stepdown_ab_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    z = _ab_z_frame(spark, sf_dir)
     wrank = Window.orderBy(F.abs(F.col("z")).desc(), "nation")
     wall = Window.orderBy(F.lit(1)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -1090,4 +1103,94 @@ def permutation_test_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             p.alias("p_value"),
             (p < 0.05).alias("reject_05"),
         )
+    )
+
+
+#: BH step-up critical values Φ⁻¹(1 − α·k/(2m)) for every family size
+#: m ≤ 25 and rank k ≤ m — stdlib-precomputed literals (like
+#: _HOLM_CRIT) so neither engine evaluates an inverse normal CDF.
+_BH_ALPHA = 0.05
+_BH_CRIT = {
+    (m, k): _statistics.NormalDist().inv_cdf(1 - (_BH_ALPHA * k) / (2 * m))
+    for m in range(1, _HOLM_MAX_M + 1)
+    for k in range(1, m + 1)
+}
+_BH_VALUES_SQL = ", ".join(
+    f"({m}, {k}, CAST('{v!r}' AS DOUBLE))" for (m, k), v in _BH_CRIT.items()
+)
+
+
+@register(
+    "bh_fdr_control",
+    ops=("A4", "A9", "W4", "P5", "J3"),
+    doc="False-discovery-rate-controlled A/B readout (Benjamini-"
+    "Hochberg 1995 step-UP), the power-preserving dual of "
+    "holm_stepdown_ab_tests built on the SAME per-nation Welch z "
+    "table (_ab_z_frame — one definition, two multiple-testing "
+    "procedures): tests ranked by |z| are compared against "
+    "Φ⁻¹(1−α·k/(2m)) and every rank up to the LARGEST passing one "
+    "is rejected (step-up), vs Holm's first-failure cutoff. "
+    "Critical values for every (m ≤ 25, k ≤ m) are stdlib-"
+    "precomputed literals joined as a broadcast grid, so no erf in "
+    "either engine. Emits naive / BH verdicts side by side; the "
+    "procedure runs on ≤25 rows after one broadcast-dim join + one "
+    "hash aggregate over the fact table.",
+    oracle=f"""
+WITH {_AB_Z_CTES},
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (ORDER BY abs(z) DESC, nation) AS k,
+    COUNT(*) OVER () AS m
+  FROM z
+),
+crit AS (SELECT * FROM (VALUES {_BH_VALUES_SQL}) t(m, k, v)),
+tested AS (
+  SELECT r.nation, r.na, r.nb, r.z, r.k, c.v AS crit_bh,
+    CASE WHEN abs(r.z) >= c.v THEN r.k ELSE 0 END AS pass_k
+  FROM ranked r JOIN crit c ON r.m = c.m AND r.k = c.k
+)
+SELECT nation, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  z, CAST(k AS BIGINT) AS abs_rank, crit_bh,
+  abs(z) >= CAST('{_BH_CRIT[(1, 1)]!r}' AS DOUBLE) AS reject_naive,
+  k <= MAX(pass_k) OVER () AS reject_bh
+FROM tested
+""",
+)
+def bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    z = _ab_z_frame(spark, sf_dir)
+    wrank = Window.orderBy(F.abs(F.col("z")).desc(), "nation")
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = z.select(
+        "*",
+        F.row_number().over(wrank).alias("k"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    crit = spark.createDataFrame(
+        [(m, k, v) for (m, k), v in _BH_CRIT.items()],
+        "m int, k int, v double",
+    )
+    tested = ranked.join(
+        F.broadcast(crit), ["m", "k"]
+    ).select(
+        "nation",
+        "na",
+        "nb",
+        "z",
+        "k",
+        F.col("v").alias("crit_bh"),
+        F.when(F.abs(F.col("z")) >= F.col("v"), F.col("k"))
+        .otherwise(0)
+        .alias("pass_k"),
+    )
+    return tested.select(
+        "nation",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        "z",
+        F.col("k").cast("bigint").alias("abs_rank"),
+        "crit_bh",
+        (F.abs(F.col("z")) >= F.lit(_BH_CRIT[(1, 1)])).alias("reject_naive"),
+        (F.col("k") <= F.max("pass_k").over(wall)).alias("reject_bh"),
     )

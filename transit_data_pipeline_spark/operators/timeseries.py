@@ -1285,3 +1285,156 @@ def downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
             "area",
         )
     )
+
+
+#: Two-sided 5% normal critical value (stdlib literal, like the
+#: multiple-testing tables in statsaudit).
+_MK_CRIT = 1.959963984540054
+
+
+@register(
+    "mann_kendall_trend",
+    ops=("J10", "A5", "A1", "P5"),
+    doc="Mann-Kendall monotone-trend test per order priority over the "
+    "1996 daily order-count series (Mann 1945 / Kendall 1975 — the "
+    "nonparametric trend standard, dual of theilsen_trend's slope): "
+    "S = Σ_{i<j} sign(y_j − y_i) summed over the day-pair grid, "
+    "variance with the FULL tie correction Σt(t−1)(2t+5) (small "
+    "integer daily counts tie heavily — the correction is load-"
+    "bearing), continuity-corrected z, verdict vs a stdlib normal "
+    "literal. S, n, and every tie term are exact integers; the only "
+    "doubles are one division and one sqrt, written identically on "
+    "both engines. The pair grid is days²-bounded (runs on the "
+    "daily pre-aggregate, invariant to fact volume — same shape as "
+    "theilsen_trend); at 100 TB the O(n log n) inversion-count "
+    "formulation replaces the explicit grid.",
+    oracle=f"""
+WITH daily AS ({{_DAILY}}),
+pairs AS (
+  SELECT a.o_orderpriority,
+    SUM(CASE WHEN b.n_orders > a.n_orders THEN 1
+             WHEN b.n_orders < a.n_orders THEN -1 ELSE 0 END) AS s
+  FROM daily a JOIN daily b
+    ON a.o_orderpriority = b.o_orderpriority AND b.d > a.d
+  GROUP BY 1
+),
+nn AS (
+  SELECT o_orderpriority, COUNT(*) AS n FROM daily GROUP BY 1
+),
+ties AS (
+  SELECT o_orderpriority,
+    SUM(CASE WHEN t > 1 THEN t * (t - 1) * (2 * t + 5) ELSE 0 END) AS tie_term,
+    SUM(CASE WHEN t > 1 THEN 1 ELSE 0 END) AS n_tied_groups
+  FROM (
+    SELECT o_orderpriority, n_orders, COUNT(*) AS t
+    FROM daily GROUP BY 1, 2
+  )
+  GROUP BY 1
+),
+stat AS (
+  SELECT p.o_orderpriority, p.s, nn.n, t.n_tied_groups,
+    CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - t.tie_term AS DOUBLE) / 18.0
+      AS var_s
+  FROM pairs p
+  JOIN nn ON p.o_orderpriority = nn.o_orderpriority
+  JOIN ties t ON p.o_orderpriority = t.o_orderpriority
+)
+SELECT o_orderpriority,
+  CAST(n AS BIGINT) AS n_days,
+  CAST(s AS BIGINT) AS s_stat,
+  CAST(n_tied_groups AS BIGINT) AS n_tied_groups,
+  var_s,
+  CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+       WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+       ELSE 0.0 END AS z,
+  CASE WHEN (CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                  WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                  ELSE 0.0 END) >= {_MK_CRIT!r} THEN 'increasing'
+       WHEN (CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                  WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                  ELSE 0.0 END) <= -{_MK_CRIT!r} THEN 'decreasing'
+       ELSE 'none' END AS trend
+FROM stat
+""".replace("{_DAILY}", _DAILY_SQL),
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Four consumers (both pair sides, n, ties) over the days-sized
+    # aggregate: checkpoint so the fact table is scanned once, not 4×.
+    daily = (
+        _daily(spark, sf_dir)
+        .select("o_orderpriority", "d", "n_orders")
+        .localCheckpoint()
+    )
+    a = daily.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("d").alias("da"),
+        F.col("n_orders").alias("ya"),
+    )
+    b = daily.select(
+        F.col("o_orderpriority").alias("prio_b"),
+        F.col("d").alias("db"),
+        F.col("n_orders").alias("yb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("prio") == F.col("prio_b")) & (F.col("db") > F.col("da")),
+        )
+        .groupBy("prio")
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            ).alias("s")
+        )
+    )
+    nn = daily.groupBy(F.col("o_orderpriority").alias("prio_n")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = F.col("t")
+    ties = (
+        daily.groupBy("o_orderpriority", "n_orders")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy(F.col("o_orderpriority").alias("prio_t"))
+        .agg(
+            F.sum(
+                F.when(t > 1, t * (t - 1) * (2 * t + 5)).otherwise(0)
+            ).alias("tie_term"),
+            F.sum(F.when(t > 1, 1).otherwise(0)).alias("n_tied_groups"),
+        )
+    )
+    stat = (
+        pairs.join(nn, F.col("prio") == F.col("prio_n"))
+        .join(ties, F.col("prio") == F.col("prio_t"))
+        .select(
+            "prio",
+            "s",
+            "n",
+            "n_tied_groups",
+            (
+                (
+                    F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                    - F.col("tie_term")
+                ).cast("double")
+                / 18.0
+            ).alias("var_s"),
+        )
+    )
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(F.col("var_s")))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(F.col("var_s")))
+        .otherwise(F.lit(0.0))
+    )
+    return stat.select(
+        F.col("prio").alias("o_orderpriority"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("s").cast("bigint").alias("s_stat"),
+        F.col("n_tied_groups").cast("bigint").alias("n_tied_groups"),
+        "var_s",
+        z.alias("z"),
+        F.when(z >= _MK_CRIT, "increasing")
+        .when(z <= -_MK_CRIT, "decreasing")
+        .otherwise("none")
+        .alias("trend"),
+    )
