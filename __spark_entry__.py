@@ -155,6 +155,8 @@ _R5_FRONT = (
     "bh_fdr_control",
     "mann_kendall_trend",
     "survivorship_merge",
+    "text_kneser_ney_bigram",
+    "dau_wau_stickiness",
 )
 
 

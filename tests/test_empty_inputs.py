@@ -139,6 +139,7 @@ _OPS = [
     "bh_fdr_control",
     "mann_kendall_trend",
     "survivorship_merge",
+    "text_kneser_ney_bigram",
     # (event_pattern_automaton / time_decay_attribution /
     # shapley_channel_attribution read the events table, which the
     # empty fixture omits — its TIMESTAMP_NANOS schema can't round-trip

@@ -1958,3 +1958,68 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "phi_share"
         ),
     )
+
+
+@register(
+    "dau_wau_stickiness",
+    ops=("A2", "A9", "F5", "A11"),
+    doc="Product-analytics stickiness: per ISO week, weekly active "
+    "users (exact distinct), the average of daily distinct-user "
+    "counts over the week's observed days, and the DAU/WAU "
+    "stickiness ratio — the engagement KPI every analytics stack "
+    "reports. Two distinct-aggregates (day grain, week grain) on "
+    "the deduplicated (day, user) frame; both shuffles keyed by "
+    "calendar buckets. Ratios are single divisions of exact "
+    "integers, identical operation order on both engines. At "
+    "100 TB swap exact distincts for the KMV/HLL sketch operators "
+    "(same plan shape, sketch state merges by week).",
+    oracle=f"""
+WITH ud AS (
+  SELECT DISTINCT CAST({SQL_EVENT_TIME} AS DATE) AS d, user_id
+  FROM events
+),
+dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY 1),
+byweek AS (
+  SELECT strftime(CAST(date_trunc('week', d) AS DATE), '%Y-%m-%d') AS week,
+    COUNT(*) AS n_days,
+    CAST(SUM(dau) AS BIGINT) AS sum_dau
+  FROM dau GROUP BY 1
+),
+wau AS (
+  SELECT strftime(CAST(date_trunc('week', d) AS DATE), '%Y-%m-%d') AS week,
+    COUNT(DISTINCT user_id) AS wau
+  FROM ud GROUP BY 1
+)
+SELECT b.week, CAST(b.n_days AS BIGINT) AS n_days, b.sum_dau,
+  CAST(w.wau AS BIGINT) AS wau,
+  CAST(b.sum_dau AS DOUBLE) / b.n_days AS avg_dau,
+  (CAST(b.sum_dau AS DOUBLE) / b.n_days) / w.wau AS stickiness
+FROM byweek b JOIN wau w ON b.week = w.week
+""",
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    ud = e.select(
+        F.to_date("event_time").alias("d"), "user_id"
+    ).distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    wk = F.date_format(
+        F.date_trunc("week", F.col("d")).cast("date"), "yyyy-MM-dd"
+    )
+    byweek = dau.groupBy(wk.alias("week")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("dau").cast("bigint").alias("sum_dau"),
+    )
+    wau = ud.groupBy(wk.alias("wweek")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return byweek.join(wau, F.col("week") == F.col("wweek")).select(
+        "week",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        "sum_dau",
+        F.col("wau").cast("bigint").alias("wau"),
+        (F.col("sum_dau").cast("double") / F.col("n_days")).alias("avg_dau"),
+        (
+            (F.col("sum_dau").cast("double") / F.col("n_days")) / F.col("wau")
+        ).alias("stickiness"),
+    )

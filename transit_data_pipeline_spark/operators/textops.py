@@ -2108,3 +2108,127 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_ab").cast("bigint").alias("n_bigram"),
         "pmi",
     )
+
+
+#: Kneser-Ney absolute discount — 3/4 is exact in binary, so the
+#: discounted numerators are single-rounding doubles in any engine.
+_KN_D = 0.75
+_KN_TOPK = 20
+
+
+@register(
+    "text_kneser_ney_bigram",
+    ops=("A3", "A2", "F10", "J1", "W4"),
+    doc="Interpolated Kneser-Ney bigram probabilities (Kneser & Ney "
+    "1995 — the production n-gram smoothing, complementing "
+    "text_bigram_perplexity's add-k filter): absolute discount "
+    "D=0.75 off every bigram count, discount mass redistributed "
+    "via the CONTINUATION unigram (how many distinct contexts a "
+    "word follows — the famous 'San Francisco' correction where "
+    "raw frequency overrates 'Francisco'). Every component is an "
+    "exact integer aggregate (bigram counts, context totals, "
+    "distinct continuation counts, bigram-type count); D is exact "
+    "in binary, so p_KN is bitwise cross-engine with NO log/exp "
+    "anywhere. Count tables are vocabulary-bounded (Zipf) — the "
+    "corpus scan is the only size-dependent stage; emits the "
+    f"top-{_KN_TOPK} bigrams with MLE vs KN side by side.",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+),
+bg AS (
+  SELECT p[1] AS w1, p[2] AS w2
+  FROM (SELECT unnest(list_zip(w[:len(w)-1], w[2:])) AS p
+        FROM tok WHERE len(w) >= 2)
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+ctx AS (
+  SELECT w1, SUM(c12) AS c1, COUNT(*) AS n_fw
+  FROM c12 GROUP BY 1
+),
+cont AS (SELECT w2, COUNT(*) AS n_bw FROM c12 GROUP BY 1),
+types AS (SELECT COUNT(*) AS b FROM c12),
+scored AS (
+  SELECT c.w1, c.w2, c.c12, x.c1, x.n_fw, co.n_bw, t.b,
+    CAST(c.c12 AS DOUBLE) / x.c1 AS p_mle,
+    GREATEST(c.c12 - {_KN_D!r}, 0.0) / x.c1
+      + ({_KN_D!r} * x.n_fw / x.c1) * (CAST(co.n_bw AS DOUBLE) / t.b)
+      AS p_kn
+  FROM c12 c
+  JOIN ctx x ON c.w1 = x.w1
+  JOIN cont co ON c.w2 = co.w2
+  CROSS JOIN types t
+)
+SELECT w1, w2,
+  CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
+  CAST(n_fw AS BIGINT) AS n_cont_fw, CAST(n_bw AS BIGINT) AS n_cont_bw,
+  CAST(b AS BIGINT) AS n_bigram_types,
+  p_mle, p_kn
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY c12 DESC, w1, w2) AS rk
+  FROM scored
+) WHERE rk <= {_KN_TOPK}
+""",
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    w = tokens_col()
+    bg = (
+        d.select(w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(w, 1, size(w) - 1)").alias("w1"),
+                    F.expr("slice(w, 2, size(w) - 1)").alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = c12.groupBy(F.col("w1").alias("xw1")).agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n_fw")
+    )
+    cont = c12.groupBy(F.col("w2").alias("cw2")).agg(
+        F.count(F.lit(1)).alias("n_bw")
+    )
+    types = c12.agg(F.count(F.lit(1)).alias("b"))
+    scored = (
+        c12.join(ctx, F.col("w1") == F.col("xw1"))
+        .join(cont, F.col("w2") == F.col("cw2"))
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "n_fw",
+            "n_bw",
+            "b",
+            (F.col("c12").cast("double") / F.col("c1")).alias("p_mle"),
+            (
+                F.greatest(F.col("c12") - _KN_D, F.lit(0.0)) / F.col("c1")
+                + (F.lit(_KN_D) * F.col("n_fw") / F.col("c1"))
+                * (F.col("n_bw").cast("double") / F.col("b"))
+            ).alias("p_kn"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("c12").desc(), "w1", "w2")
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= _KN_TOPK)
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.col("c1").cast("bigint").alias("c1"),
+            F.col("n_fw").cast("bigint").alias("n_cont_fw"),
+            F.col("n_bw").cast("bigint").alias("n_cont_bw"),
+            F.col("b").cast("bigint").alias("n_bigram_types"),
+            "p_mle",
+            "p_kn",
+        )
+    )
