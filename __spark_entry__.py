@@ -157,6 +157,7 @@ _R5_FRONT = (
     "survivorship_merge",
     "text_kneser_ney_bigram",
     "dau_wau_stickiness",
+    "variant_props_extract",
 )
 
 
