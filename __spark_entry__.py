@@ -158,6 +158,9 @@ _R5_FRONT = (
     "text_kneser_ney_bigram",
     "dau_wau_stickiness",
     "variant_props_extract",
+    "streaming_checkpoint_resume",
+    "sql_udf_delay_category",
+    "observe_pipeline_metrics",
 )
 
 

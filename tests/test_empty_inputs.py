@@ -140,6 +140,8 @@ _OPS = [
     "mann_kendall_trend",
     "survivorship_merge",
     "text_kneser_ney_bigram",
+    "sql_udf_delay_category",
+    "observe_pipeline_metrics",
     # (event_pattern_automaton / time_decay_attribution /
     # shapley_channel_attribution read the events table, which the
     # empty fixture omits — its TIMESTAMP_NANOS schema can't round-trip

@@ -1981,3 +1981,77 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_del").cast("bigint").alias("n_deleted"),
         )
     )
+
+
+@register(
+    "observe_pipeline_metrics",
+    ops=("A12", "A1", "A3", "J10"),
+    doc="Pipeline observability via DataFrame.observe(): data-quality "
+    "metrics (row count, null-key count, decimal-exact revenue "
+    "total) are attached to the LOAD plan as observation "
+    "accumulators and collected as a side effect of the one "
+    "materializing action — no second scan, unlike a separate "
+    "validation query (the standard pattern for emitting load "
+    "metrics to a monitoring bus at 100 TB; data_contract_validator "
+    "is the rescanning twin). The observed scalars are stamped "
+    "onto every row of the grouped result so the oracle certifies "
+    "both the aggregate AND the metrics channel.",
+    oracle=f"""
+WITH tot AS (
+  SELECT COUNT(*) AS obs_total_rows,
+    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS obs_null_keys,
+    {N.sql_dsum("o_totalprice")} AS obs_total_revenue
+  FROM orders
+)
+SELECT o.o_orderstatus,
+  COUNT(*) AS n_orders,
+  {N.sql_dsum("o.o_totalprice")} AS revenue,
+  CAST(t.obs_total_rows AS BIGINT) AS obs_total_rows,
+  CAST(t.obs_null_keys AS BIGINT) AS obs_null_keys,
+  t.obs_total_revenue
+FROM orders o CROSS JOIN tot t
+GROUP BY 1, 4, 5, 6
+""",
+)
+def observe_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    # Every metric is coalesced: on an empty batch SUM is NULL and a
+    # NULL observation row trips the py4j row converter.
+    base = table(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("obs_total_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("obs_null_keys"),
+        F.coalesce(N.dsum("o_totalprice"), F.lit(0.0)).alias(
+            "obs_total_revenue"
+        ),
+    )
+    result = (
+        base.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            N.dsum("o_totalprice").alias("revenue"),
+        )
+        # Eager materialization drives the observed plan so the
+        # accumulators are filled exactly once, here.
+        .localCheckpoint()
+    )
+    try:
+        m = obs.get
+    except Exception:
+        # A zero-row-group parquet source schedules NO tasks, so the
+        # observation accumulators never produce a metrics row (the
+        # py4j row conversion asserts). Empty load == all-zero metrics.
+        m = {"obs_total_rows": 0, "obs_null_keys": 0, "obs_total_revenue": 0.0}
+    return result.select(
+        "o_orderstatus",
+        "n_orders",
+        "revenue",
+        F.lit(int(m["obs_total_rows"])).cast("bigint").alias("obs_total_rows"),
+        F.lit(int(m["obs_null_keys"])).cast("bigint").alias("obs_null_keys"),
+        F.lit(float(m["obs_total_revenue"])).alias("obs_total_revenue"),
+    )

@@ -1101,3 +1101,53 @@ def bitmap_index_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("via_bitmap") == F.col("via_scan")).alias("bitmap_agrees"),
         )
     )
+
+
+@register(
+    "sql_udf_delay_category",
+    ops=("S8", "F13", "P5", "A1"),
+    doc="Catalog-registered SQL scalar function (Spark 4 CREATE "
+    "TEMPORARY FUNCTION ... RETURN <expr>): the reference's delay "
+    "banding (ml_feature_engineering.sql:156-161 — <=5 minor, "
+    "<=15 moderate, <=30 severe, else extreme) is registered ONCE "
+    "as an engine-resident function and reused by name across "
+    "queries — the governed-semantics path (one definition, every "
+    "consumer) instead of copy-pasted CASE blocks. The function "
+    "body is pure expression, so Catalyst inlines it into codegen — "
+    "zero call overhead, unlike an external UDF. Applied to order→"
+    "ship lag days per return flag.",
+    oracle="""
+SELECT l.l_returnflag,
+  CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 5 THEN 'minor'
+       WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 15 THEN 'moderate'
+       WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30 THEN 'severe'
+       ELSE 'extreme' END AS delay_category,
+  COUNT(*) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+""",
+)
+def sql_udf_delay_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "tdps_sqludf_lineitem"
+    )
+    table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "tdps_sqludf_orders"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION tdps_delay_cat(x INT) "
+        "RETURNS STRING RETURN CASE WHEN x <= 5 THEN 'minor' "
+        "WHEN x <= 15 THEN 'moderate' WHEN x <= 30 THEN 'severe' "
+        "ELSE 'extreme' END"
+    )
+    return spark.sql(
+        """
+        SELECT l.l_returnflag,
+          tdps_delay_cat(CAST(datediff(l.l_shipdate, o.o_orderdate) AS INT))
+            AS delay_category,
+          COUNT(*) AS n_items
+        FROM tdps_sqludf_lineitem l
+        JOIN tdps_sqludf_orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+        """
+    )

@@ -1039,3 +1039,74 @@ def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "psi",
         "drift_flag",
     )
+
+
+@register(
+    "streaming_checkpoint_resume",
+    ops=("S3", "S4", "A1", "A3"),
+    doc="Exactly-once recovery across a STOPPED and RESUMED stream: "
+    "the event feed is staged in two arrival phases; phase 1 drains "
+    "file 1 through a checkpointed parquet-append sink, the query "
+    "stops, file 2 arrives, and a NEW query started on the SAME "
+    "checkpoint drains only the unseen file (the source log "
+    "remembers progress — the Spark-native replacement for the "
+    "reference's cron high-water mark, airflow/dags/ml_pipeline_"
+    "dag.py:105-128). If recovery double-read phase 1 or lost "
+    "phase 2, the per-type totals would diverge from the batch "
+    "oracle. Scratch dirs are wiped per invocation, so the check "
+    "is a fresh end-to-end recovery drill every run; state is the "
+    "source file log only — O(files), not O(rows).",
+    oracle=f"""
+SELECT event_type,
+  COUNT(*) AS n_events,
+  {N.sql_dsum("value")} AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def streaming_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src_dir = _scratch(sf_dir, "resume_src")
+    ckpt = _scratch(sf_dir, "resume_ckpt")
+    sink = _scratch(sf_dir, "resume_sink")
+    for d in (src_dir, ckpt, sink):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src_dir, exist_ok=True)
+    raw = read_events_raw(spark, sf_dir)
+    # Stage phase files from the RAW frame so the on-disk encoding
+    # matches whatever the fixture uses; the stream schema is derived
+    # from the staged footer (see _events_schema rationale).
+    raw.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(src_dir, "phase1")
+    )
+    schema = spark.read.parquet(os.path.join(src_dir, "phase1")).schema
+
+    def drain():
+        stream = normalize_events(
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+        ).select("event_id", "event_type", "value", "event_time")
+        with _stream_conf(spark):
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    drain()  # phase 1: first file only
+    raw.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(src_dir, "phase2")
+    )
+    drain()  # phase 2: NEW query, same checkpoint — reads only phase 2
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            N.dsum("value").alias("total_value"),
+        )
+    )
