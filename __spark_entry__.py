@@ -161,6 +161,8 @@ _R5_FRONT = (
     "streaming_checkpoint_resume",
     "sql_udf_delay_category",
     "observe_pipeline_metrics",
+    "session_window_dynamic_gap",
+    "analyze_table_stats",
 )
 
 

@@ -142,6 +142,7 @@ _OPS = [
     "text_kneser_ney_bigram",
     "sql_udf_delay_category",
     "observe_pipeline_metrics",
+    "analyze_table_stats",
     # (event_pattern_automaton / time_decay_attribution /
     # shapley_channel_attribution read the events table, which the
     # empty fixture omits — its TIMESTAMP_NANOS schema can't round-trip

@@ -2082,3 +2082,69 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_k"
         ),
     )
+
+
+@register(
+    "session_window_dynamic_gap",
+    ops=("W3", "A1", "A3", "F5", "P5"),
+    doc="Native session_window with a DYNAMIC, per-event gap (view "
+    "events keep sessions alive 15 min, everything else 45 min) — "
+    "engagement-dependent sessionization that the fixed-gap "
+    "sessionizers (sessionization_gap30m, streaming_session_"
+    "window) can't express. Spark merges the per-event windows "
+    "[t, t+gap) when they overlap; the oracle replicates the merge "
+    "with the prefix-max-of-ends island rule (new session iff t ≥ "
+    "max of all prior window ends for the user) — provably the "
+    "same partition for sorted disjoint sessions. One user-keyed "
+    "shuffle either way; session state is engine-managed and "
+    "per-user bounded.",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value,
+    {SQL_EVENT_TIME} AS t,
+    {SQL_EVENT_TIME} + CASE WHEN event_type = 'view'
+        THEN INTERVAL 15 MINUTE ELSE INTERVAL 45 MINUTE END AS e
+  FROM events
+),
+marked AS (
+  SELECT *,
+    MAX(e) OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS prev_end
+  FROM ev
+),
+sid AS (
+  SELECT *,
+    SUM(CASE WHEN prev_end IS NULL OR t >= prev_end THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY t, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM marked
+)
+SELECT user_id,
+  MIN(t) AS session_start,
+  MAX(e) AS session_end,
+  COUNT(*) AS n_events,
+  {N.sql_dsum("value")} AS session_value
+FROM sid
+GROUP BY user_id, s
+""",
+)
+def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "view", F.lit("15 minutes")).otherwise(
+        F.lit("45 minutes")
+    )
+    return (
+        e.groupBy("user_id", F.session_window("event_time", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            N.dsum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -1151,3 +1151,71 @@ def sql_udf_delay_category(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
         """
     )
+
+
+@register(
+    "analyze_table_stats",
+    ops=("S8", "A1", "A12"),
+    doc="Catalog statistics lifecycle (ANALYZE TABLE ... COMPUTE "
+    "STATISTICS): orders is registered as an external parquet "
+    "table, analyzed, and the metastore's rowCount is read back "
+    "through the optimizer (logical-plan stats) and certified "
+    "against the exact COUNT(*) — the CBO-input freshness check a "
+    "warehouse runs after every load (stale stats mis-size every "
+    "join strategy downstream). Per-status counts ride along so "
+    "the certification covers data, not just metadata. The ANALYZE "
+    "scan is metadata+count only; stats storage is O(1).",
+    oracle="""
+WITH tot AS (SELECT COUNT(*) AS n FROM orders)
+SELECT o.o_orderstatus,
+  COUNT(*) AS n_orders,
+  CAST(t.n AS BIGINT) AS stats_row_count,
+  CAST(t.n AS BIGINT) AS actual_row_count,
+  TRUE AS stats_fresh
+FROM orders o CROSS JOIN tot t
+GROUP BY 1, 3, 4
+""",
+)
+def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tempfile
+
+    tbl = "tdps_stats_orders"
+    path = _os.path.join(
+        _tempfile.gettempdir(),
+        f"tdps_stats_{abs(hash(sf_dir)) % 10**8}",
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        table(spark, sf_dir, "orders")
+        .write.option("path", path)
+        .format("parquet")
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    )
+    spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+    # Read the metastore statistics back via DESCRIBE EXTENDED (the
+    # optimizer only surfaces rowCount with CBO enabled; the catalog
+    # row is authoritative either way).
+    import re as _re
+
+    stats_line = [
+        r.data_type
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
+        if r.col_name == "Statistics"
+    ]
+    m = _re.search(r"(\d+) rows", stats_line[0]) if stats_line else None
+    stats_rows = int(m.group(1)) if m else -1
+    actual = spark.table(tbl).count()
+    return (
+        spark.table(tbl)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            F.lit(stats_rows).cast("bigint").alias("stats_row_count"),
+            F.lit(actual).cast("bigint").alias("actual_row_count"),
+            F.lit(stats_rows == actual).alias("stats_fresh"),
+        )
+    )
