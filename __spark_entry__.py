@@ -163,6 +163,9 @@ _R5_FRONT = (
     "observe_pipeline_metrics",
     "session_window_dynamic_gap",
     "analyze_table_stats",
+    "adamic_adar_link_prediction",
+    "sketch_kmv_rolling_distinct",
+    "wilson_ci_conversion",
 )
 
 

@@ -143,6 +143,7 @@ _OPS = [
     "sql_udf_delay_category",
     "observe_pipeline_metrics",
     "analyze_table_stats",
+    "adamic_adar_link_prediction",
     # (event_pattern_automaton / time_decay_attribution /
     # shapley_channel_attribution read the events table, which the
     # empty fixture omits — its TIMESTAMP_NANOS schema can't round-trip

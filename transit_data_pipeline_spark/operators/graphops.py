@@ -295,3 +295,108 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("degree_in_core"),
         )
     )
+
+
+#: 1/log(deg) weights for Adamic-Adar, precomputed as stdlib literals
+#: for every possible backbone degree (≤ 2·nations) — no libm in
+#: either engine, same recipe as the normal-quantile tables.
+import math as _math
+
+_AA_WEIGHTS = {
+    d: 1.0 / _math.log(d) for d in range(2, 51)
+}
+_AA_WEIGHT_SQL = " ".join(
+    f"WHEN {d} THEN CAST('{v!r}' AS DOUBLE)" for d, v in _AA_WEIGHTS.items()
+)
+
+
+@register(
+    "adamic_adar_link_prediction",
+    ops=("J4", "A3", "J1", "W4"),
+    doc="Adamic-Adar link prediction over the trade backbone (Adamic "
+    "& Adar 2003 — the classic common-neighbor score, weighting "
+    "rare mutual partners above hubs): for every non-adjacent "
+    "nation pair, AA = Σ 1/log(deg z) over common neighbors z. "
+    "The degree→weight map is a precomputed stdlib literal table "
+    "(like the normal-quantile grids), so neither engine calls "
+    "log. Common neighbors via the two-hop self-join of the "
+    "checkpointed edge list, anti-filtered against existing edges "
+    "— the standard distributed link-prediction plan; the corpus-"
+    "scale work is the shared weighted-edge aggregate. Emits the "
+    "top-15 candidate links.",
+    oracle=f"""
+WITH {_backbone_sql(_CORE_TOPK)},
+deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY 1),
+w AS (SELECT node, (CASE d {_AA_WEIGHT_SQL} END) AS wt FROM deg),
+two_hop AS (
+  SELECT a.src AS u, b.dst AS v, e.src AS z
+  FROM edges a
+  JOIN edges b ON a.dst = b.src AND a.src < b.dst
+  JOIN edges e ON e.src = a.dst AND e.dst = a.src
+),
+cand AS (
+  SELECT t.u, t.v, t.z
+  FROM two_hop t
+  LEFT JOIN edges x ON t.u = x.src AND t.v = x.dst
+  WHERE x.src IS NULL
+),
+scored AS (
+  SELECT c.u, c.v,
+    COUNT(*) AS n_common,
+    SUM(w.wt) AS aa_score
+  FROM cand c JOIN w ON c.z = w.node
+  GROUP BY 1, 2
+)
+SELECT u AS nation_a, v AS nation_b,
+  CAST(n_common AS BIGINT) AS n_common_neighbors,
+  ROUND(aa_score, 6) AS aa_score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY aa_score DESC, u, v) AS rk
+  FROM scored
+) WHERE rk <= 15
+""",
+)
+def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _backbone_edges(spark, sf_dir, _CORE_TOPK)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    wmap = spark.createDataFrame(
+        [(d, v) for d, v in _AA_WEIGHTS.items()], "d int, wt double"
+    )
+    w = deg.join(F.broadcast(wmap), "d").select("node", "wt")
+    a = edges.select(F.col("src").alias("u"), F.col("dst").alias("za"))
+    b = edges.select(F.col("src").alias("zb"), F.col("dst").alias("v"))
+    # two-hop paths u -z- v with u < v; z must really neighbor u
+    # (edges are symmetric, so a's (u,z) suffices) — the third join in
+    # the oracle mirrors symmetry explicitly.
+    two_hop = a.join(
+        F.broadcast(b), (F.col("za") == F.col("zb")) & (F.col("u") < F.col("v"))
+    ).select("u", "v", F.col("za").alias("z"))
+    ex = edges.select(F.col("src").alias("xu"), F.col("dst").alias("xv"))
+    cand = two_hop.join(
+        F.broadcast(ex),
+        (F.col("u") == F.col("xu")) & (F.col("v") == F.col("xv")),
+        "left_anti",
+    )
+    scored = (
+        cand.join(F.broadcast(w), cand["z"] == w["node"])
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("wt").alias("aa_score"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("aa_score").desc(), "u", "v")
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= 15)
+        .select(
+            F.col("u").alias("nation_a"),
+            F.col("v").alias("nation_b"),
+            F.col("n_common").cast("bigint").alias("n_common_neighbors"),
+            F.round("aa_score", 6).alias("aa_score"),
+        )
+    )

@@ -1253,3 +1253,129 @@ def sketch_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rel <= F.lit(_DD_ALPHA)).alias("within_alpha"),
         )
     )
+
+
+#: Rolling-window KMV: k smallest hashes kept PER DAY, merged across
+#: each trailing 7-day window (a KMV union is just "k smallest of the
+#: union of the k-sets" — the mergeability that makes sketch reuse
+#: across overlapping windows O(days·k) instead of re-scanning events
+#: per window).
+_RKMV_K = 32
+_RKMV_DAYS = 7
+
+
+@register(
+    "sketch_kmv_rolling_distinct",
+    ops=("A2", "W9", "F7", "W4"),
+    doc="Trailing-7-day distinct-user ESTIMATE from merged daily KMV "
+    "sketches, beside the exact rolling distinct "
+    "(rolling_distinct_users' interval join is the exact twin): "
+    "each day keeps its k=32 smallest keyed md5 hashes (fixed "
+    "state), each window unions ≤7 such k-sets and re-takes the k "
+    "smallest — the mergeable-sketch pattern that turns an "
+    "O(events×windows) rolling COUNT(DISTINCT) into O(days·k) "
+    "sketch traffic at 100 TB. Hash dedup before ranking keeps the "
+    "union a set; the estimator and its exact-fallback branch "
+    "match sketch_kmv_distinct. Deterministic keyed hashing keeps "
+    "the whole structure inside the bitwise oracle gate.",
+    oracle=f"""
+WITH ud AS (
+  SELECT DISTINCT CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS d,
+    user_id
+  FROM events
+),
+hashed AS (
+  SELECT DISTINCT d,
+    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      / {_DENOM!r} AS u
+  FROM ud
+),
+daily AS (
+  SELECT d, u FROM (
+    SELECT d, u, ROW_NUMBER() OVER (PARTITION BY d ORDER BY u) AS rn
+    FROM hashed
+  ) WHERE rn <= {_RKMV_K}
+),
+days AS (SELECT DISTINCT d FROM ud),
+win AS (
+  SELECT DISTINCT days.d AS day, daily.u
+  FROM daily JOIN days ON days.d BETWEEN daily.d AND daily.d + {_RKMV_DAYS - 1}
+),
+kth AS (
+  SELECT day, MAX(u) AS u_k, COUNT(*) AS n_kept
+  FROM (
+    SELECT day, u, ROW_NUMBER() OVER (PARTITION BY day ORDER BY u) AS rn
+    FROM win
+  ) WHERE rn <= {_RKMV_K}
+  GROUP BY 1
+),
+exact AS (
+  SELECT days.d AS day, COUNT(DISTINCT ud.user_id) AS exact_users_7d
+  FROM ud JOIN days ON days.d BETWEEN ud.d AND ud.d + {_RKMV_DAYS - 1}
+  GROUP BY 1
+)
+SELECT strftime(e.day, '%Y-%m-%d') AS day,
+  CAST(e.exact_users_7d AS BIGINT) AS exact_users_7d,
+  CASE WHEN k.n_kept < {_RKMV_K} THEN CAST(k.n_kept AS DOUBLE)
+       ELSE ({_RKMV_K} - 1) / k.u_k END AS kmv_estimate
+FROM exact e JOIN kth k ON e.day = k.day
+""",
+)
+def sketch_kmv_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    ud = e.select(F.to_date("event_time").alias("d"), "user_id").distinct()
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        )
+        .cast("bigint")
+        .cast("double")
+        / F.lit(_DENOM)
+    )
+    hashed = ud.select("d", u.alias("u")).distinct()
+    daily = (
+        hashed.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("d").orderBy("u"))
+        )
+        .filter(F.col("rn") <= _RKMV_K)
+        .select("d", "u")
+    )
+    days = ud.select(F.col("d").alias("day")).distinct()
+    win = (
+        daily.withColumn(
+            "day",
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), _RKMV_DAYS - 1))
+            ),
+        )
+        .join(days, "day", "left_semi")
+        .select("day", "u")
+        .distinct()
+    )
+    kth = (
+        win.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("day").orderBy("u"))
+        )
+        .filter(F.col("rn") <= _RKMV_K)
+        .groupBy("day")
+        .agg(F.max("u").alias("u_k"), F.count(F.lit(1)).alias("n_kept"))
+    )
+    exact = (
+        ud.withColumn(
+            "day",
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), _RKMV_DAYS - 1))
+            ),
+        )
+        .join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_users_7d"))
+    )
+    est = F.when(
+        F.col("n_kept") < _RKMV_K, F.col("n_kept").cast("double")
+    ).otherwise((_RKMV_K - 1) / F.col("u_k"))
+    return exact.join(kth, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("exact_users_7d").cast("bigint").alias("exact_users_7d"),
+        est.alias("kmv_estimate"),
+    )

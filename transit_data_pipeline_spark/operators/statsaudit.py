@@ -1194,3 +1194,111 @@ def bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("z")) >= F.lit(_BH_CRIT[(1, 1)])).alias("reject_naive"),
         (F.col("k") <= F.max("pass_k").over(wall)).alias("reject_bh"),
     )
+
+
+#: z² for the 95% Wilson interval — stdlib literal (1.959963...²).
+_WILSON_Z2 = 3.841458820694124
+
+
+@register(
+    "wilson_ci_conversion",
+    ops=("A2", "A9", "A5", "P8"),
+    doc="Wilson score intervals (Wilson 1927 — the binomial CI that "
+    "behaves at small n and extreme rates, unlike the Wald "
+    "interval) for per-event-type user conversion: denominator = "
+    "users who ever viewed, numerator = those who also did the "
+    "target action. Center and half-width are closed-form in n, x, "
+    "z² (a stdlib literal) — one sqrt, identical operation order "
+    "on both engines. One distinct-user conditional aggregate over "
+    "events; the interval math runs on ≤5 rows. The uncertainty "
+    "readout funnels/SRM checks should always carry.",
+    oracle=f"""
+WITH ue AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased,
+    MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signed_up,
+    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked
+  FROM events GROUP BY 1
+),
+tall AS (
+  SELECT 'purchase' AS target,
+    CAST(SUM(viewed) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN viewed = 1 AND purchased = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS x
+  FROM ue
+  UNION ALL
+  SELECT 'signup',
+    CAST(SUM(viewed) AS BIGINT),
+    CAST(SUM(CASE WHEN viewed = 1 AND signed_up = 1 THEN 1 ELSE 0 END)
+         AS BIGINT)
+  FROM ue
+  UNION ALL
+  SELECT 'click',
+    CAST(SUM(viewed) AS BIGINT),
+    CAST(SUM(CASE WHEN viewed = 1 AND clicked = 1 THEN 1 ELSE 0 END)
+         AS BIGINT)
+  FROM ue
+)
+SELECT target, n, x,
+  CAST(x AS DOUBLE) / n AS rate,
+  (CAST(x AS DOUBLE) / n + {_WILSON_Z2!r} / (2.0 * n)) / (1.0 + {_WILSON_Z2!r} / n)
+    - sqrt({_WILSON_Z2!r}) / (1.0 + {_WILSON_Z2!r} / n)
+      * sqrt((CAST(x AS DOUBLE) / n) * (1.0 - CAST(x AS DOUBLE) / n) / n
+             + {_WILSON_Z2!r} / (4.0 * n * n)) AS wilson_lo,
+  (CAST(x AS DOUBLE) / n + {_WILSON_Z2!r} / (2.0 * n)) / (1.0 + {_WILSON_Z2!r} / n)
+    + sqrt({_WILSON_Z2!r}) / (1.0 + {_WILSON_Z2!r} / n)
+      * sqrt((CAST(x AS DOUBLE) / n) * (1.0 - CAST(x AS DOUBLE) / n) / n
+             + {_WILSON_Z2!r} / (4.0 * n * n)) AS wilson_hi
+FROM tall
+""",
+)
+def wilson_ci_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    flags = e.groupBy("user_id").agg(
+        *[
+            F.max(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(c)
+            for t, c in (
+                ("view", "viewed"),
+                ("purchase", "purchased"),
+                ("signup", "signed_up"),
+                ("click", "clicked"),
+            )
+        ]
+    )
+
+    def arm(target: str, col: str) -> DataFrame:
+        return flags.agg(
+            F.lit(target).alias("target"),
+            F.sum("viewed").cast("bigint").alias("n"),
+            F.sum(
+                F.when((F.col("viewed") == 1) & (F.col(col) == 1), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("x"),
+        )
+
+    tall = (
+        arm("purchase", "purchased")
+        .unionByName(arm("signup", "signed_up"))
+        .unionByName(arm("click", "clicked"))
+    )
+    p = F.col("x").cast("double") / F.col("n")
+    z2 = F.lit(_WILSON_Z2)
+    n = F.col("n")
+    center = (p + z2 / (2.0 * n)) / (F.lit(1.0) + z2 / n)
+    half = (
+        F.sqrt(z2)
+        / (F.lit(1.0) + z2 / n)
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (4.0 * n * n))
+    )
+    return tall.select(
+        "target",
+        "n",
+        "x",
+        p.alias("rate"),
+        (center - half).alias("wilson_lo"),
+        (center + half).alias("wilson_hi"),
+    )
