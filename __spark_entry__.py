@@ -166,6 +166,8 @@ _R5_FRONT = (
     "adamic_adar_link_prediction",
     "sketch_kmv_rolling_distinct",
     "wilson_ci_conversion",
+    "rouge_overlap_pairs",
+    "federated_format_union",
 )
 
 

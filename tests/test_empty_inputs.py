@@ -144,6 +144,8 @@ _OPS = [
     "observe_pipeline_metrics",
     "analyze_table_stats",
     "adamic_adar_link_prediction",
+    "rouge_overlap_pairs",
+    "federated_format_union",
     # (event_pattern_automaton / time_decay_attribution /
     # shapley_channel_attribution read the events table, which the
     # empty fixture omits — its TIMESTAMP_NANOS schema can't round-trip

@@ -1219,3 +1219,54 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(stats_rows == actual).alias("stats_fresh"),
         )
     )
+
+
+@register(
+    "federated_format_union",
+    ops=("S1", "S7", "U1", "J3", "P9"),
+    doc="Heterogeneous-format federation in ONE plan: the customer "
+    "dimension is staged as three disjoint slices — parquet, CSV "
+    "(header), JSONL — re-read with explicit schemas, unioned by "
+    "name, and rolled up against the broadcast nation dim. The "
+    "lake-migration reality where one table spans formats "
+    "mid-conversion; correctness = the union equals the original "
+    "table exactly (slice predicate is key mod 3 — no overlap, no "
+    "gap). Text formats round-trip decimals as strings with "
+    "explicit casts, the usual CSV/JSON schema-erosion trap made "
+    "visible and tested.",
+    oracle="""
+SELECT c.c_nationkey,
+  COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_balance
+FROM customer c
+GROUP BY 1
+""",
+)
+def federated_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tempfile
+
+    c = table(spark, sf_dir, "customer")
+    base = _os.path.join(
+        _tempfile.gettempdir(), f"tdps_fed_{abs(hash(sf_dir)) % 10**8}"
+    )
+    pq, csv, jl = (f"{base}_parquet", f"{base}_csv", f"{base}_jsonl")
+    cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    sliced = c.select(*cols)
+    sliced.filter(F.col("c_custkey") % 3 == 0).write.mode("overwrite").parquet(pq)
+    sliced.filter(F.col("c_custkey") % 3 == 1).write.mode("overwrite").option(
+        "header", "true"
+    ).csv(csv)
+    sliced.filter(F.col("c_custkey") % 3 == 2).write.mode("overwrite").json(jl)
+    ddl = "c_custkey bigint, c_nationkey bigint, c_acctbal double"
+    u = (
+        spark.read.parquet(pq)
+        .unionByName(spark.read.schema(ddl).option("header", "true").csv(csv))
+        .unionByName(spark.read.schema(ddl).json(jl))
+    )
+    return u.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast(N.DEC)).cast("double").alias(
+            "total_balance"
+        ),
+    )

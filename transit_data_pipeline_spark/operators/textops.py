@@ -2232,3 +2232,203 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_kn",
         )
     )
+
+
+#: ROUGE pairs come from the sorted-neighborhood blocking rank
+#: (adjacent docs in normalized-key order) — deterministic pairing
+#: with no RNG, same key recipe as dedup_sorted_neighborhood.
+_ROUGE_KEY_LEN = 24
+
+
+@register(
+    "rouge_overlap_pairs",
+    ops=("A3", "A9", "J1", "W4", "F10"),
+    doc="ROUGE-1/ROUGE-2 overlap scoring (Lin 2004 — the generation-"
+    "eval standard) between adjacent documents in normalized-key "
+    "order (the sorted-neighborhood pairing, so the pair set is "
+    "deterministic and w·n-bounded): per pair, unigram and bigram "
+    "MULTISET overlaps Σ min(count_a, count_b) — integer "
+    "aggregates — then precision/recall/F1 as single divisions. "
+    "The eval-harness operator for comparing generated vs "
+    "reference text at corpus scale: gram tables are one shuffle "
+    "each, the overlap join touches paired docs only. NULLIF "
+    "guards empty-gram docs identically on both engines.",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id,
+    substr(regexp_replace(lower(trim(text)), '[^a-z0-9]', '', 'g'),
+           1, {_ROUGE_KEY_LEN}) AS k
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn FROM keyed
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ranked a JOIN ranked b ON b.rn = a.rn + 1
+),
+uni AS (
+  SELECT doc_id, g, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest({SQL_TOKENS}) AS g FROM documents)
+  GROUP BY 1, 2
+),
+bi AS (
+  SELECT doc_id, g, COUNT(*) AS c
+  FROM (
+    SELECT doc_id, p[1] || ' ' || p[2] AS g
+    FROM (SELECT doc_id, unnest(list_zip(w[:len(w)-1], w[2:])) AS p
+          FROM (SELECT doc_id, {SQL_TOKENS} AS w FROM documents)
+          WHERE len(w) >= 2)
+  )
+  GROUP BY 1, 2
+),
+tot1 AS (SELECT doc_id, SUM(c) AS t FROM uni GROUP BY 1),
+tot2 AS (SELECT doc_id, SUM(c) AS t FROM bi GROUP BY 1),
+ov1 AS (
+  SELECT p.doc_a, p.doc_b, SUM(LEAST(ua.c, ub.c)) AS o
+  FROM pairs p
+  JOIN uni ua ON p.doc_a = ua.doc_id
+  JOIN uni ub ON p.doc_b = ub.doc_id AND ua.g = ub.g
+  GROUP BY 1, 2
+),
+ov2 AS (
+  SELECT p.doc_a, p.doc_b, SUM(LEAST(ba.c, bb.c)) AS o
+  FROM pairs p
+  JOIN bi ba ON p.doc_a = ba.doc_id
+  JOIN bi bb ON p.doc_b = bb.doc_id AND ba.g = bb.g
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+  CAST(COALESCE(o1.o, 0) AS BIGINT) AS rouge1_overlap,
+  CAST(COALESCE(o2.o, 0) AS BIGINT) AS rouge2_overlap,
+  CAST(COALESCE(o1.o, 0) AS DOUBLE) / NULLIF(t1b.t, 0) AS rouge1_recall,
+  CAST(COALESCE(o1.o, 0) AS DOUBLE) / NULLIF(t1a.t, 0) AS rouge1_precision,
+  CAST(COALESCE(o2.o, 0) AS DOUBLE) / NULLIF(t2b.t, 0) AS rouge2_recall,
+  CAST(COALESCE(o2.o, 0) AS DOUBLE) / NULLIF(t2a.t, 0) AS rouge2_precision
+FROM pairs p
+LEFT JOIN ov1 o1 ON p.doc_a = o1.doc_a AND p.doc_b = o1.doc_b
+LEFT JOIN ov2 o2 ON p.doc_a = o2.doc_a AND p.doc_b = o2.doc_b
+LEFT JOIN tot1 t1a ON p.doc_a = t1a.doc_id
+LEFT JOIN tot1 t1b ON p.doc_b = t1b.doc_id
+LEFT JOIN tot2 t2a ON p.doc_a = t2a.doc_id
+LEFT JOIN tot2 t2b ON p.doc_b = t2b.doc_id
+""",
+)
+def rouge_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    keyed = d.select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9]", ""),
+            1,
+            _ROUGE_KEY_LEN,
+        ).alias("k"),
+    )
+    w = Window.orderBy("k", "doc_id")
+    pairs = (
+        keyed.select(
+            F.col("doc_id").alias("doc_a"),
+            F.lead("doc_id", 1).over(w).alias("doc_b"),
+        )
+        .filter(F.col("doc_b").isNotNull())
+    )
+    toks = d.select("doc_id", tokens_col().alias("w"))
+    uni = toks.select("doc_id", F.explode("w").alias("g")).groupBy(
+        "doc_id", "g"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bi = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(w, 1, size(w) - 1)").alias("g1"),
+                    F.expr("slice(w, 2, size(w) - 1)").alias("g2"),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("p.g1"), F.col("p.g2")).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def overlap(grams: DataFrame, tag: str) -> DataFrame:
+        ga = grams.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("g").alias("ga"),
+            F.col("c").alias("ca"),
+        )
+        gb = grams.select(
+            F.col("doc_id").alias("gb_id"),
+            F.col("g").alias("gb"),
+            F.col("c").alias("cb"),
+        )
+        return (
+            pairs.join(ga, "doc_a")
+            .join(
+                gb,
+                (F.col("doc_b") == F.col("gb_id")) & (F.col("ga") == F.col("gb")),
+            )
+            .groupBy(pairs["doc_a"].alias(f"{tag}_a"), pairs["doc_b"].alias(f"{tag}_b"))
+            .agg(F.sum(F.least("ca", "cb")).alias(f"o{tag}"))
+        )
+
+    ov1 = overlap(uni, "u")
+    ov2 = overlap(bi, "b")
+    tot1 = uni.groupBy("doc_id").agg(F.sum("c").alias("t"))
+    tot2 = bi.groupBy("doc_id").agg(F.sum("c").alias("t"))
+    o1 = F.coalesce(F.col("ou"), F.lit(0)).cast("bigint")
+    o2 = F.coalesce(F.col("ob"), F.lit(0)).cast("bigint")
+    return (
+        pairs.join(
+            ov1,
+            (pairs["doc_a"] == F.col("u_a")) & (pairs["doc_b"] == F.col("u_b")),
+            "left",
+        )
+        .join(
+            ov2,
+            (pairs["doc_a"] == F.col("b_a")) & (pairs["doc_b"] == F.col("b_b")),
+            "left",
+        )
+        .join(
+            tot1.select(F.col("doc_id").alias("t1a_id"), F.col("t").alias("t1a")),
+            pairs["doc_a"] == F.col("t1a_id"),
+            "left",
+        )
+        .join(
+            tot1.select(F.col("doc_id").alias("t1b_id"), F.col("t").alias("t1b")),
+            pairs["doc_b"] == F.col("t1b_id"),
+            "left",
+        )
+        .join(
+            tot2.select(F.col("doc_id").alias("t2a_id"), F.col("t").alias("t2a")),
+            pairs["doc_a"] == F.col("t2a_id"),
+            "left",
+        )
+        .join(
+            tot2.select(F.col("doc_id").alias("t2b_id"), F.col("t").alias("t2b")),
+            pairs["doc_b"] == F.col("t2b_id"),
+            "left",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            o1.alias("rouge1_overlap"),
+            o2.alias("rouge2_overlap"),
+            (o1.cast("double") / F.nullif(F.col("t1b"), F.lit(0))).alias(
+                "rouge1_recall"
+            ),
+            (o1.cast("double") / F.nullif(F.col("t1a"), F.lit(0))).alias(
+                "rouge1_precision"
+            ),
+            (o2.cast("double") / F.nullif(F.col("t2b"), F.lit(0))).alias(
+                "rouge2_recall"
+            ),
+            (o2.cast("double") / F.nullif(F.col("t2a"), F.lit(0))).alias(
+                "rouge2_precision"
+            ),
+        )
+    )
