@@ -168,6 +168,9 @@ _R5_FRONT = (
     "wilson_ci_conversion",
     "rouge_overlap_pairs",
     "federated_format_union",
+    "agg_builtins_suite",
+    "window_ignore_nulls_suite",
+    "regexp_functions_suite",
 )
 
 

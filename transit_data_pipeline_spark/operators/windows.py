@@ -472,3 +472,73 @@ def scd2_as_of_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (as_of.cast("long") - F.col("valid_from").cast("long"))
         ).alias("active_for_sec"),
     )
+
+
+@register(
+    "window_ignore_nulls_suite",
+    ops=("W1", "W14", "P6", "F12"),
+    doc="IGNORE NULLS window coverage: a sparse column (price visible "
+    "only on every third key) is carried forward with last_value "
+    "IGNORE NULLS (the windowed LOCF primitive under gap_fill_locf), "
+    "first-seen via first_value IGNORE NULLS over the full frame, "
+    "defaulted lag/lead offsets, and nth_value(2) over the running "
+    "frame. Windows partition by status — no global sort; the "
+    "emitted sample is 5% (filter AFTER the windows, so frames are "
+    "computed over the full partition).",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END AS sparse_price
+  FROM orders
+),
+w AS (
+  SELECT o_orderkey, o_orderstatus, sparse_price,
+    last_value(sparse_price IGNORE NULLS) OVER (
+      PARTITION BY o_orderstatus ORDER BY o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried,
+    first_value(sparse_price IGNORE NULLS) OVER (
+      PARTITION BY o_orderstatus ORDER BY o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      AS first_seen,
+    lag(sparse_price, 3, -1.0) OVER (
+      PARTITION BY o_orderstatus ORDER BY o_orderkey) AS lag3_default,
+    lead(sparse_price, 2, -1.0) OVER (
+      PARTITION BY o_orderstatus ORDER BY o_orderkey) AS lead2_default,
+    nth_value(o_totalprice, 2) OVER (
+      PARTITION BY o_orderstatus ORDER BY o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_price
+  FROM base
+)
+SELECT o_orderkey, o_orderstatus, sparse_price, carried, first_seen,
+  lag3_default, lead2_default, second_price
+FROM w WHERE o_orderkey % 20 = 0
+""",
+)
+def window_ignore_nulls_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice")).alias(
+            "sparse_price"
+        ),
+    )
+    wo = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, 0)
+    wall = wo.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = base.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "sparse_price",
+        F.last("sparse_price", ignorenulls=True).over(wrun).alias("carried"),
+        F.first("sparse_price", ignorenulls=True)
+        .over(wall)
+        .alias("first_seen"),
+        F.lag("sparse_price", 3, -1.0).over(wo).alias("lag3_default"),
+        F.lead("sparse_price", 2, -1.0).over(wo).alias("lead2_default"),
+        F.nth_value("o_totalprice", 2).over(wrun).alias("second_price"),
+    ).filter(F.col("o_orderkey") % 20 == 0)
+    return out
