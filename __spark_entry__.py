@@ -171,6 +171,8 @@ _R5_FRONT = (
     "agg_builtins_suite",
     "window_ignore_nulls_suite",
     "regexp_functions_suite",
+    "higher_order_lambda_suite",
+    "string_functions_suite",
 )
 
 

@@ -149,6 +149,8 @@ _OPS = [
     "agg_builtins_suite",
     "window_ignore_nulls_suite",
     "regexp_functions_suite",
+    "higher_order_lambda_suite",
+    "string_functions_suite",
     # (event_pattern_automaton / time_decay_attribution /
     # shapley_channel_attribution read the events table, which the
     # empty fixture omits — its TIMESTAMP_NANOS schema can't round-trip

@@ -1212,3 +1212,92 @@ def agg_builtins_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("o_orderkey").cast("bigint").alias("key_bit_or"),
         F.bit_xor("o_orderkey").cast("bigint").alias("key_bit_xor"),
     )
+
+
+#: Top-k prices folded into per-group arrays for the lambda suite —
+#: small, explicitly ordered, so double arithmetic inside the fold is
+#: order-pinned on both engines.
+_HOF_TOPK = 8
+
+
+@register(
+    "higher_order_lambda_suite",
+    ops=("F10", "A3", "W4", "P7"),
+    doc="Higher-order array-function coverage on an order-pinned "
+    "array: each status's top-8 prices (rank-picked, descending — "
+    "the array ORDER is part of the contract, so the fold below is "
+    "deterministic) run through transform (10% haircut), filter "
+    "(six figures), exists/forall quantifiers, aggregate (left "
+    "fold sum — sequential, NOT a shuffle reduce, so double "
+    "addition order is pinned), and zip_with against the reversed "
+    "array (min of head/tail pairs). All lambdas execute inside "
+    "codegen — the array family is the UDF-free escape hatch for "
+    "per-row collection logic.",
+    oracle=f"""
+WITH ranked AS (
+  SELECT o_orderstatus, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+),
+arrs AS (
+  SELECT o_orderstatus,
+    list(o_totalprice ORDER BY rk) AS prices
+  FROM ranked WHERE rk <= {_HOF_TOPK}
+  GROUP BY 1
+)
+SELECT o_orderstatus,
+  len(prices) AS n,
+  list_transform(prices, x -> round(x * 0.9, 2)) AS haircut,
+  len(list_filter(prices, x -> x >= 100000.0)) AS n_six_figs,
+  len(list_filter(prices, x -> x >= 500000.0)) > 0 AS any_half_million,
+  len(list_filter(prices, x -> x > 0.0)) = len(prices) AS all_positive,
+  list_reduce(list_prepend(0.0, prices), (acc, x) -> acc + x) AS fold_sum,
+  list_zip(prices, list_reverse(prices)) IS NOT NULL AS zipped_ok,
+  list_transform(list_zip(prices, list_reverse(prices)),
+                 p -> LEAST(p[1], p[2])) AS head_tail_min
+FROM arrs
+""",
+)
+def higher_order_lambda_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    rk = F.row_number().over(
+        Window.partitionBy("o_orderstatus").orderBy(
+            F.col("o_totalprice").desc(), "o_orderkey"
+        )
+    )
+    arrs = (
+        o.withColumn("rk", rk)
+        .filter(F.col("rk") <= _HOF_TOPK)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rk", "o_totalprice"))
+            ).alias("pairs")
+        )
+        .select(
+            "o_orderstatus",
+            F.expr("transform(pairs, p -> p.o_totalprice)").alias("prices"),
+        )
+    )
+    return arrs.select(
+        "o_orderstatus",
+        F.size("prices").cast("bigint").alias("n"),
+        F.expr("transform(prices, x -> round(x * 0.9, 2))").alias("haircut"),
+        F.size(F.expr("filter(prices, x -> x >= 100000.0D)"))
+        .cast("bigint")
+        .alias("n_six_figs"),
+        F.expr("exists(prices, x -> x >= 500000.0D)").alias(
+            "any_half_million"
+        ),
+        F.expr("forall(prices, x -> x > 0.0D)").alias("all_positive"),
+        F.expr("aggregate(prices, 0.0D, (acc, x) -> acc + x)").alias(
+            "fold_sum"
+        ),
+        F.expr("zip_with(prices, reverse(prices), (a, b) -> a) IS NOT NULL").alias(
+            "zipped_ok"
+        ),
+        F.expr(
+            "zip_with(prices, reverse(prices), (a, b) -> least(a, b))"
+        ).alias("head_tail_min"),
+    )

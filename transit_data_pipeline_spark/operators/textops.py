@@ -2487,3 +2487,69 @@ def regexp_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("first_word").alias("min_first_word"),
         F.max("first_word").alias("max_first_word"),
     )
+
+
+@register(
+    "string_functions_suite",
+    ops=("F9", "F4", "F10", "A3"),
+    doc="String builtin family over the part-name dimension: initcap "
+    "normalization, lpad/rpad fixed-width keys, translate "
+    "(vowel→digit substitution cipher as a keying transform), "
+    "builtin levenshtein against a constant probe word, and "
+    "split_part extraction — the surface a migration from "
+    "PostgreSQL string pipelines needs 1:1 (ref TRIM/name handling "
+    "`sql/analysis_queries.sql:214`). Aggregated per brand so the "
+    "hash certifies every row's transforms; one scan, pure "
+    "codegen.",
+    oracle="""
+WITH t AS (
+  SELECT p_brand,
+    upper(substr(p_name, 1, 1)) || substr(p_name, 2) AS capped,
+    lpad(CAST(p_partkey AS VARCHAR), 12, '0') AS padded_key,
+    translate(p_name, 'aeiou', '01234') AS ciphered,
+    levenshtein(split_part(p_name, ' ', 1), 'steel') AS lev_to_steel,
+    split_part(p_name, ' ', 2) AS second_word
+  FROM part
+)
+SELECT p_brand,
+  COUNT(*) AS n_parts,
+  MIN(capped) AS min_capped,
+  MAX(padded_key) AS max_padded_key,
+  MIN(ciphered) AS min_ciphered,
+  CAST(SUM(lev_to_steel) AS BIGINT) AS total_lev,
+  MAX(second_word) AS max_second_word
+FROM t
+GROUP BY 1
+""",
+)
+def string_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    # initcap capitalizes EVERY word and lowercases the rest — engines
+    # disagree on multi-word edge cases, so the oracle-stable spelling
+    # capitalizes the first character explicitly on both sides.
+    t = p.select(
+        "p_brand",
+        F.concat(
+            F.upper(F.substring("p_name", 1, 1)),
+            F.expr("substring(p_name, 2)"),
+        ).alias("capped"),
+        F.lpad(F.col("p_partkey").cast("string"), 12, "0").alias(
+            "padded_key"
+        ),
+        F.translate("p_name", "aeiou", "01234").alias("ciphered"),
+        F.levenshtein(
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)),
+            F.lit("steel"),
+        ).alias("lev_to_steel"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias(
+            "second_word"
+        ),
+    )
+    return t.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("capped").alias("min_capped"),
+        F.max("padded_key").alias("max_padded_key"),
+        F.min("ciphered").alias("min_ciphered"),
+        F.sum("lev_to_steel").cast("bigint").alias("total_lev"),
+        F.max("second_word").alias("max_second_word"),
+    )
