@@ -173,6 +173,8 @@ _R5_FRONT = (
     "regexp_functions_suite",
     "higher_order_lambda_suite",
     "string_functions_suite",
+    "sql_pipe_syntax_query",
+    "lateral_topk_per_group",
 )
 
 

@@ -151,6 +151,8 @@ _OPS = [
     "regexp_functions_suite",
     "higher_order_lambda_suite",
     "string_functions_suite",
+    "sql_pipe_syntax_query",
+    "lateral_topk_per_group",
     # (event_pattern_automaton / time_decay_attribution /
     # shapley_channel_attribution read the events table, which the
     # empty fixture omits — its TIMESTAMP_NANOS schema can't round-trip

@@ -1301,3 +1301,41 @@ def higher_order_lambda_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zip_with(prices, reverse(prices), (a, b) -> least(a, b))"
         ).alias("head_tail_min"),
     )
+
+
+@register(
+    "lateral_topk_per_group",
+    ops=("J6", "O1", "O4", "J3"),
+    doc="Correlated LATERAL subquery top-N: for every nation, the "
+    "top-3 customers by account balance via a per-row correlated "
+    "derived table (the SQL-standard spelling of top-N-per-group; "
+    "topk_orders/rank_suite carry the window spelling). Catalyst "
+    "decorrelates the LATERAL into a ranked join — same plan class "
+    "as the window version, proven by the oracle hash. Full "
+    "tiebreakers make the row set unique.",
+    oracle="""
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 3
+) t
+""",
+)
+def lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "nation").createOrReplaceTempView("tdps_lat_nation")
+    table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "tdps_lat_customer"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM tdps_lat_nation n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM tdps_lat_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 3
+        ) t
+        """
+    )

@@ -1270,3 +1270,40 @@ def federated_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_balance"
         ),
     )
+
+
+@register(
+    "sql_pipe_syntax_query",
+    ops=("S2", "A3", "A10", "O3", "P3"),
+    doc="SQL pipe syntax (Spark 4 |> operators, from the public "
+    "SQL-pipes design): scan |> filter |> extend |> aggregate |> "
+    "having-filter |> order expressed as a linear pipeline instead "
+    "of inside-out nesting — same Catalyst plan as the classic "
+    "spelling (the parser desugars before analysis), so pushdown/"
+    "pruning are identical. Decimal-exact revenue; the DuckDB twin "
+    "is the classic SELECT, proving dialect-level equivalence.",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY 1, 2
+HAVING COUNT(*) > 10
+""",
+)
+def sql_pipe_syntax_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "tdps_pipe_orders"
+    )
+    return spark.sql(
+        """
+        FROM tdps_pipe_orders
+        |> WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |> AGGREGATE COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+           GROUP BY o_orderstatus, o_orderpriority
+        |> WHERE n_orders > 10
+        """
+    )
