@@ -175,6 +175,8 @@ _R5_FRONT = (
     "string_functions_suite",
     "sql_pipe_syntax_query",
     "lateral_topk_per_group",
+    "sql_session_variables",
+    "parameterized_sql_query",
 )
 
 

@@ -153,6 +153,8 @@ _OPS = [
     "string_functions_suite",
     "sql_pipe_syntax_query",
     "lateral_topk_per_group",
+    "sql_session_variables",
+    "parameterized_sql_query",
     # (event_pattern_automaton / time_decay_attribution /
     # shapley_channel_attribution read the events table, which the
     # empty fixture omits — its TIMESTAMP_NANOS schema can't round-trip

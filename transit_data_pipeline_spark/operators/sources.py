@@ -1307,3 +1307,87 @@ def sql_pipe_syntax_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> WHERE n_orders > 10
         """
     )
+
+
+@register(
+    "sql_session_variables",
+    ops=("S8", "P4", "A3", "F6"),
+    doc="SQL session variables (Spark 4 DECLARE/SET VAR): the "
+    "retention cutoff and price floor are session state referenced "
+    "by name inside the query — the parameterized-report pattern "
+    "(one governed definition, N consumers) that replaces string-"
+    "templated SQL. Variables fold to literals at analysis, so "
+    "pushdown still reaches the scan. The twin inlines the same "
+    "constants.",
+    oracle="""
+SELECT o_orderstatus,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_totalprice > 250000.0
+  AND o_orderdate >= TIMESTAMP '1996-06-01'
+GROUP BY 1
+""",
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "tdps_var_orders"
+    )
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE tdps_price_floor DOUBLE DEFAULT 0.0"
+    )
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE tdps_date_floor TIMESTAMP "
+        "DEFAULT TIMESTAMP '1970-01-01'"
+    )
+    spark.sql("SET VAR tdps_price_floor = 250000.0")
+    spark.sql("SET VAR tdps_date_floor = TIMESTAMP '1996-06-01'")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+            AS revenue
+        FROM tdps_var_orders
+        WHERE o_totalprice > tdps_price_floor
+          AND o_orderdate >= tdps_date_floor
+        GROUP BY 1
+        """
+    )
+
+
+@register(
+    "parameterized_sql_query",
+    ops=("S2", "P4", "A3", "P3"),
+    doc="Parameterized SQL with named markers and the IDENTIFIER() "
+    "clause (Spark 3.4+/4): values bind as typed literals (:floor) "
+    "and the TABLE NAME binds through IDENTIFIER(:tbl) — the "
+    "injection-safe dynamic-SQL surface (quoting user input into "
+    "query strings is the anti-pattern this replaces). Binding "
+    "happens at parse time, so the plan is identical to the "
+    "literal spelling — pushdown intact.",
+    oracle="""
+SELECT o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_totalprice > 200000.0
+GROUP BY 1
+""",
+)
+def parameterized_sql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "tdps_param_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+            AS revenue
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice > :floor
+        GROUP BY 1
+        """,
+        args={"tbl": "tdps_param_orders", "floor": 200000.0},
+    )
