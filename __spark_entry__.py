@@ -177,6 +177,8 @@ _R5_FRONT = (
     "lateral_topk_per_group",
     "sql_session_variables",
     "parameterized_sql_query",
+    "recursive_cte_hierarchy",
+    "sql_scripting_batch",
 )
 
 

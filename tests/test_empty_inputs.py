@@ -155,6 +155,8 @@ _OPS = [
     "lateral_topk_per_group",
     "sql_session_variables",
     "parameterized_sql_query",
+    "recursive_cte_hierarchy",
+    "sql_scripting_batch",
     # (event_pattern_automaton / time_decay_attribution /
     # shapley_channel_attribution read the events table, which the
     # empty fixture omits — its TIMESTAMP_NANOS schema can't round-trip

@@ -2055,3 +2055,112 @@ def observe_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(int(m["obs_null_keys"])).cast("bigint").alias("obs_null_keys"),
         F.lit(float(m["obs_total_revenue"])).alias("obs_total_revenue"),
     )
+
+
+@register(
+    "recursive_cte_hierarchy",
+    ops=("J4", "A1", "A3", "A11"),
+    doc="NATIVE recursive CTE (Spark 4 WITH RECURSIVE) resolving the "
+    "same customer reporting tree as hierarchy_closure_rollup — "
+    "that operator's pointer-doubling exists because earlier Spark "
+    "had no recursion; this one certifies the engine-native "
+    "spelling against the identical DuckDB recursion, and the pair "
+    "documents the scale tradeoff (recursion = depth iterations of "
+    "the full frontier; pointer doubling = log₂(depth) self-joins). "
+    "Decimal-exact subtree balances.",
+    oracle=f"""
+WITH RECURSIVE walk AS (
+  SELECT c_custkey AS node, c_custkey AS anc, 0 AS d FROM customer
+  UNION ALL
+  SELECT node, anc // {HIER_FANOUT}, d + 1 FROM walk
+  WHERE anc >= {HIER_FANOUT}
+),
+resolved AS (
+  SELECT node, anc AS root, d AS depth FROM walk WHERE anc < {HIER_FANOUT}
+)
+SELECT r.root,
+  CAST(COUNT(*) AS BIGINT) AS subtree_size,
+  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS subtree_balance,
+  CAST(MAX(r.depth) AS BIGINT) AS max_depth
+FROM resolved r JOIN customer c ON r.node = c.c_custkey
+GROUP BY 1
+""",
+)
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "tdps_rec_customer"
+    )
+    return spark.sql(
+        f"""
+        WITH RECURSIVE walk AS (
+          SELECT c_custkey AS node, c_custkey AS anc, 0 AS d
+          FROM tdps_rec_customer
+          UNION ALL
+          SELECT node, anc DIV {HIER_FANOUT}, d + 1 FROM walk
+          WHERE anc >= {HIER_FANOUT}
+        ),
+        resolved AS (
+          SELECT node, anc AS root, d AS depth FROM walk
+          WHERE anc < {HIER_FANOUT}
+        )
+        SELECT r.root,
+          CAST(COUNT(*) AS BIGINT) AS subtree_size,
+          CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+            AS subtree_balance,
+          CAST(MAX(r.depth) AS BIGINT) AS max_depth
+        FROM resolved r JOIN tdps_rec_customer c ON r.node = c.c_custkey
+        GROUP BY 1
+        """
+    )
+
+
+@register(
+    "sql_scripting_batch",
+    ops=("S8", "A3", "A1", "P5"),
+    doc="SQL scripting (Spark 4 BEGIN…END compound): a WHILE loop "
+    "doubles a bucket cap until it clears MAX(o_totalprice), then "
+    "the final statement reports per-status rowcounts with the "
+    "loop-computed power-of-two cap stamped on every row — "
+    "procedural control flow inside the engine, replacing the "
+    "driver-side Python loop (the reference's psql scripts run "
+    "this shape in plpgsql). All integer loop arithmetic; the "
+    "DuckDB twin computes the same cap by a recursive doubling "
+    "CTE, so no log2/pow libm anywhere.",
+    oracle="""
+WITH RECURSIVE p(v) AS (
+  SELECT CAST(1 AS BIGINT)
+  UNION ALL
+  SELECT v * 2 FROM p WHERE v <= (SELECT MAX(o_totalprice) FROM orders)
+),
+cap AS (SELECT MAX(v) AS pow2_cap FROM p)
+SELECT o.o_orderstatus,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+  c.pow2_cap
+FROM orders o CROSS JOIN cap c
+GROUP BY 1, 4
+""",
+)
+def sql_scripting_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "tdps_script_orders"
+    )
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE cap DOUBLE;
+          DECLARE bucket BIGINT DEFAULT 1;
+          SET cap = (SELECT MAX(o_totalprice) FROM tdps_script_orders);
+          WHILE bucket <= cap DO
+            SET bucket = bucket * 2;
+          END WHILE;
+          SELECT o_orderstatus,
+            COUNT(*) AS n_orders,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+              AS revenue,
+            bucket AS pow2_cap
+          FROM tdps_script_orders
+          GROUP BY o_orderstatus;
+        END
+        """
+    )
