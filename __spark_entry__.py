@@ -179,6 +179,8 @@ _R5_FRONT = (
     "parameterized_sql_query",
     "recursive_cte_hierarchy",
     "sql_scripting_batch",
+    "dataframe_transpose_report",
+    "collation_aware_grouping",
 )
 
 

@@ -157,6 +157,8 @@ _OPS = [
     "parameterized_sql_query",
     "recursive_cte_hierarchy",
     "sql_scripting_batch",
+    "dataframe_transpose_report",
+    "collation_aware_grouping",
     # (event_pattern_automaton / time_decay_attribution /
     # shapley_channel_attribution read the events table, which the
     # empty fixture omits — its TIMESTAMP_NANOS schema can't round-trip

@@ -1339,3 +1339,53 @@ def lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@register(
+    "dataframe_transpose_report",
+    ops=("P1", "A3", "U1"),
+    doc="DataFrame.transpose (Spark 4): the per-status KPI aggregate "
+    "(3 rows × k metrics) is flipped into a metric-per-row report "
+    "(k rows × 3 status columns) — the presentation-layer pivot "
+    "dashboards want, done engine-side. Transpose collects the "
+    "FRAME WIDTH from the data, so it is only sane on aggregate-"
+    "sized inputs (documented; the input here is 3 rows). Metrics "
+    "are decimal-exact; the DuckDB twin builds the same report by "
+    "conditional aggregation.",
+    oracle="""
+WITH agg AS (
+  SELECT o_orderstatus,
+    CAST(COUNT(*) AS DOUBLE) AS n_orders,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+    CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+  FROM orders GROUP BY 1
+)
+SELECT 'n_orders' AS key,
+  MAX(CASE WHEN o_orderstatus = 'F' THEN n_orders END) AS F,
+  MAX(CASE WHEN o_orderstatus = 'O' THEN n_orders END) AS O,
+  MAX(CASE WHEN o_orderstatus = 'P' THEN n_orders END) AS P
+FROM agg
+UNION ALL
+SELECT 'revenue',
+  MAX(CASE WHEN o_orderstatus = 'F' THEN revenue END),
+  MAX(CASE WHEN o_orderstatus = 'O' THEN revenue END),
+  MAX(CASE WHEN o_orderstatus = 'P' THEN revenue END)
+FROM agg
+UNION ALL
+SELECT 'n_customers',
+  MAX(CASE WHEN o_orderstatus = 'F' THEN n_customers END),
+  MAX(CASE WHEN o_orderstatus = 'O' THEN n_customers END),
+  MAX(CASE WHEN o_orderstatus = 'P' THEN n_customers END)
+FROM agg
+""",
+)
+def dataframe_transpose_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(N.DEC))
+        .cast("double")
+        .alias("revenue"),
+        F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+    )
+    return agg.transpose("o_orderstatus")

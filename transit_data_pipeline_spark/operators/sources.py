@@ -1391,3 +1391,42 @@ def parameterized_sql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "tdps_param_orders", "floor": 200000.0},
     )
+
+
+@register(
+    "collation_aware_grouping",
+    ops=("F9", "A2", "A1", "P10"),
+    doc="String collations (Spark 4 COLLATE UTF8_LCASE): case-"
+    "insensitive distinct counts and grouping keys expressed as a "
+    "COLUMN TYPE property instead of lower() rewrites — the "
+    "engine-native path that keeps original casing in the output "
+    "while comparing case-insensitively (a lower() rewrite loses "
+    "the display form). Demonstrated on part containers vs the "
+    "binary-collation baseline; the DuckDB twin spells the same "
+    "semantics with lower() since its collation surface differs — "
+    "same relational answer, each engine idiomatic.",
+    oracle="""
+SELECT p_brand,
+  COUNT(*) AS n_parts,
+  COUNT(DISTINCT p_name) AS distinct_binary,
+  COUNT(DISTINCT lower(p_name)) AS distinct_lcase,
+  COUNT(DISTINCT p_type) AS types_binary,
+  COUNT(DISTINCT lower(p_type)) AS types_lcase
+FROM part
+GROUP BY 1
+""",
+)
+def collation_aware_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "part").createOrReplaceTempView("tdps_coll_part")
+    return spark.sql(
+        """
+        SELECT p_brand,
+          COUNT(*) AS n_parts,
+          COUNT(DISTINCT p_name) AS distinct_binary,
+          COUNT(DISTINCT p_name COLLATE UTF8_LCASE) AS distinct_lcase,
+          COUNT(DISTINCT p_type) AS types_binary,
+          COUNT(DISTINCT p_type COLLATE UTF8_LCASE) AS types_lcase
+        FROM tdps_coll_part
+        GROUP BY p_brand
+        """
+    )
