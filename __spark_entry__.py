@@ -181,6 +181,8 @@ _R5_FRONT = (
     "sql_scripting_batch",
     "dataframe_transpose_report",
     "collation_aware_grouping",
+    "xml_ingest_roundtrip",
+    "date_functions_suite",
 )
 
 

@@ -159,6 +159,8 @@ _OPS = [
     "sql_scripting_batch",
     "dataframe_transpose_report",
     "collation_aware_grouping",
+    "xml_ingest_roundtrip",
+    "date_functions_suite",
     # (event_pattern_automaton / time_decay_attribution /
     # shapley_channel_attribution read the events table, which the
     # empty fixture omits — its TIMESTAMP_NANOS schema can't round-trip

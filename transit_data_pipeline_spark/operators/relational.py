@@ -1389,3 +1389,67 @@ def dataframe_transpose_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").cast("double").alias("n_customers"),
     )
     return agg.transpose("o_orderstatus")
+
+
+@register(
+    "date_functions_suite",
+    ops=("F1", "F5", "F6", "F7"),
+    doc="Calendar builtin breadth over order dates: add_months, "
+    "last_day, quarter, dayofyear, ISO next-Monday (Spark next_day; "
+    "the twin derives it from DOW arithmetic since DuckDB lacks the "
+    "builtin — same calendar answer), and quarter-truncation. "
+    "Grouped per month so the hash certifies every row's calendar "
+    "math across both engines' date kernels.",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS od FROM orders
+),
+t AS (
+  SELECT od,
+    CAST(od + INTERVAL 3 MONTH AS DATE) AS plus3m,
+    last_day(od) AS month_end,
+    quarter(od) AS q,
+    dayofyear(od) AS doy,
+    CAST(od + CAST((8 - isodow(od)) % 7 AS INTEGER)
+            + CASE WHEN isodow(od) = 1 THEN 7 ELSE 0 END AS DATE)
+      AS next_monday,
+    CAST(date_trunc('quarter', od) AS DATE) AS q_start
+  FROM d
+)
+SELECT strftime(CAST(date_trunc('month', od) AS DATE), '%Y-%m-%d') AS month,
+  COUNT(*) AS n,
+  CAST(MIN(plus3m) AS TIMESTAMP) AS min_plus3m,
+  CAST(MAX(month_end) AS TIMESTAMP) AS max_month_end,
+  CAST(SUM(q) AS BIGINT) AS sum_quarter,
+  CAST(SUM(doy) AS BIGINT) AS sum_doy,
+  CAST(MIN(next_monday) AS TIMESTAMP) AS min_next_monday,
+  CAST(MIN(q_start) AS TIMESTAMP) AS min_q_start
+FROM t
+GROUP BY 1
+""",
+)
+def date_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    t = o.select(
+        od.alias("od"),
+        F.add_months(od, 3).alias("plus3m"),
+        F.last_day(od).alias("month_end"),
+        F.quarter(od).alias("q"),
+        F.dayofyear(od).alias("doy"),
+        F.next_day(od, "Monday").alias("next_monday"),
+        F.date_trunc("quarter", od).cast("date").alias("q_start"),
+    )
+    return t.groupBy(
+        F.date_format(F.date_trunc("month", F.col("od")), "yyyy-MM-dd").alias(
+            "month"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("plus3m").cast("timestamp").alias("min_plus3m"),
+        F.max("month_end").cast("timestamp").alias("max_month_end"),
+        F.sum("q").cast("bigint").alias("sum_quarter"),
+        F.sum("doy").cast("bigint").alias("sum_doy"),
+        F.min("next_monday").cast("timestamp").alias("min_next_monday"),
+        F.min("q_start").cast("timestamp").alias("min_q_start"),
+    )

@@ -1430,3 +1430,39 @@ def collation_aware_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p_brand
         """
     )
+
+
+@register(
+    "xml_ingest_roundtrip",
+    ops=("S1", "S7", "P9", "A3"),
+    doc="XML format surface (Spark 4 built-in to_xml/from_xml): the "
+    "supplier dimension is serialized to XML row documents and "
+    "parsed back with a declared schema inside one plan — the "
+    "enterprise-feed ingestion path (SOAP/ERP exports) beside the "
+    "CSV/JSONL/ORC/parquet roundtrips. The certification aggregate "
+    "proves value fidelity through the serialize→parse cycle "
+    "(decimal-exact balance survives the text roundtrip). DuckDB "
+    "has no XML surface, so the twin certifies against the source "
+    "table directly — which is exactly the roundtrip contract.",
+    oracle="""
+SELECT s_nationkey,
+  COUNT(*) AS n_suppliers,
+  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_balance,
+  MIN(s_name) AS min_name
+FROM supplier
+GROUP BY 1
+""",
+)
+def xml_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    cols = ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+    ddl = "s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double"
+    xml = s.select(F.to_xml(F.struct(*cols)).alias("doc"))
+    parsed = xml.select(F.from_xml("doc", ddl).alias("r")).select("r.*")
+    return parsed.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("s_acctbal").cast(N.DEC))
+        .cast("double")
+        .alias("total_balance"),
+        F.min("s_name").alias("min_name"),
+    )
