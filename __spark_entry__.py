@@ -183,6 +183,8 @@ _R5_FRONT = (
     "collation_aware_grouping",
     "xml_ingest_roundtrip",
     "date_functions_suite",
+    "sketch_native_hll_datasketches",
+    "map_functions_suite",
 )
 
 

@@ -1453,3 +1453,47 @@ def date_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("next_monday").cast("timestamp").alias("min_next_monday"),
         F.min("q_start").cast("timestamp").alias("min_q_start"),
     )
+
+
+@register(
+    "map_functions_suite",
+    ops=("F10", "P9", "A1"),
+    doc="Map-type function family: per-order attributes packed into a "
+    "MAP via str_to_map, filtered with the map_filter lambda, "
+    "augmented by map_concat, then exploded back to key/value rows "
+    "and aggregated — the schema-on-read attribute-bag pattern "
+    "(entity-attribute-value feeds). The exploded-rows output "
+    "keeps MAP out of the compared schema (engines' map wire "
+    "formats differ); the DuckDB twin builds the same rows by "
+    "UNION. All codegen, one scan.",
+    oracle="""
+WITH kv AS (
+  SELECT 'status' AS k, o_orderstatus AS v FROM orders
+  UNION ALL
+  SELECT 'prio', o_orderpriority FROM orders
+  UNION ALL
+  SELECT 'bigticket', CASE WHEN o_totalprice > 300000.0
+                           THEN 'yes' ELSE 'no' END
+  FROM orders
+)
+SELECT k, v, COUNT(*) AS n
+FROM kv
+GROUP BY 1, 2
+""",
+)
+def map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    m = F.expr(
+        "map_concat("
+        "  map_filter("
+        "    str_to_map(concat('status:', o_orderstatus,"
+        "                      ',prio:', o_orderpriority), ',', ':'),"
+        "    (k, v) -> v IS NOT NULL),"
+        "  map('bigticket', CASE WHEN o_totalprice > 300000.0D"
+        "                        THEN 'yes' ELSE 'no' END))"
+    )
+    return (
+        o.select(F.explode(m).alias("k", "v"))
+        .groupBy("k", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

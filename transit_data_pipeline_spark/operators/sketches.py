@@ -1379,3 +1379,64 @@ def sketch_kmv_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_users_7d").cast("bigint").alias("exact_users_7d"),
         est.alias("kmv_estimate"),
     )
+
+
+@register(
+    "sketch_native_hll_datasketches",
+    ops=("A2", "A1", "A12"),
+    doc="Native Apache DataSketches HLL (Spark 3.5+ hll_sketch_agg / "
+    "hll_union_agg): per-priority customer cardinality estimated by "
+    "the engine-resident sketch, PLUS a union-merge across all "
+    "priorities — the mergeable binary sketch state a 100 TB "
+    "rollup ships between layers (our md5-register HLL twin is the "
+    "cross-engine-checkable variant; THIS one is the production "
+    "codepath). DuckDB cannot reproduce DataSketches estimates, so "
+    "the gate carries the exact distinct beside a ±6% accuracy "
+    "assertion folded into the compared columns — estimate drift "
+    "fails the hash.",
+    oracle="""
+WITH per AS (
+  SELECT o_orderpriority,
+    COUNT(DISTINCT o_custkey) AS exact_distinct
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT COUNT(DISTINCT o_custkey) AS n FROM orders)
+SELECT p.o_orderpriority,
+  CAST(p.exact_distinct AS BIGINT) AS exact_distinct,
+  TRUE AS est_within_6pct,
+  CAST(t.n AS BIGINT) AS exact_union_distinct,
+  TRUE AS union_within_6pct
+FROM per p CROSS JOIN tot t
+""",
+)
+def sketch_native_hll_datasketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_distinct"),
+    )
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("union_est")
+    )
+    tot = o.agg(F.countDistinct("o_custkey").alias("exact_union"))
+    est = F.hll_sketch_estimate("sk")
+    within = (
+        F.abs(est.cast("double") / F.col("exact_distinct") - 1.0) <= 0.06
+    )
+    uwithin = (
+        F.abs(
+            F.col("union_est").cast("double") / F.col("exact_union") - 1.0
+        )
+        <= 0.06
+    )
+    return (
+        per.crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o_orderpriority",
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+            within.alias("est_within_6pct"),
+            F.col("exact_union").cast("bigint").alias("exact_union_distinct"),
+            uwithin.alias("union_within_6pct"),
+        )
+    )
