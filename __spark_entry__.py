@@ -185,6 +185,8 @@ _R5_FRONT = (
     "date_functions_suite",
     "sketch_native_hll_datasketches",
     "map_functions_suite",
+    "string_agg_ordered",
+    "try_functions_suite",
 )
 
 

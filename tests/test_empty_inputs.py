@@ -163,6 +163,8 @@ _OPS = [
     "date_functions_suite",
     "sketch_native_hll_datasketches",
     "map_functions_suite",
+    "string_agg_ordered",
+    "try_functions_suite",
     # (event_pattern_automaton / time_decay_attribution /
     # shapley_channel_attribution read the events table, which the
     # empty fixture omits — its TIMESTAMP_NANOS schema can't round-trip

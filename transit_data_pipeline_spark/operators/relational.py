@@ -1497,3 +1497,137 @@ def map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k", "v")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "string_agg_ordered",
+    ops=("A3", "W4", "O3"),
+    doc="Ordered string aggregation (Spark 4 LISTAGG ... WITHIN GROUP, "
+    "the SQL:2016 standard spelling): each nation's top-5 customer "
+    "keys concatenated in balance order — deterministic because the "
+    "WITHIN GROUP order is total (balance desc, key). The "
+    "report-feed primitive that otherwise needs "
+    "collect_list+array_join+sort; DuckDB's twin is string_agg "
+    "with ORDER BY.",
+    oracle="""
+WITH top5 AS (
+  SELECT c_nationkey, c_custkey, c_acctbal
+  FROM (
+    SELECT c_nationkey, c_custkey, c_acctbal,
+      ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal DESC, c_custkey) AS rk
+    FROM customer
+  ) WHERE rk <= 5
+)
+SELECT c_nationkey,
+  COUNT(*) AS n,
+  string_agg(CAST(c_custkey AS VARCHAR), ','
+             ORDER BY c_acctbal DESC, c_custkey) AS top_keys
+FROM top5
+GROUP BY 1
+""",
+)
+def string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "tdps_agg_customer"
+    )
+    return spark.sql(
+        """
+        WITH top5 AS (
+          SELECT c_nationkey, c_custkey, c_acctbal
+          FROM (
+            SELECT c_nationkey, c_custkey, c_acctbal,
+              ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                 ORDER BY c_acctbal DESC, c_custkey) AS rk
+            FROM tdps_agg_customer
+          ) WHERE rk <= 5
+        )
+        SELECT c_nationkey,
+          COUNT(*) AS n,
+          listagg(CAST(c_custkey AS STRING), ',')
+            WITHIN GROUP (ORDER BY c_acctbal DESC, c_custkey) AS top_keys
+        FROM top5
+        GROUP BY c_nationkey
+        """
+    )
+
+
+@register(
+    "try_functions_suite",
+    ops=("P8", "P9", "A1", "P5"),
+    doc="Error-safe expression family (try_divide / try_cast / "
+    "try_add / try_to_timestamp): malformed casts, zero divisors, "
+    "and int64 overflow yield NULL instead of failing the job — "
+    "the quarantine-not-crash semantics a 100 TB load needs (one "
+    "poison row must not kill a 6-hour job). Exercised on "
+    "synthetic poison derived from order rows; the twin spells "
+    "the same semantics with TRY_CAST/NULLIF guards. Counts of "
+    "each NULL class certify the behavior row-for-row.",
+    oracle="""
+WITH t AS (
+  SELECT
+    CAST(o_totalprice AS DOUBLE)
+      / NULLIF(CAST(o_orderkey % 3 AS DOUBLE), 0.0) AS safe_div,
+    TRY_CAST(CASE WHEN o_orderkey % 5 = 0 THEN 'oops'
+                  ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS cast_k,
+    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+         ELSE o_orderkey + 1 END AS add_guarded,
+    TRY_CAST(CASE WHEN o_orderkey % 2 = 0 THEN 'not a time'
+                  ELSE '2024-01-15 12:00:00' END AS TIMESTAMP) AS ts
+  FROM orders
+)
+SELECT
+  COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN safe_div IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_div_null,
+  CAST(SUM(CASE WHEN cast_k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_cast_null,
+  CAST(SUM(CASE WHEN add_guarded IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_add_null,
+  CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_ts_null,
+  CAST(SUM(CAST(cast_k AS DECIMAL(18,0))) AS BIGINT) AS sum_cast_ok
+FROM t
+""",
+)
+def try_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    t = o.select(
+        F.expr(
+            "try_divide(CAST(o_totalprice AS DOUBLE),"
+            " CAST(o_orderkey % 3 AS DOUBLE))"
+        ).alias("safe_div"),
+        F.expr(
+            "try_cast(CASE WHEN o_orderkey % 5 = 0 THEN 'oops'"
+            " ELSE CAST(o_orderkey AS STRING) END AS BIGINT)"
+        ).alias("cast_k"),
+        # try_add overflow needs max-int64 operands; the oracle-shared
+        # semantics here use a poison-NULL branch (DuckDB has no
+        # try_add), with overflow itself covered by the property test.
+        F.expr(
+            "CASE WHEN o_orderkey % 7 = 0 THEN try_add(9223372036854775807L, 1L)"
+            " ELSE try_add(o_orderkey, 1L) END"
+        ).alias("add_guarded"),
+        F.expr(
+            "try_to_timestamp(CASE WHEN o_orderkey % 2 = 0 THEN 'not a time'"
+            " ELSE '2024-01-15 12:00:00' END)"
+        ).alias("ts"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("safe_div").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_div_null"),
+        F.sum(F.when(F.col("cast_k").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cast_null"),
+        F.sum(F.when(F.col("add_guarded").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_add_null"),
+        F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ts_null"),
+        F.sum(F.col("cast_k").cast("decimal(18,0)"))
+        .cast("bigint")
+        .alias("sum_cast_ok"),
+    )
