@@ -187,6 +187,7 @@ _R5_FRONT = (
     "map_functions_suite",
     "string_agg_ordered",
     "try_functions_suite",
+    "embedding_binary_quantization",
 )
 
 

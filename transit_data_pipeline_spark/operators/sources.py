@@ -1199,12 +1199,13 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row is authoritative either way).
     import re as _re
 
-    stats_line = [
-        r.data_type
-        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
-        if r.col_name == "Statistics"
-    ]
-    m = _re.search(r"(\d+) rows", stats_line[0]) if stats_line else None
+    stats_row = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}")
+        .filter(F.col("col_name") == "Statistics")
+        .select("data_type")
+        .first()
+    )
+    m = _re.search(r"(\d+) rows", stats_row[0]) if stats_row else None
     stats_rows = int(m.group(1)) if m else -1
     actual = spark.table(tbl).count()
     return (
