@@ -188,6 +188,7 @@ _R5_FRONT = (
     "string_agg_ordered",
     "try_functions_suite",
     "embedding_binary_quantization",
+    "partition_retention_drop",
 )
 
 

@@ -166,6 +166,7 @@ _OPS = [
     "string_agg_ordered",
     "try_functions_suite",
     "embedding_binary_quantization",
+    "partition_retention_drop",
     # (event_pattern_automaton / time_decay_attribution /
     # shapley_channel_attribution read the events table, which the
     # empty fixture omits — its TIMESTAMP_NANOS schema can't round-trip

@@ -1467,3 +1467,63 @@ def xml_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_balance"),
         F.min("s_name").alias("min_name"),
     )
+
+
+@register(
+    "partition_retention_drop",
+    ops=("S11", "S3", "A1", "F5"),
+    doc="Delete-by-age as PARTITION DROPS (the 100 TB retention "
+    "story: deleting old data by row-filter rewrites the whole "
+    "table; dropping date partitions is a metadata/file operation): "
+    "orders land in a month-partitioned layout, months older than "
+    "the cutoff are dropped as directories, and the surviving "
+    "per-month counts are certified against the row-filter "
+    "semantics the reference implements (`gtfs/pipeline.py` "
+    "retention, ref daily DAG) — proving drop-by-partition ≡ "
+    "DELETE WHERE on partition-aligned predicates. Scratch layout "
+    "is rebuilt per run (idempotent).",
+    oracle="""
+SELECT strftime(CAST(date_trunc('month', o_orderdate) AS DATE),
+                '%Y-%m-%d') AS month,
+  COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY 1
+""",
+)
+def partition_retention_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    base = _os.path.join(
+        _tempfile.gettempdir(), f"tdps_retention_{abs(hash(sf_dir)) % 10**8}"
+    )
+    _shutil.rmtree(base, ignore_errors=True)
+    o = table(spark, sf_dir, "orders")
+    (
+        o.withColumn(
+            "month",
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd"),
+        )
+        .write.partitionBy("month")
+        .parquet(base)
+    )
+    # Metadata-level retention: drop month directories below the
+    # cutoff — no table rewrite, no row scan.
+    cutoff = "1997-01-01"
+    for entry in _os.listdir(base):
+        if entry.startswith("month=") and entry.split("=", 1)[1] < cutoff:
+            _shutil.rmtree(_os.path.join(base, entry))
+    # Declared schema: an all-dropped (or empty-input) layout has no
+    # files left to infer from — the read must still plan.
+    ddl = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string, month string"
+    )
+    return (
+        spark.read.schema(ddl).parquet(base)
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
