@@ -2059,3 +2059,103 @@ def test_rolling_kmv_tracks_exact_within_tolerance(spark, sf_dir):
                 abs(r.kmv_estimate - r.exact_users_7d) / r.exact_users_7d
                 <= 0.6
             ), r
+
+
+def test_recursive_cte_equals_pointer_doubling(spark, sf_dir):
+    """The native WITH RECURSIVE hierarchy resolution and the
+    pointer-doubling implementation are the same operator — their
+    results must be identical row for row."""
+    from transit_data_pipeline_spark.operators.pipelineops import (
+        hierarchy_closure_rollup,
+        recursive_cte_hierarchy,
+    )
+
+    a = {
+        r.root: (r.subtree_size, r.subtree_balance, r.max_depth)
+        for r in hierarchy_closure_rollup(spark, sf_dir).collect()
+    }
+    b = {
+        r.root: (r.subtree_size, r.subtree_balance, r.max_depth)
+        for r in recursive_cte_hierarchy(spark, sf_dir).collect()
+    }
+    assert a == b and a
+
+
+def test_scripting_pow2_cap_is_tight(spark, sf_dir):
+    """The WHILE loop's cap is the smallest power of two strictly
+    above the max price."""
+    from transit_data_pipeline_spark.catalog import table
+    from transit_data_pipeline_spark.operators.pipelineops import (
+        sql_scripting_batch,
+    )
+    from pyspark.sql import functions as F
+
+    rows = sql_scripting_batch(spark, sf_dir).collect()
+    cap = rows[0].pow2_cap
+    assert cap & (cap - 1) == 0, "not a power of two"
+    mx = (
+        table(spark, sf_dir, "orders")
+        .agg(F.max("o_totalprice"))
+        .first()[0]
+    )
+    assert cap > mx >= cap / 2
+
+
+def test_binary_quantization_recall_bounds(spark, sf_dir):
+    from transit_data_pipeline_spark.operators.similarity import (
+        _K_EVAL,
+        embedding_binary_quantization,
+    )
+
+    rows = embedding_binary_quantization(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bq == _K_EVAL
+        assert 0 <= r.best_hamming <= 64
+        assert 0.0 <= r.recall_at_5 <= 1.0
+        assert r.n_overlap <= _K_EVAL
+
+
+def test_retention_drop_keeps_only_recent_months(spark, sf_dir):
+    from transit_data_pipeline_spark.operators.sources import (
+        partition_retention_drop,
+    )
+
+    rows = partition_retention_drop(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.month >= "1997-01-01"
+
+
+def test_stickiness_is_a_proper_ratio(spark, sf_dir):
+    """avg DAU can never exceed WAU (daily distinct ⊆ weekly
+    distinct), so stickiness is in (0, 1]."""
+    from transit_data_pipeline_spark.operators.events import (
+        dau_wau_stickiness,
+    )
+
+    rows = dau_wau_stickiness(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_days <= 7
+        assert r.avg_dau <= r.wau + 1e-9
+        assert 0.0 < r.stickiness <= 1.0 + 1e-9
+
+
+def test_span_corruption_spans_never_overlap(spark, sf_dir):
+    from transit_data_pipeline_spark.operators.mlprep import (
+        span_corruption_plan,
+    )
+
+    rows = span_corruption_plan(spark, sf_dir).collect()
+    by_doc: dict = {}
+    for r in rows:
+        assert 0 <= r.span_start
+        assert r.span_start + r.span_len <= r.n_tokens
+        by_doc.setdefault(r.doc_id, []).append(
+            (r.span_start, r.span_start + r.span_len)
+        )
+    for spans in by_doc.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 >= e1, "spans overlap"
