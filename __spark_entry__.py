@@ -189,6 +189,7 @@ _R5_FRONT = (
     "try_functions_suite",
     "embedding_binary_quantization",
     "partition_retention_drop",
+    "events_rolling_hour_range",
 )
 
 

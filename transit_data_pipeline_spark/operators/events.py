@@ -2148,3 +2148,61 @@ def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+@register(
+    "events_rolling_hour_range",
+    ops=("W9", "A3", "F2"),
+    doc="Per-event trailing-1-hour RANGE window keyed by the VALUE of "
+    "the time axis (epoch seconds — Spark range frames are numeric): "
+    "every event sees the count and decimal-exact value sum of its "
+    "type's preceding hour, the per-event feature the tumbling "
+    "hourly rollup can't express (events near bucket edges lose "
+    "their recent context there). Type-partitioned sort, no global "
+    "window; emitted sample is 5% taken AFTER the window so frames "
+    "see every row. The DuckDB twin uses the same numeric-epoch "
+    "RANGE frame.",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, event_type, value,
+    epoch_ns(ts) // 1000000000 AS sec
+  FROM events
+),
+w AS (
+  SELECT event_id, event_type, sec,
+    COUNT(*) OVER (PARTITION BY event_type ORDER BY sec
+                   RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+      AS n_prev_hour,
+    CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+        PARTITION BY event_type ORDER BY sec
+        RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      AS value_prev_hour
+  FROM ev
+)
+SELECT event_id, event_type, CAST(sec AS BIGINT) AS sec,
+  CAST(n_prev_hour AS BIGINT) AS n_prev_hour, value_prev_hour
+FROM w WHERE event_id % 20 = 0
+""",
+)
+def events_rolling_hour_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    # Integer division: epoch nanos (~1.7e18) exceed double's 2^53
+    # exact range, so a float divide would corrupt the low digits.
+    sec = F.expr("ts div 1000000000")
+    ev = e.select("event_id", "event_type", "value", sec.alias("sec"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("sec")
+        .rangeBetween(-3599, 0)
+    )
+    out = ev.select(
+        "event_id",
+        "event_type",
+        F.col("sec").cast("bigint").alias("sec"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_prev_hour"),
+        F.sum(F.col("value").cast(N.DEC))
+        .over(w)
+        .cast("double")
+        .alias("value_prev_hour"),
+    )
+    return out.filter(F.col("event_id") % 20 == 0)
