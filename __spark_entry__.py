@@ -190,6 +190,7 @@ _R5_FRONT = (
     "embedding_binary_quantization",
     "partition_retention_drop",
     "events_rolling_hour_range",
+    "skewness_exact_moments",
 )
 
 

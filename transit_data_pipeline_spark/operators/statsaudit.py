@@ -1302,3 +1302,70 @@ def wilson_ci_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (center - half).alias("wilson_lo"),
         (center + half).alias("wilson_hi"),
     )
+
+
+@register(
+    "skewness_exact_moments",
+    ops=("A4", "A3", "A9"),
+    doc="Distribution-shape audit: population skewness per order "
+    "status from EXACT third-moment sufficient statistics — prices "
+    "are 2-dp values, so DECIMAL(9,2) terms keep x, x², x³ exact "
+    "through the sums (x³ peaks at precision 29, inside both "
+    "engines' int128 paths; Spark's builtin skewness() is a "
+    "partition-order-dependent streaming fold and can never match "
+    "an oracle bitwise — this one is order-free by construction). "
+    "One hash aggregate; the g1 formula is evaluated in the same "
+    "operation order on both engines. Extends the mergeable-"
+    "moments family (moments_partial_merge) to the third moment.",
+    oracle="""
+WITH s AS (
+  SELECT o_orderstatus,
+    COUNT(*) AS n,
+    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(9,2))) AS VARCHAR)
+         AS DOUBLE) AS s1,
+    -- width 19 on one operand forces DuckDB onto int128 (its 9x9
+    -- multiply takes an int64 fast path that overflows; see
+    -- functions/numeric.sql_dstddev)
+    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,2))
+                  * CAST(o_totalprice AS DECIMAL(9,2))) AS VARCHAR)
+         AS DOUBLE) AS s2,
+    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,2))
+                  * CAST(o_totalprice AS DECIMAL(9,2))
+                  * CAST(o_totalprice AS DECIMAL(9,2))) AS VARCHAR)
+         AS DOUBLE) AS s3
+  FROM orders GROUP BY 1
+)
+SELECT o_orderstatus,
+  CAST(n AS BIGINT) AS n,
+  s1 / n AS mean,
+  s2 / n - (s1 / n) * (s1 / n) AS pop_variance,
+  (s3 / n - 3.0 * (s1 / n) * (s2 / n)
+    + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+    / ((s2 / n - (s1 / n) * (s1 / n))
+       * sqrt(s2 / n - (s1 / n) * (s1 / n))) AS skewness
+FROM s
+""",
+)
+def skewness_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_totalprice").cast("decimal(9,2)")
+    s = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).cast("double").alias("s1"),
+        F.sum(d * d).cast("double").alias("s2"),
+        F.sum(d * d * d).cast("double").alias("s3"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    skew = (
+        F.col("s3") / F.col("n")
+        - 3.0 * mean * (F.col("s2") / F.col("n"))
+        + 2.0 * mean * mean * mean
+    ) / (var * F.sqrt(var))  # var^1.5 via sqrt: pow() is libm, sqrt is IEEE
+    return s.select(
+        "o_orderstatus",
+        F.col("n").cast("bigint").alias("n"),
+        mean.alias("mean"),
+        var.alias("pop_variance"),
+        skew.alias("skewness"),
+    )
