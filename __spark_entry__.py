@@ -191,6 +191,7 @@ _R5_FRONT = (
     "partition_retention_drop",
     "events_rolling_hour_range",
     "skewness_exact_moments",
+    "interarrival_dispersion",
 )
 
 

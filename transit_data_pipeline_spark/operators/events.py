@@ -2206,3 +2206,70 @@ def events_rolling_hour_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_prev_hour"),
     )
     return out.filter(F.col("event_id") % 20 == 0)
+
+
+@register(
+    "interarrival_dispersion",
+    ops=("W3", "A4", "A9", "F2"),
+    doc="Queueing-health audit: per event type, the inter-arrival gap "
+    "distribution's index of dispersion (variance/mean — 1 for a "
+    "Poisson process, >1 = bursty, <1 = regular) from exact integer "
+    "second gaps (LAG over the type-keyed order, decimal-exact "
+    "Σgap and Σgap², one double division each at the end). The "
+    "burstiness readout capacity planning reads next to the rate-"
+    "anomaly monitors; one partitioned window + one hash aggregate.",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_type, epoch_ns(ts) // 1000000000 AS sec, event_id
+  FROM events
+),
+gaps AS (
+  SELECT event_type,
+    sec - LAG(sec) OVER (PARTITION BY event_type
+                         ORDER BY sec, event_id) AS gap
+  FROM ev
+),
+s AS (
+  SELECT event_type,
+    COUNT(gap) AS n_gaps,
+    CAST(CAST(SUM(CAST(gap AS DECIMAL(18,0))) AS VARCHAR) AS DOUBLE) AS s1,
+    CAST(CAST(SUM(CAST(gap AS DECIMAL(19,0))
+                  * CAST(gap AS DECIMAL(18,0))) AS VARCHAR) AS DOUBLE) AS s2
+  FROM gaps WHERE gap IS NOT NULL
+  GROUP BY 1
+)
+SELECT event_type,
+  CAST(n_gaps AS BIGINT) AS n_gaps,
+  s1 / n_gaps AS mean_gap_s,
+  (s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps)) / (s1 / n_gaps)
+    AS index_of_dispersion,
+  (s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps)) / (s1 / n_gaps) > 1.0
+    AS is_overdispersed
+FROM s
+""",
+)
+def interarrival_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    ev = e.select(
+        "event_type", F.expr("ts div 1000000000").alias("sec"), "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("sec", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.col("sec") - F.lag("sec").over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    g = F.col("gap").cast("decimal(18,0)")
+    s = gaps.groupBy("event_type").agg(
+        F.count("gap").alias("n_gaps"),
+        F.sum(g).cast("double").alias("s1"),
+        F.sum(g * g).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_gaps")
+    iod = (F.col("s2") / F.col("n_gaps") - mean * mean) / mean
+    return s.select(
+        "event_type",
+        F.col("n_gaps").cast("bigint").alias("n_gaps"),
+        mean.alias("mean_gap_s"),
+        iod.alias("index_of_dispersion"),
+        (iod > 1.0).alias("is_overdispersed"),
+    )
