@@ -192,6 +192,7 @@ _R5_FRONT = (
     "events_rolling_hour_range",
     "skewness_exact_moments",
     "interarrival_dispersion",
+    "abc_customer_classification",
 )
 
 

@@ -168,6 +168,7 @@ _OPS = [
     "embedding_binary_quantization",
     "partition_retention_drop",
     "skewness_exact_moments",
+    "abc_customer_classification",
     # (event_pattern_automaton / time_decay_attribution /
     # shapley_channel_attribution read the events table, which the
     # empty fixture omits — its TIMESTAMP_NANOS schema can't round-trip

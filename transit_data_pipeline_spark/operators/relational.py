@@ -1631,3 +1631,82 @@ def try_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_cast_ok"),
     )
+
+
+@register(
+    "abc_customer_classification",
+    ops=("W11", "W4", "P5", "A3"),
+    doc="ABC / Pareto classification of customers by revenue: rank by "
+    "decimal-exact customer revenue, cumulative share over the "
+    "ranked frame, class A up to 80% of revenue, B to 95%, C the "
+    "tail — the inventory/CRM segmentation standard, composed from "
+    "the cumulative-share primitive. Class boundaries compare "
+    "cumulative EXACT decimal sums against 0.80/0.95 of the exact "
+    "total (one double division each), so the class of every "
+    "customer is cross-engine stable. Reports per-class size and "
+    "revenue share. At 100 TB the global rank becomes the two-"
+    "phase range rank (gains_lift_table's recipe); the aggregate "
+    "is customer-bounded.",
+    oracle="""
+WITH per AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT o_custkey, rev,
+    SUM(rev) OVER (ORDER BY rev DESC, o_custkey) AS cum_rev,
+    SUM(rev) OVER () AS total_rev
+  FROM per
+),
+classed AS (
+  SELECT *,
+    CASE WHEN CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) <= 0.80
+         THEN 'A'
+         WHEN CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) <= 0.95
+         THEN 'B'
+         ELSE 'C' END AS abc_class
+  FROM ranked
+)
+SELECT abc_class,
+  COUNT(*) AS n_customers,
+  CAST(SUM(rev) AS DOUBLE) AS class_revenue,
+  CAST(SUM(rev) AS DOUBLE) / CAST(MAX(total_rev) AS DOUBLE)
+    AS revenue_share
+FROM classed
+GROUP BY 1
+""",
+)
+def abc_customer_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(N.DEC)).alias("rev")
+    )
+    worder = Window.orderBy(F.col("rev").desc(), "o_custkey")
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per.select(
+        "o_custkey",
+        "rev",
+        F.sum("rev")
+        .over(worder.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_rev"),
+        F.sum("rev").over(wall).alias("total_rev"),
+    )
+    share = F.col("cum_rev").cast("double") / F.col("total_rev").cast("double")
+    classed = ranked.select(
+        "rev",
+        "total_rev",
+        F.when(share <= 0.80, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev").cast("double").alias("class_revenue"),
+        (
+            F.sum("rev").cast("double")
+            / F.max("total_rev").cast("double")
+        ).alias("revenue_share"),
+    )
