@@ -22,189 +22,213 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from transit_data_pipeline_spark.operators.registry import all_specs  # noqa: E402
 from transit_data_pipeline_spark.session import configure  # noqa: E402
 
-#: Queries with a fully green row in CORRECTNESS_r01.json. The driver
-#: verifies queries in dict order under a bounded budget (r1 stopped at
-#: 50 of 77), so queries that still need a green row — the red
-#: `conditional_aggregates` row, everything never checked in r1, and
-#: anything newly registered — are emitted FIRST; the already-green set
-#: follows. This rotation gives every registered query a driver-checked
-#: row across rounds.
-_R1_GREEN = frozenset(
+#: Every query with a driver CORRECTNESS row in rounds 1-5 (all green
+#: as of r5). Used to sort the post-front remainder: never-checked
+#: queries first (they claim leftover window slots), re-confirmations
+#: after, rows-only (no-oracle) queries last.
+_EVER_CHECKED = frozenset(
     {
-        "perf_ranking_trends", "filter_project_cast", "case_coalesce_bounding",
-        "distinct_projection", "anti_join_orphans", "semi_join_per_nation",
-        "star_join_region_rollup", "cross_join_grid", "exact_percentiles",
-        "stddev_by_group", "two_level_agg_having", "global_stats",
-        "topk_orders", "union_all_counts", "dedup_first_wins",
-        "date_parts_smart_keys", "dim_date_series", "risk_binning",
-        "retention_filter", "set_ops_suite", "window_value_suite",
-        "lag_cascade", "rank_suite", "moving_avg_7day", "monthly_trend_ma3",
-        "cumulative_share", "train_test_split", "one_row_frame_lag",
-        "hourly_event_rollup", "hourly_bucket_lookup", "json_props_extract",
-        "sessionization_gap30m", "asof_join_prior_purchase",
-        "feature_join_update", "multikey_validation_join",
-        "dynamic_day_column", "deterministic_sample", "salted_skew_agg",
-        "range_join_price_bands", "rollup_multi_granularity",
-        "cube_priority_status", "pivot_status_matrix", "stratified_sample",
-        "csv_roundtrip", "append_sink_roundtrip", "sql_over_views",
-        "schema_bootstrap", "mv_refresh", "gtfs_time_parse",
+        "analysis_daily_trend_ma7",
+        "analysis_delay_cascade",
+        "analysis_dow_pattern",
+        "analysis_monthly_quartiles",
+        "analysis_recent_vs_historical",
+        "analysis_route_stop_hotspots",
+        "analysis_stop_hotspots",
+        "analysis_weather_impact",
+        "anti_join_orphans",
+        "append_sink_roundtrip",
+        "asof_join_prior_purchase",
+        "bloom_join_prefilter",
+        "bucketed_colocated_join",
+        "case_coalesce_bounding",
+        "column_profile",
+        "column_profile_approx",
+        "conditional_aggregates",
+        "corpus_curation_funnel",
+        "corpus_data_card",
+        "cross_join_grid",
+        "csv_roundtrip",
+        "cube_priority_status",
+        "cumulative_share",
+        "data_mix_rebalance",
+        "date_parts_smart_keys",
+        "day_name_trim",
+        "dedup_components",
+        "dedup_embedding_cosine",
+        "dedup_exact",
+        "dedup_first_wins",
+        "dedup_incremental_snapshot",
+        "dedup_levenshtein",
+        "dedup_lsh_verified",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "deterministic_sample",
+        "dim_date_series",
+        "distinct_projection",
+        "doc_chunking",
+        "dpp_partitioned_fact_join",
+        "dynamic_day_column",
+        "embedding_norm_stats",
+        "embedding_quantize_int8",
+        "exact_percentiles",
+        "feature_join_update",
+        "filter_project_cast",
+        "global_stats",
+        "gtfs_time_parse",
+        "hash_split_3way",
+        "hourly_bucket_lookup",
+        "hourly_event_rollup",
+        "json_props_extract",
+        "jsonl_roundtrip",
+        "kmeans_semantic_clusters",
+        "lag_cascade",
+        "limit_without_order",
+        "ml_gbt_cv_metrics",
+        "monthly_trend_ma3",
+        "moving_avg_7day",
+        "multikey_validation_join",
+        "multimodal_binary_meta",
+        "multimodal_decode_probe",
+        "multimodal_frame_sample",
+        "multimodal_phash_near_dup",
+        "multimodal_resize_features",
+        "mv_incremental_refresh",
+        "mv_refresh",
+        "one_row_frame_lag",
+        "pack_sequences",
+        "per_source_cap",
+        "perf_ranking_trends",
+        "pivot_status_matrix",
+        "range_join_price_bands",
+        "rank_suite",
+        "retention_filter",
+        "risk_binning",
+        "rolling_distinct_users",
+        "rollup_multi_granularity",
+        "salted_skew_agg",
+        "scd2_user_type_history",
+        "schema_bootstrap",
+        "semi_join_per_nation",
+        "sessionization_gap30m",
+        "set_ops_suite",
+        "similarity_bruteforce_topk",
+        "similarity_ivf_ann",
+        "similarity_ivf_recall",
+        "similarity_lsh_ann",
+        "sketch_countmin_freq",
+        "sketch_histogram_quantiles",
+        "sketch_hll_distinct",
+        "sketch_kmv_distinct",
+        "sql_over_views",
+        "star_join_region_rollup",
+        "stddev_by_group",
+        "stratified_sample",
+        "streaming_dedup",
+        "streaming_feature_append",
+        "streaming_hourly_rollup",
+        "streaming_late_data_drop",
+        "streaming_sliding_rate",
+        "streaming_stateful_sessions",
+        "synthetic_weather_model",
+        "text_benchmark_contamination",
+        "text_bpe_pair_counts",
+        "text_bpe_token_count",
+        "text_fingerprint",
+        "text_gopher_rules",
+        "text_langid",
+        "text_pii_scrub",
+        "text_quality_score",
+        "text_repetition_filter",
+        "text_token_stats",
+        "topk_orders",
+        "train_test_split",
+        "two_level_agg_having",
+        "union_all_counts",
+        "vocab_heavy_hitters",
+        "window_value_suite",
+        "winsorize_clip",
+        "zscore_normalize",
     }
 )
 
 
-#: Round-5 front of the driver's ~50-query check window: the 49 queries
-#: whose most recent driver CORRECTNESS row is r01 — adjudicated BEFORE
-#: the driver regenerated /root/testdata (events.ts encoding change) —
-#: rotated to the front so every registered query's driver row postdates
-#: the current fixtures. Events family first (the family that regressed
-#: in r3 under the new encoding), then the remaining r01-only set.
-#: Queries registered this round (never driver-checked) follow at the
-#: tail of the front list so they claim any leftover window slots.
-_R5_FRONT = (
-    # events family — r01-only AND the family hit by the fixture regen
-    "asof_join_prior_purchase",
-    "hourly_event_rollup",
-    "sessionization_gap30m",
-    "json_props_extract",
-    "lag_cascade",
-    "hourly_bucket_lookup",
-    # remaining r01-only queries (latest driver row predates fixtures)
-    "anti_join_orphans",
-    "append_sink_roundtrip",
-    "case_coalesce_bounding",
-    "cross_join_grid",
-    "csv_roundtrip",
-    "cube_priority_status",
+#: Round-6 front of the driver's ~50-query check window. 241 of 363
+#: registered queries have never had a driver CORRECTNESS row (the
+#: window is ~50/round); VERDICT r5 asks to front-load them by blast
+#: radius: the TPC-H suite first, then the Spark-4 SQL-dialect wave,
+#: then the queries whose PLANS changed this round (two-phase global
+#: rank conversion, variant spread fix) so their rows post-date the
+#: change, then the stats/timeseries waves. The remainder of the
+#: never-checked backlog follows automatically via _ordered_specs.
+_R6_FRONT = (
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_revenue_change",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipping_priority_class",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q22_global_sales_opportunity",
+    "recursive_cte_hierarchy",
+    "sql_scripting_batch",
+    "try_functions_suite",
+    "sql_pipe_syntax_query",
+    "sql_session_variables",
+    "parameterized_sql_query",
+    "collation_aware_grouping",
+    "sql_udf_delay_category",
+    "lateral_topk_per_group",
+    "higher_order_lambda_suite",
+    "xml_ingest_roundtrip",
+    "variant_props_extract",
+    "abc_customer_classification",
+    "vocab_coverage_curve",
+    "spearman_rank_corr",
     "cumulative_share",
-    "date_parts_smart_keys",
-    "dedup_first_wins",
-    "deterministic_sample",
-    "dim_date_series",
-    "distinct_projection",
-    "dynamic_day_column",
-    "exact_percentiles",
-    "feature_join_update",
-    "filter_project_cast",
-    "global_stats",
-    "gtfs_time_parse",
-    "monthly_trend_ma3",
-    "moving_avg_7day",
-    "multikey_validation_join",
-    "mv_refresh",
-    "one_row_frame_lag",
-    "perf_ranking_trends",
-    "pivot_status_matrix",
-    "range_join_price_bands",
-    "rank_suite",
-    "retention_filter",
-    "risk_binning",
-    "rollup_multi_granularity",
-    "salted_skew_agg",
-    "schema_bootstrap",
-    "semi_join_per_nation",
-    "set_ops_suite",
-    "sql_over_views",
-    "star_join_region_rollup",
-    "stddev_by_group",
-    "stratified_sample",
-    "topk_orders",
-    "train_test_split",
-    "two_level_agg_having",
-    "union_all_counts",
-    "window_value_suite",
-    # registered in round 5 (never driver-checked)
-    "column_profile_approx",
-    "text_bigram_perplexity",
-    "text_tfidf_keywords",
-    "dedup_substring_spans",
-    "dedup_keep_best",
-    "event_funnel_steps",
-    "retention_cohorts",
+    "ks_two_sample",
+    "skewness_exact_moments",
+    "interarrival_dispersion",
+    "wilson_ci_conversion",
+    "bh_fdr_control",
+    "permutation_test_means",
+    "holm_stepdown_ab_tests",
+    "did_estimator",
+    "welch_ttest",
+    "gains_lift_table",
+    "mann_kendall_trend",
+    "downsample_lttb",
+    "events_rolling_hour_range",
     "time_range_window",
     "gap_fill_locf",
     "streaks_active_days",
-    "argmax_per_group",
-    "array_agg_suite",
-    "grouping_sets_report",
-    "minhash_source_overlap",
-    "orc_roundtrip",
-    "text_inverted_index",
-    "text_bm25_topk",
-    "streaming_stream_stream_join",
-    "rfm_segments",
-    "schema_evolution_merge",
-    "streaming_session_window",
-    "shuffle_hash_join_hint",
-    "clustered_write_roundtrip",
-    "corr_features",
-    "unpivot_melt",
-    "null_safe_join",
-    "feature_drift_psi",
-    "zorder_key_layout",
-    "dedup_graph_triangles",
-    "events_rate_anomaly",
-    "similarity_pq_codes",
-    "funnel_time_to_convert",
-    "bfs_shortest_hops",
-    "kcore_trade_graph",
-    "sketch_ddsketch_quantiles",
-    "permutation_test_means",
-    "downsample_lttb",
-    "dedup_sorted_neighborhood",
-    "span_corruption_plan",
-    "bh_fdr_control",
-    "mann_kendall_trend",
-    "survivorship_merge",
-    "text_kneser_ney_bigram",
-    "dau_wau_stickiness",
-    "variant_props_extract",
-    "streaming_checkpoint_resume",
-    "sql_udf_delay_category",
-    "observe_pipeline_metrics",
-    "session_window_dynamic_gap",
-    "analyze_table_stats",
-    "adamic_adar_link_prediction",
-    "sketch_kmv_rolling_distinct",
-    "wilson_ci_conversion",
-    "rouge_overlap_pairs",
-    "federated_format_union",
-    "agg_builtins_suite",
-    "window_ignore_nulls_suite",
-    "regexp_functions_suite",
-    "higher_order_lambda_suite",
-    "string_functions_suite",
-    "sql_pipe_syntax_query",
-    "lateral_topk_per_group",
-    "sql_session_variables",
-    "parameterized_sql_query",
-    "recursive_cte_hierarchy",
-    "sql_scripting_batch",
-    "dataframe_transpose_report",
-    "collation_aware_grouping",
-    "xml_ingest_roundtrip",
-    "date_functions_suite",
-    "sketch_native_hll_datasketches",
-    "map_functions_suite",
-    "string_agg_ordered",
-    "try_functions_suite",
-    "embedding_binary_quantization",
-    "partition_retention_drop",
-    "events_rolling_hour_range",
-    "skewness_exact_moments",
-    "interarrival_dispersion",
-    "abc_customer_classification",
 )
 
 
 def _ordered_specs():
     specs = all_specs()
-    front = [n for n in _R5_FRONT if n in specs]
+    front = [n for n in _R6_FRONT if n in specs]
     rest = [n for n in specs if n not in set(front)]
-    # Among the rest: queries with no green row yet (newly registered)
-    # before re-confirmations; oracle-backed (strong hash-checked rows)
-    # before rows-only (e.g. the GBT cross-validation run, which is also
-    # the slowest query in the registry).
-    rest.sort(key=lambda n: (n in _R1_GREEN, specs[n].oracle is None))
+    # Never-driver-checked queries before re-confirmations;
+    # oracle-backed (strong hash-checked rows) before rows-only
+    # (e.g. the GBT cross-validation run, which is also the slowest
+    # query in the registry).
+    rest.sort(key=lambda n: (n in _EVER_CHECKED, specs[n].oracle is None))
     return {n: specs[n] for n in (*front, *rest)}
 
 

@@ -28,6 +28,15 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
                 f"{name}: acceptance gate failed: "
                 + "; ".join(str(r.asDict()) for r in rows)
             )
+        if "meets_mae" in df.columns:
+            # MAE gate (reference publishes 4.38 min; our bound 6.0):
+            # the hit-rate gate alone could be satisfied by the
+            # band-center calibration constant — the MAE bound proves
+            # the GBT tracks the label, not just the band.
+            assert rows and all(r.meets_mae for r in rows), (
+                f"{name}: MAE gate failed: "
+                + "; ".join(str(r.asDict()) for r in rows)
+            )
         return
     problems = compare(df, spec.oracle, duck)
     assert not problems, f"{name}:\n" + "\n".join(problems)

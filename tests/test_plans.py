@@ -557,3 +557,29 @@ def test_hierarchy_closure_joins_are_equi(spark, sf_dir):
     plan = _plan(spark, sf_dir, "hierarchy_closure_rollup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "abc_customer_classification",
+        "vocab_coverage_curve",
+        "spearman_rank_corr",
+        "cumulative_share",
+        "ks_two_sample",
+    ],
+)
+def test_two_phase_rank_windows_are_partition_parallel(spark, sf_dir, name):
+    """Round-6 conversion of the single-partition global-rank family to
+    the shared two-phase range rank (functions/ranking.two_phase_rank):
+    the plan must range-partition on the sort key and EVERY Window node
+    must be partitioned by the range-partition id — an un-partitioned
+    WindowExec over the data frame (Spark's "moving all data to a
+    single partition") is the scale-killer this helper exists to
+    remove. The cross-partition prefix merge is array expressions over
+    the ≤64-row summary, so it plans no Window at all."""
+    plan = _plan(spark, sf_dir, name)
+    assert "rangepartitioning" in plan.lower(), name
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "_tpr_pid" in line, f"{name}: unpartitioned window: {line}"

@@ -1956,14 +1956,31 @@ def test_sorted_neighborhood_flags_exact_duplicates(spark, sf_dir):
 
 
 def test_mann_kendall_detects_monotone_trend(spark, sf_dir):
-    """Sanity on the statistic itself: a strictly increasing synthetic
-    series must give S = n(n-1)/2 and verdict 'increasing'. Uses the
-    registered operator's arithmetic via a temp-view override-free
-    check on the fixture output instead: |S| <= n(n-1)/2 and the
-    verdict matches the z sign."""
+    """Sanity on the statistic itself, two ways: (a) a strictly
+    increasing synthetic series through the operator's own arithmetic
+    (_mann_kendall_from_daily) must give S = n(n-1)/2, zero tied
+    groups, and verdict 'increasing'; (b) fixture output obeys the
+    |S| bound, positive variance, and z-sign/verdict consistency."""
+    import datetime as _dt
+
     from transit_data_pipeline_spark.operators.timeseries import (
+        _mann_kendall_from_daily,
         mann_kendall_trend,
     )
+
+    n = 30
+    synth = spark.createDataFrame(
+        [
+            ("SYNTH", _dt.date(2024, 1, 1) + _dt.timedelta(days=i), i + 1)
+            for i in range(n)
+        ],
+        "o_orderpriority string, d date, n_orders int",
+    )
+    (row,) = _mann_kendall_from_daily(synth).collect()
+    assert row.s_stat == n * (n - 1) // 2
+    assert row.n_tied_groups == 0
+    assert row.trend == "increasing"
+    assert row.z > 0
 
     rows = mann_kendall_trend(spark, sf_dir).collect()
     assert rows
@@ -2159,3 +2176,58 @@ def test_span_corruption_spans_never_overlap(spark, sf_dir):
         spans.sort()
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
             assert s2 >= e1, "spans overlap"
+
+
+def test_two_phase_rank_matches_serial_window(spark):
+    """functions/ranking.two_phase_rank must be value-identical to the
+    serial single-partition window under a total order — global
+    row_number, running decimal sum, grand total, and grand count —
+    including heavy ties on the primary sort key spread across many
+    range partitions."""
+    import random
+    from decimal import Decimal
+
+    from pyspark.sql.window import Window as W
+
+    from transit_data_pipeline_spark.functions.ranking import (
+        two_phase_rank,
+    )
+
+    rnd = random.Random(20260815)
+    rows = [
+        (i, rnd.randrange(20), Decimal(rnd.randrange(1, 100000)) / 100)
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, k int, v decimal(18,4)"
+    ).repartition(16)
+    order = (F.col("k").desc(), "id")
+
+    got = {
+        r["id"]: r
+        for r in two_phase_rank(
+            df,
+            order,
+            partitions=8,
+            rank_col="rn",
+            cum={"cv": F.col("v")},
+            totals={"tv": F.col("v")},
+            n_col="nn",
+        ).collect()
+    }
+    w = W.orderBy(*order)
+    exp = df.select(
+        "id",
+        F.row_number().over(w).alias("rn"),
+        F.sum("v")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cv"),
+    ).collect()
+    total = sum(v for _, _, v in rows)
+    assert len(got) == len(exp) == 2000
+    for e in exp:
+        g = got[e["id"]]
+        assert g["rn"] == e["rn"]
+        assert g["cv"] == e["cv"]
+        assert g["tv"] == total
+        assert g["nn"] == 2000

@@ -1,0 +1,193 @@
+"""Distributed two-phase global rank / running-sum primitives.
+
+A global ``ROW_NUMBER() OVER (ORDER BY ...)`` or running ``SUM() OVER
+(ORDER BY ... ROWS UNBOUNDED PRECEDING)`` with no PARTITION BY forces
+Spark to move every row to a single partition ("Moving all data to a
+single partition" warning) — correct on fixtures, a scale-killer at
+100 TB. The classic fix (the range-partitioned sort + prefix-sum
+merge) is a TWO-PHASE plan:
+
+1. ``repartitionByRange`` on the sort key — each partition holds a
+   contiguous, disjoint key range, in partition-id order;
+2. rank / running-sum LOCALLY inside each partition (fully parallel);
+3. the per-partition summary (≤ ``partitions`` rows: row counts and
+   value sums) is packed into ONE sorted array and the exclusive
+   prefix of every earlier partition is computed with higher-order
+   functions (``transform`` + ``aggregate`` — O(partitions²) scalar
+   ops, no WindowExec at all), then broadcast-joined back;
+   local rank + earlier-partition offset = global rank.
+
+The recipe was proven twice in this repo (zone_map_skipping_eval,
+gains_lift_table — both plan-asserted) before being factored here;
+this module is the shared implementation VERDICT r5 asked for. Phase 3
+deliberately avoids a window: even a 64-row unpartitioned WindowExec
+would log Spark's single-partition warning and show up in plan audits.
+
+Determinism contract: ``order`` must be a TOTAL order (include a
+unique tiebreaker). Under a total order the produced global rank and
+running sums are bitwise identical to the serial single-partition
+window, regardless of where range boundaries land.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ByteType,
+    DataType,
+    DecimalType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+)
+from pyspark.sql.window import Window
+
+__all__ = ["two_phase_rank"]
+
+#: Internal column prefix — stripped from the result frame.
+_P = "_tpr_"
+
+
+def _acc(dt: DataType) -> DataType:
+    """Accumulator type for a prefix sum of ``dt`` values. The summary
+    columns are already Spark SUM output types (sum(int)=long,
+    sum(decimal(p,s))=decimal(p+10,s), sum(double)=double), so the
+    accumulator keeps that exact type — matching the serial window
+    SUM's result type (and its overflow envelope) bit for bit."""
+    if isinstance(dt, (ByteType, ShortType, IntegerType)):
+        return LongType()
+    if isinstance(dt, FloatType):
+        from pyspark.sql.types import DoubleType
+
+        return DoubleType()
+    return dt
+
+
+def two_phase_rank(
+    df: DataFrame,
+    order,
+    *,
+    partitions: int = 64,
+    rank_col: str | None = None,
+    cum: dict[str, Column | str] | None = None,
+    totals: dict[str, Column | str] | None = None,
+    n_col: str | None = None,
+) -> DataFrame:
+    """Attach global-order analytics to ``df`` without a
+    single-partition window.
+
+    Parameters
+    ----------
+    order:
+        Sequence of sort expressions forming a TOTAL order.
+    rank_col:
+        If set, adds the global ``row_number`` (bigint, 1-based).
+    cum:
+        ``{out_col: value}`` — adds the running SUM of each value over
+        the global order (ROWS UNBOUNDED PRECEDING .. CURRENT ROW).
+    totals:
+        ``{out_col: value}`` — adds the grand-total SUM of each value
+        (computed on the per-partition summary, never a second scan;
+        replaces ``SUM(x) OVER ()``).
+    n_col:
+        If set, adds the grand row count (replaces ``COUNT(*) OVER ()``).
+
+    One range shuffle; the only per-row window is partitioned by range
+    partition id (parallel); the cross-partition merge runs on the
+    ≤ ``partitions``-row summary as array expressions.
+    """
+    cum = dict(cum or {})
+    totals = dict(totals or {})
+    if not (rank_col or cum or totals or n_col):
+        raise ValueError("two_phase_rank: nothing requested")
+    order = list(order)
+
+    pid = _P + "pid"
+    part = df.repartitionByRange(partitions, *order).withColumn(
+        pid, F.spark_partition_id()
+    )
+
+    wloc = Window.partitionBy(pid).orderBy(*order)
+    wrun = wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    local = part
+    drop = [pid]
+    if rank_col:
+        local = local.withColumn(_P + "lrn", F.row_number().over(wloc))
+        drop.append(_P + "lrn")
+    for out, val in cum.items():
+        local = local.withColumn(_P + "lc_" + out, F.sum(val).over(wrun))
+        drop.append(_P + "lc_" + out)
+
+    # Per-partition summary: ≤ `partitions` rows, one sum per distinct
+    # requested value column plus the row count.
+    aggs = {_P + "cnt": F.count(F.lit(1))}
+    src: dict[str, str] = {}
+    for out, val in list(cum.items()) + list(totals.items()):
+        name = _P + "s_" + out
+        aggs[name] = F.sum(val)
+        src[out] = name
+    per_part = part.groupBy(pid).agg(
+        *(c.alias(n) for n, c in aggs.items())
+    )
+    ftypes = {f.name: f.dataType for f in per_part.schema.fields}
+
+    # Pack the summary into one pid-sorted array and compute exclusive
+    # prefixes / grand totals with higher-order functions. `sort_array`
+    # orders struct arrays by field order, and `p` (the unique pid) is
+    # the first field — a total order.
+    ps = F.col(_P + "ps")
+    packed = per_part.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(pid).alias("p"),
+                    *(F.col(n) for n in aggs if n != pid),
+                )
+            )
+        ).alias(_P + "ps")
+    )
+
+    def _prefix(name: str, upto) -> Column:
+        """SUM of summary column `name` over the first `upto` entries
+        (NULL partition sums count as zero, matching window SUM)."""
+        dt = _acc(ftypes[name])
+        zero = F.lit(0).cast(dt)
+        return F.aggregate(
+            F.slice(ps, F.lit(1), upto),
+            zero,
+            lambda a, x: (a + F.coalesce(x[name], F.lit(0))).cast(dt),
+        )
+
+    def _entry(i: Column) -> Column:
+        cols = [F.element_at(ps, i + 1)["p"].alias(pid)]
+        if rank_col:
+            cols.append(_prefix(_P + "cnt", i).alias(_P + "roff"))
+        for out in cum:
+            cols.append(_prefix(src[out], i).alias(_P + "o_" + out))
+        return F.struct(*cols)
+
+    if rank_col:
+        drop.append(_P + "roff")
+    for out in cum:
+        drop.append(_P + "o_" + out)
+
+    off_cols = [F.explode(F.transform(ps, lambda _, i: _entry(i))).alias("o")]
+    for out in totals:
+        off_cols.append(_prefix(src[out], F.size(ps)).alias(out))
+    if n_col:
+        off_cols.append(
+            _prefix(_P + "cnt", F.size(ps)).cast("long").alias(n_col)
+        )
+    offs = packed.select(*off_cols).select("o.*", *totals, *([n_col] if n_col else []))
+
+    res = local.join(F.broadcast(offs), pid)
+    if rank_col:
+        res = res.withColumn(
+            rank_col, (F.col(_P + "lrn") + F.col(_P + "roff")).cast("long")
+        )
+    for out in cum:
+        res = res.withColumn(out, F.col(_P + "lc_" + out) + F.col(_P + "o_" + out))
+    return res.drop(*drop)

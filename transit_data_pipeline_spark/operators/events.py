@@ -2060,7 +2060,10 @@ GROUP BY 1
 """,
 )
 def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "events")
+    # spread=True: parse_json over every props string is CPU-heavy map
+    # work; a single-row-group fixture would otherwise parse in ONE task
+    # (measured 11.6 s vs ~2 s spread across cores at sf0.1).
+    e = table(spark, sf_dir, "events", spread=True)
     parsed = e.select(
         "event_type",
         F.parse_json("props").alias("v"),

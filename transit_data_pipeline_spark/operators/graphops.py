@@ -344,14 +344,14 @@ scored AS (
   SELECT c.u, c.v,
     COUNT(*) AS n_common,
     SUM(w.wt) AS aa_score
-  FROM cand c JOIN w ON c.z = w.node
+  FROM cand c LEFT JOIN w ON c.z = w.node
   GROUP BY 1, 2
 )
 SELECT u AS nation_a, v AS nation_b,
   CAST(n_common AS BIGINT) AS n_common_neighbors,
   ROUND(aa_score, 6) AS aa_score
 FROM (
-  SELECT *, ROW_NUMBER() OVER (ORDER BY aa_score DESC, u, v) AS rk
+  SELECT *, ROW_NUMBER() OVER (ORDER BY ROUND(aa_score, 6) DESC, u, v) AS rk
   FROM scored
 ) WHERE rk <= 15
 """,
@@ -379,16 +379,24 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("u") == F.col("xu")) & (F.col("v") == F.col("xv")),
         "left_anti",
     )
+    # LEFT join mirrors the oracle's CASE: a common neighbor whose
+    # degree falls outside the weight table still counts in n_common
+    # (its NULL weight is skipped by SUM) instead of silently dropping
+    # the row — semantics hold even if the backbone constants change.
     scored = (
-        cand.join(F.broadcast(w), cand["z"] == w["node"])
+        cand.join(F.broadcast(w), cand["z"] == w["node"], "left")
         .groupBy("u", "v")
         .agg(
             F.count(F.lit(1)).alias("n_common"),
             F.sum("wt").alias("aa_score"),
         )
     )
+    # Rank on the ROUNDED score: the raw double sum is order-dependent
+    # across partition layouts, so mathematically-tied pairs could
+    # straddle the top-15 boundary differently between runs/engines;
+    # rounding to 6 dp before ranking (both sides) stabilizes the cut.
     rk = F.row_number().over(
-        Window.orderBy(F.col("aa_score").desc(), "u", "v")
+        Window.orderBy(F.round("aa_score", 6).desc(), "u", "v")
     )
     return (
         scored.withColumn("rk", rk)

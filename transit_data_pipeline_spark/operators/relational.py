@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import dim, table
 from ..functions import numeric as N
+from ..functions.ranking import two_phase_rank
 from .registry import register
 
 # Revenue expression used throughout (kept textually identical on the
@@ -1644,9 +1645,11 @@ def try_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cumulative EXACT decimal sums against 0.80/0.95 of the exact "
     "total (one double division each), so the class of every "
     "customer is cross-engine stable. Reports per-class size and "
-    "revenue share. At 100 TB the global rank becomes the two-"
-    "phase range rank (gains_lift_table's recipe); the aggregate "
-    "is customer-bounded.",
+    "revenue share. The cumulative share runs as the distributed "
+    "two-phase range rank (functions/ranking.two_phase_rank — "
+    "range-partition, local running sum, broadcast prefix offsets), "
+    "never a single-partition window; the aggregate is customer-"
+    "bounded.",
     oracle="""
 WITH per AS (
   SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
@@ -1681,17 +1684,16 @@ def abc_customer_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(N.DEC)).alias("rev")
     )
-    worder = Window.orderBy(F.col("rev").desc(), "o_custkey")
-    wall = Window.orderBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = per.select(
-        "o_custkey",
-        "rev",
-        F.sum("rev")
-        .over(worder.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cum_rev"),
-        F.sum("rev").over(wall).alias("total_rev"),
+    # Distributed two-phase cumulative share — (rev desc, custkey) is a
+    # TOTAL order, so the range-partitioned running sum is bitwise equal
+    # to the serial window (functions/ranking.py); the per-customer
+    # frame is entity-scaled, so a single-partition window would not
+    # survive 100×.
+    ranked = two_phase_rank(
+        per,
+        (F.col("rev").desc(), F.col("o_custkey")),
+        cum={"cum_rev": F.col("rev")},
+        totals={"total_rev": F.col("rev")},
     )
     share = F.col("cum_rev").cast("double") / F.col("total_rev").cast("double")
     classed = ranked.select(

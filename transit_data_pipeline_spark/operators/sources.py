@@ -1177,14 +1177,13 @@ GROUP BY 1, 3, 4
 """,
 )
 def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os as _os
-    import tempfile as _tempfile
-
-    tbl = "tdps_stats_orders"
-    path = _os.path.join(
-        _tempfile.gettempdir(),
-        f"tdps_stats_{abs(hash(sf_dir)) % 10**8}",
-    )
+    # Deterministic scratch path + SESSION-SCOPED table name: Python's
+    # str hash is salted per process (a new path every run leaks stale
+    # scratch dirs), and a fixed catalog table name races two
+    # concurrent sessions sharing a metastore — suffix both with the
+    # md5 digest _scratch() already uses.
+    path = _scratch(sf_dir, "stats")
+    tbl = f"tdps_stats_orders_{path.rsplit('_', 1)[-1]}"
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     (
         table(spark, sf_dir, "orders")
@@ -1244,13 +1243,10 @@ GROUP BY 1
 """,
 )
 def federated_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os as _os
-    import tempfile as _tempfile
-
     c = table(spark, sf_dir, "customer")
-    base = _os.path.join(
-        _tempfile.gettempdir(), f"tdps_fed_{abs(hash(sf_dir)) % 10**8}"
-    )
+    # _scratch: md5-deterministic path (salted str-hash leaked a fresh
+    # dir per process).
+    base = _scratch(sf_dir, "fed")
     pq, csv, jl = (f"{base}_parquet", f"{base}_csv", f"{base}_jsonl")
     cols = ["c_custkey", "c_nationkey", "c_acctbal"]
     sliced = c.select(*cols)
@@ -1494,11 +1490,10 @@ GROUP BY 1
 def partition_retention_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import shutil as _shutil
-    import tempfile as _tempfile
 
-    base = _os.path.join(
-        _tempfile.gettempdir(), f"tdps_retention_{abs(hash(sf_dir)) % 10**8}"
-    )
+    # _scratch: md5-deterministic path (salted str-hash leaked a fresh
+    # dir per process).
+    base = _scratch(sf_dir, "retention")
     _shutil.rmtree(base, ignore_errors=True)
     o = table(spark, sf_dir, "orders")
     (

@@ -24,8 +24,9 @@ Scale notes: the PAV minimax runs on the 20-row binned aggregate (the
 only full-data pass is the same NTILE window `quality_decile_
 calibration` already pays; its quadratic part is 20×20). Gini needs
 per-source ranks — one partitioned sort, no global shuffle. Spearman
-pays two global rank sorts (documented; at 100 TB switch to binned /
-approximate ranks). DiD and the forecast backtest are plain two-level
+mid-ranks run per distinct value through the shared two-phase range
+rank (functions/ranking.py) — distributed at any cardinality. DiD and
+the forecast backtest are plain two-level
 aggregates. The Merkle manifest is two bounded hash-aggregation levels
 (256-leaf chunks, then per-source chunk chains) — at extreme corpus
 sizes add a third level; nothing collects to the driver.
@@ -38,6 +39,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions import numeric as N
+from ..functions.ranking import two_phase_rank
 from .events import SQL_EVENT_TIME
 from .registry import register
 from .textops import SQL_TOKENS, quality_score_col, tokens_col
@@ -296,9 +298,11 @@ def gini_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "then Pearson on ranks via the repo's exact-decimal sufficient "
     "statistics (functions/numeric.dcorr). Reported beside the plain "
     "Pearson on raw values — a large gap flags the heavy right tail "
-    "monetary columns have. Two global rank sorts (documented; at "
-    "100 TB bin the values and rank the bins). The join is the "
-    "standard orders⨝lineitem FK aggregate.",
+    "monetary columns have. Mid-ranks are computed per DISTINCT "
+    "value on the value-level aggregate via the distributed two-"
+    "phase range rank (functions/ranking.two_phase_rank) and joined "
+    "back — no single-partition window over per-order rows. The "
+    "join is the standard orders⨝lineitem FK aggregate.",
     oracle=f"""
 WITH per_order AS (
   SELECT o.o_orderkey, o.o_totalprice AS x,
@@ -329,15 +333,25 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").cast("double").alias("y"))
         .select(F.col("o_totalprice").alias("x"), "y")
     )
-    rx = (
-        F.rank().over(Window.orderBy("x"))
-        + (F.count(F.lit(1)).over(Window.partitionBy("x")) - 1) / 2.0
+
+    def midranks(col: str, out: str) -> DataFrame:
+        # Mid-rank per DISTINCT value: RANK() + (ties-1)/2 ==
+        # cum_count - c + (c+1)/2 on the value-level aggregate, so the
+        # global sort is bounded by distinct-value cardinality and runs
+        # as the distributed two-phase range rank — no single-partition
+        # window over per-order rows. Joined back on the value.
+        per_v = per_order.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        cumd = two_phase_rank(
+            per_v, (F.col(col),), cum={"cumv": F.col("c")}
+        )
+        mid = (
+            F.col("cumv") - F.col("c") + (F.col("c") + F.lit(1)) / 2.0
+        )
+        return cumd.select(col, mid.alias(out))
+
+    ranked = per_order.join(midranks("x", "rx"), "x").join(
+        midranks("y", "ry"), "y"
     )
-    ry = (
-        F.rank().over(Window.orderBy("y"))
-        + (F.count(F.lit(1)).over(Window.partitionBy("y")) - 1) / 2.0
-    )
-    ranked = per_order.select("x", "y", rx.alias("rx"), ry.alias("ry"))
     return ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         N.dcorr("rx", "ry").alias("spearman_rho"),

@@ -1729,9 +1729,10 @@ _VC_THRESHOLDS = (5000, 9000, 9500, 9900)
     "vocab_oov_rate's fixed-vocab audit). Threshold tests compare "
     "exact integers (cum·10000 ≥ bp·total — no float shares until "
     "the output column), so the curve is bitwise deterministic. The "
-    "rank window runs on the AGGREGATED vocabulary (sub-linear in "
-    "corpus size); its global sort is bounded by vocab cardinality, "
-    "not corpus rows.",
+    "rank runs on the AGGREGATED vocabulary (sub-linear in corpus "
+    "size) via the distributed two-phase range rank (functions/"
+    "ranking.two_phase_rank) — range-partitioned, never a single-"
+    "partition window, even at full-web vocab cardinality.",
     oracle=f"""
 WITH tok AS (
   SELECT unnest({SQL_TOKENS}) AS t FROM documents
@@ -1757,19 +1758,22 @@ GROUP BY t.bp
 """,
 )
 def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from ..functions.ranking import two_phase_rank
 
     d = table(spark, sf_dir, "documents", spread=True)
     tok = d.select(F.explode(tokens_col()).alias("t"))
     vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    wo = Window.orderBy(F.col("c").desc(), "t")
-    ranked = vocab.select(
-        "c",
-        F.row_number().over(wo).alias("rnk"),
-        F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-        F.sum("c").over(Window.partitionBy()).alias("total"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_vocab"),
-    )
+    # Distributed two-phase global rank over the vocabulary — (c desc,
+    # t) is a total order, so rank/cum/total are bitwise equal to the
+    # serial window without moving the vocab to one partition.
+    ranked = two_phase_rank(
+        vocab,
+        (F.col("c").desc(), "t"),
+        rank_col="rnk",
+        cum={"cum": F.col("c")},
+        totals={"total": F.col("c")},
+        n_col="n_vocab",
+    ).select("c", "rnk", "cum", "total", "n_vocab")
     thr = spark.createDataFrame(
         [(t,) for t in _VC_THRESHOLDS], "coverage_bp int"
     )

@@ -1365,6 +1365,15 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderpriority", "d", "n_orders")
         .localCheckpoint()
     )
+    return _mann_kendall_from_daily(daily)
+
+
+def _mann_kendall_from_daily(daily: DataFrame) -> DataFrame:
+    """Mann–Kendall S / var_s / z / verdict over a ``(o_orderpriority,
+    d, n_orders)`` frame — split out so the property suite can feed a
+    synthetic series (e.g. strictly increasing ⇒ S = n(n−1)/2,
+    verdict 'increasing') through the SAME arithmetic the registered
+    operator runs on the fixture."""
     a = daily.select(
         F.col("o_orderpriority").alias("prio"),
         F.col("d").alias("da"),

@@ -239,22 +239,29 @@ FROM per_cust
 """,
 )
 def cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ranking import two_phase_rank
+
     o = table(spark, sf_dir, "orders")
     per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         N.dsum("o_totalprice").alias("revenue")
     )
-    run_w = (
-        Window.orderBy(F.col("revenue").desc(), "custkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Distributed two-phase running share — (revenue desc, custkey) is
+    # a total order, so the range-partitioned running sum is bitwise
+    # equal to the serial window; grand total / count come off the
+    # per-partition summary instead of an unpartitioned OVER ().
+    ranked = two_phase_rank(
+        per_cust,
+        (F.col("revenue").desc(), "custkey"),
+        cum={"cum_dec": F.col("revenue").cast(N.DEC)},
+        totals={"grand_dec": F.col("revenue").cast(N.DEC)},
+        n_col="n_all",
     )
-    all_w = Window.partitionBy()
-    rev_dec = F.col("revenue").cast(N.DEC)
-    grand = F.sum(rev_dec).over(all_w).cast("double")
-    grand_mean = grand / F.count(F.lit(1)).over(all_w)
-    return per_cust.select(
+    grand = F.col("grand_dec").cast("double")
+    grand_mean = grand / F.col("n_all")
+    return ranked.select(
         "custkey",
         "revenue",
-        (F.sum(rev_dec).over(run_w).cast("double") / grand * F.lit(100.0)).alias(
+        (F.col("cum_dec").cast("double") / grand * F.lit(100.0)).alias(
             "cumulative_pct"
         ),
         grand_mean.alias("grand_mean_revenue"),
