@@ -2231,3 +2231,44 @@ def test_two_phase_rank_matches_serial_window(spark):
         assert g["cv"] == e["cv"]
         assert g["tv"] == total
         assert g["nn"] == 2000
+
+
+def test_sorted_neighbors_matches_serial_lead(spark):
+    """functions/ranking.sorted_neighbors must reproduce the serial
+    LEAD(1..w) pair set exactly — including pairs that straddle range-
+    partition boundaries (the ghost-row overlap) and heavy key ties."""
+    import random
+
+    from pyspark.sql.window import Window as W
+
+    from transit_data_pipeline_spark.functions.ranking import (
+        sorted_neighbors,
+    )
+
+    rnd = random.Random(20260815)
+    width = 5
+    rows = [(i, f"k{rnd.randrange(40):02d}") for i in range(1500)]
+    df = spark.createDataFrame(rows, "id long, k string").repartition(16)
+    order = ("k", "id")
+
+    frame, is_real, w = sorted_neighbors(
+        df, order, width, rows_per_partition_min=60
+    )
+    leads = F.array(*[F.lead("id", o).over(w) for o in range(1, width + 1)])
+    got = sorted(
+        (r["id"], tuple(r["nbrs"]))
+        for r in frame.select("id", leads.alias("nbrs"), is_real.alias("ok"))
+        .filter("ok")
+        .collect()
+    )
+
+    sw = W.orderBy(*order)
+    sleads = F.array(
+        *[F.lead("id", o).over(sw) for o in range(1, width + 1)]
+    )
+    exp = sorted(
+        (r["id"], tuple(r["nbrs"]))
+        for r in df.select("id", sleads.alias("nbrs")).collect()
+    )
+    assert len(got) == len(exp) == 1500
+    assert got == exp

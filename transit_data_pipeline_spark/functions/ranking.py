@@ -44,7 +44,77 @@ from pyspark.sql.types import (
 )
 from pyspark.sql.window import Window
 
-__all__ = ["two_phase_rank"]
+__all__ = ["ntile_from_rank", "sorted_neighbors", "two_phase_rank"]
+
+
+def sorted_neighbors(
+    df: DataFrame,
+    order,
+    width: int,
+    *,
+    partitions: int = 64,
+    rows_per_partition_min: int | None = None,
+) -> tuple[DataFrame, Column, "Window"]:
+    """Scale-safe ``LEAD(..., 1..width) OVER (ORDER BY order)``: the
+    sorted-neighborhood / adjacent-pair pattern without a
+    single-partition window.
+
+    Range-partition on the sort key, then duplicate each partition's
+    FIRST ``width`` rows into the PREVIOUS partition as ghost rows —
+    a per-partition window then sees every cross-boundary neighbor.
+    Ghost rows are lead-values only, never anchors: filter the result
+    on the returned ``is_real`` column AFTER computing the leads.
+
+    The partition count adapts (one cheap column-pruned count) so each
+    range holds ≥ ``rows_per_partition_min`` rows (default 16·width) —
+    ghosts only stitch ONE boundary, so a partition must always be
+    deeper than the neighborhood. Tiny frames fall back to a single
+    partition, identical to the serial window.
+
+    Returns ``(frame, is_real, window)``: compute leads with
+    ``F.lead(col, o).over(window)``, then ``.filter(is_real)``.
+    """
+    order = list(order)
+    floor_rows = rows_per_partition_min or 16 * width
+    n = df.count()  # scalar only — partition-count calibration
+    parts = max(1, min(partitions, n // max(floor_rows, 1) or 1))
+
+    pid = _P + "npid"
+    ghost = _P + "ghost"
+    part = df.repartitionByRange(parts, *order).withColumn(
+        pid, F.spark_partition_id()
+    )
+    wloc = Window.partitionBy(pid).orderBy(*order)
+    local = part.withColumn(_P + "lrn", F.row_number().over(wloc))
+    ghosts = (
+        local.filter(F.col(_P + "lrn") <= width)
+        .withColumn(pid, F.col(pid) - 1)
+        .filter(F.col(pid) >= 0)
+        .withColumn(ghost, F.lit(True))
+    )
+    frame = (
+        local.withColumn(ghost, F.lit(False))
+        .unionByName(ghosts)
+        .drop(_P + "lrn")
+    )
+    return frame, ~F.col(ghost), Window.partitionBy(pid).orderBy(*order)
+
+
+def ntile_from_rank(rank: Column, total: Column, n: int) -> Column:
+    """ANSI ``NTILE(n)`` reconstructed from a UNIQUE global 1-based
+    rank and the total row count: with ``q, r = divmod(total, n)`` the
+    first ``r`` tiles hold ``q+1`` rows, the rest ``q`` — exactly
+    Spark's and DuckDB's NTILE under a total order. Lets the
+    two-phase rank replace ``NTILE() OVER (ORDER BY ...)`` without a
+    single-partition window."""
+    q = F.floor(total / n)
+    r = total % n
+    big = r * (q + 1)
+    return (
+        F.when(rank <= big, F.floor((rank - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rank - big - 1) / q) + 1)
+        .cast("int")
+    )
 
 #: Internal column prefix — stripped from the result frame.
 _P = "_tpr_"

@@ -129,10 +129,17 @@ def build_features(
 
 def train_test_views(features: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Deterministic time-ordered 80/20 split (ref views `:468-519`):
-    ROW_NUMBER over (event_date, feature_id) vs COUNT(*) OVER ()."""
-    rn = F.row_number().over(Window.orderBy("event_date", "feature_id"))
-    total = F.count(F.lit(1)).over(Window.partitionBy())
-    flagged = features.withColumn("__rn", rn).withColumn("__total", total)
+    global ROW_NUMBER vs COUNT(*) via the distributed two-phase range
+    rank ((event_date, feature_id) is a total order — same rows as the
+    serial window, never a single-partition sort)."""
+    from ..functions.ranking import two_phase_rank
+
+    flagged = two_phase_rank(
+        features,
+        ("event_date", "feature_id"),
+        rank_col="__rn",
+        n_col="__total",
+    )
     train = flagged.filter(F.col("__rn") <= F.col("__total") * 0.8).drop("__rn", "__total")
     test = flagged.filter(F.col("__rn") > F.col("__total") * 0.8).drop("__rn", "__total")
     return train, test

@@ -128,19 +128,34 @@ def analysis_stop_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
-    order_w = Window.orderBy(F.col("total_revenue").desc(), "suppkey")
-    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Supplier-scaled global rank/share via the distributed two-phase
+    # range rank; (total_revenue desc, suppkey) is a TOTAL order, so
+    # RANK == ROW_NUMBER and PERCENT_RANK == (rank-1)/(n-1) exactly.
+    from ..functions.ranking import two_phase_rank
+
     rev_dec = F.col("total_revenue").cast(N.DEC)
+    ranked = two_phase_rank(
+        per_supp,
+        (F.col("total_revenue").desc(), "suppkey"),
+        rank_col="_rk",
+        cum={"_cum": rev_dec},
+        totals={"_tot": rev_dec},
+        n_col="_n",
+    )
     return (
-        per_supp.select(
+        ranked.select(
             "suppkey",
             "supp_name",
             "total_revenue",
             "n_items",
-            F.percent_rank().over(order_w).alias("pct_rank"),
+            F.when(F.col("_n") == 1, F.lit(0.0))
+            .otherwise(
+                (F.col("_rk") - 1).cast("double") / (F.col("_n") - 1)
+            )
+            .alias("pct_rank"),
             (
-                F.sum(rev_dec).over(run_w).cast("double")
-                / F.sum(rev_dec).over(Window.partitionBy()).cast("double")
+                F.col("_cum").cast("double")
+                / F.col("_tot").cast("double")
                 * F.lit(100.0)
             ).alias("cumulative_share"),
         )

@@ -534,8 +534,17 @@ def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens_col()).cast("long").alias("n_tokens"),
         quality_score_col().alias("q"),
     )
-    w = Window.orderBy(F.desc("q"), "doc_id")
-    phased = feat.withColumn("phase", F.ntile(4).over(w))
+    # NTILE(4) over the corpus (entity-scaled) via the distributed
+    # two-phase range rank + exact NTILE formula — no single-partition
+    # window; (q desc, doc_id) is a total order.
+    from ..functions.ranking import ntile_from_rank, two_phase_rank
+
+    ranked = two_phase_rank(
+        feat, (F.desc("q"), "doc_id"), rank_col="_rn", n_col="_nd"
+    )
+    phased = ranked.withColumn(
+        "phase", ntile_from_rank(F.col("_rn"), F.col("_nd"), 4)
+    )
     return phased.groupBy("phase").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("phase_tokens"),
@@ -670,9 +679,17 @@ def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", quality_score_col().alias("score")
     )
     n = d.agg(F.count(F.lit(1)).alias("n_all"))
-    pooled = d.select(
-        F.row_number().over(Window.orderBy("score")).alias("pos"),
-        F.col("score").alias("pooled_score"),
+    # Pooled positions via the distributed two-phase range rank — the
+    # corpus-sized global sort never runs in one partition. Ties on
+    # score get arbitrary positions (same as the serial window without
+    # a tiebreaker) but identical pooled_score values, so the joined
+    # output is deterministic either way.
+    from ..functions.ranking import two_phase_rank
+
+    pooled = two_phase_rank(
+        d.select(F.col("score").alias("pooled_score")),
+        (F.col("pooled_score"),),
+        rank_col="pos",
     )
     ws = Window.partitionBy("source")
     pr = d.select(

@@ -2105,11 +2105,12 @@ _SN_THRESHOLD = 0.5
     "(minhash bands, simhash prefixes, pHash bands): sorted "
     "neighborhoods catch prefix-preserving near-dups those can "
     "miss, and candidate volume is EXACTLY w·n by construction — "
-    "no collision skew. The global rank is the one scale caveat: "
-    "at 100 TB it becomes the two-phase range-partitioned rank "
-    "(see gains_lift_table); the verify join touches candidate "
-    "pairs only. Ref dedup role: `load_gtfs_data.py:151` "
-    "ON CONFLICT dedup, upgraded to fuzzy keys.",
+    "no collision skew. The sorted scan is range-partitioned with "
+    "ghost-row boundary overlap (functions/ranking.sorted_neighbors"
+    ") — no single-partition window at any corpus size; the verify "
+    "join touches candidate pairs only. Ref dedup role: "
+    "`load_gtfs_data.py:151` ON CONFLICT dedup, upgraded to fuzzy "
+    "keys.",
     oracle=f"""
 WITH sh AS ({SQL_DOC_SHINGLES}),
 keyed AS (
@@ -2162,12 +2163,23 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             _SN_KEY_LEN,
         ).alias("k"),
     )
-    w = Window.orderBy("k", "doc_id")
+    # Scale-safe sorted scan: range-partitioned with ghost-row
+    # boundary overlap (functions/ranking.sorted_neighbors) — the
+    # LEAD window runs per range partition, each partition's first
+    # _SN_WINDOW rows are duplicated into the previous partition so no
+    # cross-boundary pair is lost. Exactly the serial-window pair set
+    # under the (k, doc_id) total order, at any corpus size.
+    from ..functions.ranking import sorted_neighbors
+
+    frame, is_real, w = sorted_neighbors(
+        keyed, ("k", "doc_id"), _SN_WINDOW
+    )
     leads = F.array(
         *[F.lead("doc_id", o).over(w) for o in range(1, _SN_WINDOW + 1)]
     )
     cand = (
-        keyed.select("doc_id", leads.alias("nbrs"))
+        frame.select("doc_id", leads.alias("nbrs"), is_real.alias("_real"))
+        .filter(F.col("_real"))
         .select(
             F.col("doc_id").alias("doc_a"),
             F.posexplode("nbrs").alias("pos", "doc_b"),

@@ -439,11 +439,30 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
-    wr = Window.orderBy(F.col("recency_days").asc(), "user_id")
-    wf = Window.orderBy(F.col("frequency").desc(), "user_id")
-    wm = Window.orderBy(F.col("monetary").desc(), "user_id")
-    r, f_, m = F.ntile(4).over(wr), F.ntile(4).over(wf), F.ntile(4).over(wm)
-    return rfm.select(
+    # Three NTILE(4)s over the per-user frame (entity-scaled): each
+    # runs as the distributed two-phase range rank + the exact-integer
+    # NTILE formula (functions/ranking.py) — never a single-partition
+    # window. All three orders carry the user_id tiebreaker, so the
+    # reconstruction is bitwise equal to the serial NTILE.
+    from ..functions.ranking import ntile_from_rank, two_phase_rank
+
+    ranked = two_phase_rank(
+        rfm,
+        (F.col("recency_days").asc(), "user_id"),
+        rank_col="_rrn",
+        n_col="_nu",
+    )
+    ranked = two_phase_rank(
+        ranked, (F.col("frequency").desc(), "user_id"), rank_col="_frn"
+    )
+    ranked = two_phase_rank(
+        ranked, (F.col("monetary").desc(), "user_id"), rank_col="_mrn"
+    )
+    nu = F.col("_nu")
+    r = ntile_from_rank(F.col("_rrn"), nu, 4)
+    f_ = ntile_from_rank(F.col("_frn"), nu, 4)
+    m = ntile_from_rank(F.col("_mrn"), nu, 4)
+    return ranked.select(
         "user_id",
         "recency_days",
         "frequency",

@@ -1121,9 +1121,14 @@ def quality_decile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score_col().alias("q"),
         ((F.size(w) >= 10) & (sr > 0.0)).alias("keep"),
     )
-    deciled = scored.withColumn(
-        "decile", F.ntile(10).over(Window.orderBy("q", "doc_id"))
-    )
+    # NTILE(10) over the corpus (entity-scaled) via the distributed
+    # two-phase range rank + exact NTILE formula — no single-partition
+    # window; (q, doc_id) is a total order.
+    from ..functions.ranking import ntile_from_rank, two_phase_rank
+
+    deciled = two_phase_rank(
+        scored, ("q", "doc_id"), rank_col="_rn", n_col="_nd"
+    ).withColumn("decile", ntile_from_rank(F.col("_rn"), F.col("_nd"), 10))
     return deciled.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.min("q").alias("min_score"),
@@ -2328,13 +2333,23 @@ def rouge_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ROUGE_KEY_LEN,
         ).alias("k"),
     )
-    w = Window.orderBy("k", "doc_id")
+    # Scale-safe adjacent pairing: range-partitioned with ghost-row
+    # boundary overlap (functions/ranking.sorted_neighbors) — the
+    # LEAD(1) window runs per range partition with the next
+    # partition's first row duplicated in, so the pair set equals the
+    # serial window's at any corpus size.
+    from ..functions.ranking import sorted_neighbors
+
+    frame, is_real, w = sorted_neighbors(keyed, ("k", "doc_id"), 1)
     pairs = (
-        keyed.select(
+        frame.select(
             F.col("doc_id").alias("doc_a"),
             F.lead("doc_id", 1).over(w).alias("doc_b"),
+            is_real.alias("_real"),
         )
+        .filter(F.col("_real"))
         .filter(F.col("doc_b").isNotNull())
+        .drop("_real")
     )
     toks = d.select("doc_id", tokens_col().alias("w"))
     uni = toks.select("doc_id", F.explode("w").alias("g")).groupBy(

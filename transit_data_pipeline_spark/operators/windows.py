@@ -287,12 +287,23 @@ FROM (
 """,
 )
 def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ranking import two_phase_rank
+
     o = table(spark, sf_dir, "orders")
-    rn = F.row_number().over(Window.orderBy("o_orderdate", "o_orderkey"))
-    total = F.count(F.lit(1)).over(Window.partitionBy())
-    return o.select(
+    # Global ROW_NUMBER + COUNT(*) OVER () via the distributed
+    # two-phase range rank — the fact-table sort never runs in one
+    # partition; (o_orderdate, o_orderkey) is a total order.
+    ranked = two_phase_rank(
+        o.select("o_orderkey", "o_orderdate"),
+        ("o_orderdate", "o_orderkey"),
+        rank_col="_rn",
+        n_col="_n",
+    )
+    return ranked.select(
         "o_orderkey",
-        F.when(rn <= total * 0.8, "train").otherwise("test").alias("split"),
+        F.when(F.col("_rn") <= F.col("_n") * 0.8, "train")
+        .otherwise("test")
+        .alias("split"),
     )
 
 
