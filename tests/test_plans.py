@@ -500,13 +500,67 @@ def test_global_no_cartesian_across_registry(spark, sf_dir):
     version of the per-op spot checks above, so a future operator
     can't silently regress to a pair generator."""
     offenders = []
+    window_offenders = []
     for name, s in sorted(SPECS.items()):
         if name.startswith("streaming_") or name == "ml_gbt_cv_metrics":
             continue
         plan = s.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan:
             offenders.append(name)
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if ("Window [" in line or "WindowGroupLimit" in line) and (
+                "Exchange SinglePartition" in "\n".join(lines[i + 1 : i + 4])
+            ):
+                if name not in BOUNDED_WINDOW_OK:
+                    window_offenders.append((name, line.strip()[:90]))
+                break
     assert not offenders, offenders
+    # Second repo-wide invariant: an unpartitioned WindowExec (Window on
+    # a SinglePartition exchange) is allowed ONLY over frames bounded by
+    # construction — every such query must be whitelisted with its
+    # bound. Entity-scaled frames must use functions/ranking.py
+    # (two_phase_rank / sorted_neighbors) instead.
+    assert not window_offenders, (
+        "single-partition window over a non-whitelisted frame "
+        "(convert via functions/ranking.py or whitelist with its "
+        f"bound): {window_offenders}"
+    )
+
+
+#: Queries allowed to plan a Window on a SinglePartition exchange: the
+#: window frame is BOUNDED by construction (the stated bound), so the
+#: single partition holds a fixed-size summary, not entity-scaled data.
+BOUNDED_WINDOW_OK = {
+    "acf_daily_orders": "daily aggregate — calendar-bounded",
+    "analysis_daily_trend_ma7": "daily aggregate — calendar-bounded",
+    "analysis_dow_pattern": "7 weekday rows",
+    "analysis_monthly_quartiles": "monthly aggregate — calendar-bounded",
+    "analysis_route_stop_hotspots": "nation×brand grid (≤25×25 cells)",
+    "bh_fdr_control": "per-nation hypothesis family (≤25 tests)",
+    "bootstrap_poisson_ci": "fixed bootstrap replicate count",
+    "chi2_feature_relevance": "priority×bin contingency grid",
+    "conformal_interval_calibration": "daily backtest frame",
+    "covariate_shift_weights": "event-type groups (fixed enum)",
+    "decision_stump_gain": "fixed threshold-bin frame",
+    "downsample_lttb": "daily series — calendar-bounded (doc'd)",
+    "dp_noisy_counts": "priority×status cells (5×3)",
+    "dp_quantile_exponential": "fixed candidate bins",
+    "event_attribution_last_touch": "channel groups (fixed enum)",
+    "event_mix_entropy_daily": "daily frame — calendar-bounded",
+    "gains_lift_table": "10-row decile frame (rank is two-phase)",
+    "holm_stepdown_ab_tests": "per-nation hypothesis family",
+    "isotonic_calibration_pav": "ISO_BINS cumulative frame (NTILE is two-phase)",
+    "monthly_trend_ma3": "monthly aggregate — calendar-bounded",
+    "moving_avg_7day": "daily aggregate — calendar-bounded",
+    "mutual_information": "contingency grid",
+    "rank_suite": "nation×month frame (≤25×12 rows)",
+    "retrieval_maxsim_late_interaction": "label groups (fixed enum)",
+    "seasonal_decompose_dow": "daily frame — calendar-bounded",
+    "sketch_histogram_quantiles": "fixed histogram bins",
+    "survival_km_retention": "day-grid survival table",
+    "t_closeness_audit": "segment×bin grid (5×10)",
+}
 
 
 def test_gains_table_rank_is_range_partitioned(spark, sf_dir):

@@ -44,7 +44,51 @@ from pyspark.sql.types import (
 )
 from pyspark.sql.window import Window
 
-__all__ = ["ntile_from_rank", "sorted_neighbors", "two_phase_rank"]
+__all__ = [
+    "ntile_from_rank",
+    "pid_prefix_offsets",
+    "sorted_neighbors",
+    "two_phase_rank",
+]
+
+
+def pid_prefix_offsets(
+    counts: DataFrame, pid: str = "pid", cnt: str = "cnt"
+) -> DataFrame:
+    """Exclusive prefix counts for a per-partition summary frame:
+    ``(pid, cnt) -> (pid, off, n_total)`` where ``off`` is the number
+    of rows in all EARLIER partitions and ``n_total`` the grand count.
+
+    Array-expression merge (collect_list → transform/aggregate) over
+    the ≤ partition-count rows — no WindowExec, so pre-checkpointed
+    two-phase rank recipes (gains_lift_table, zone_map layouts) get
+    their offsets without an unpartitioned window in the plan."""
+    ps = F.col(_P + "ps")
+    packed = counts.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col(pid).alias("p"), F.col(cnt).alias("c"))
+            )
+        ).alias(_P + "ps")
+    )
+    return packed.select(
+        F.explode(
+            F.transform(
+                ps,
+                lambda _, i: F.struct(
+                    F.element_at(ps, i + 1)["p"].alias(pid),
+                    F.aggregate(
+                        F.slice(ps, F.lit(1), i),
+                        F.lit(0).cast("long"),
+                        lambda a, x: a + x["c"],
+                    ).alias("off"),
+                ),
+            )
+        ).alias("o"),
+        F.aggregate(
+            ps, F.lit(0).cast("long"), lambda a, x: a + x["c"]
+        ).alias("n_total"),
+    ).select("o.*", "n_total")
 
 
 def sorted_neighbors(
@@ -142,6 +186,7 @@ def two_phase_rank(
     partitions: int = 64,
     rank_col: str | None = None,
     cum: dict[str, Column | str] | None = None,
+    cum_max_excl: dict[str, Column | str] | None = None,
     totals: dict[str, Column | str] | None = None,
     n_col: str | None = None,
 ) -> DataFrame:
@@ -169,8 +214,9 @@ def two_phase_rank(
     ≤ ``partitions``-row summary as array expressions.
     """
     cum = dict(cum or {})
+    cum_max_excl = dict(cum_max_excl or {})
     totals = dict(totals or {})
-    if not (rank_col or cum or totals or n_col):
+    if not (rank_col or cum or cum_max_excl or totals or n_col):
         raise ValueError("two_phase_rank: nothing requested")
     order = list(order)
 
@@ -190,6 +236,10 @@ def two_phase_rank(
     for out, val in cum.items():
         local = local.withColumn(_P + "lc_" + out, F.sum(val).over(wrun))
         drop.append(_P + "lc_" + out)
+    wexcl = wloc.rowsBetween(Window.unboundedPreceding, -1)
+    for out, val in cum_max_excl.items():
+        local = local.withColumn(_P + "lx_" + out, F.max(val).over(wexcl))
+        drop.append(_P + "lx_" + out)
 
     # Per-partition summary: ≤ `partitions` rows, one sum per distinct
     # requested value column plus the row count.
@@ -198,6 +248,10 @@ def two_phase_rank(
     for out, val in list(cum.items()) + list(totals.items()):
         name = _P + "s_" + out
         aggs[name] = F.sum(val)
+        src[out] = name
+    for out, val in cum_max_excl.items():
+        name = _P + "m_" + out
+        aggs[name] = F.max(val)
         src[out] = name
     per_part = part.groupBy(pid).agg(
         *(c.alias(n) for n, c in aggs.items())
@@ -231,18 +285,33 @@ def two_phase_rank(
             lambda a, x: (a + F.coalesce(x[name], F.lit(0))).cast(dt),
         )
 
+    def _prefix_max(name: str, upto) -> Column:
+        """MAX of summary column `name` over the first `upto` entries
+        (NULL when the prefix is empty or all-NULL — window MAX
+        semantics)."""
+        dt = ftypes[name]
+        return F.aggregate(
+            F.slice(ps, F.lit(1), upto),
+            F.lit(None).cast(dt),
+            lambda a, x: F.greatest(a, x[name]),
+        )
+
     def _entry(i: Column) -> Column:
         cols = [F.element_at(ps, i + 1)["p"].alias(pid)]
         if rank_col:
             cols.append(_prefix(_P + "cnt", i).alias(_P + "roff"))
         for out in cum:
             cols.append(_prefix(src[out], i).alias(_P + "o_" + out))
+        for out in cum_max_excl:
+            cols.append(_prefix_max(src[out], i).alias(_P + "x_" + out))
         return F.struct(*cols)
 
     if rank_col:
         drop.append(_P + "roff")
     for out in cum:
         drop.append(_P + "o_" + out)
+    for out in cum_max_excl:
+        drop.append(_P + "x_" + out)
 
     off_cols = [F.explode(F.transform(ps, lambda _, i: _entry(i))).alias("o")]
     for out in totals:
@@ -260,4 +329,11 @@ def two_phase_rank(
         )
     for out in cum:
         res = res.withColumn(out, F.col(_P + "lc_" + out) + F.col(_P + "o_" + out))
+    for out in cum_max_excl:
+        # greatest() skips NULLs: empty local prefix + non-empty earlier
+        # partitions (or vice versa) still merge correctly; both empty
+        # stays NULL — exactly the serial exclusive-frame MAX.
+        res = res.withColumn(
+            out, F.greatest(F.col(_P + "lx_" + out), F.col(_P + "x_" + out))
+        )
     return res.drop(*drop)

@@ -1557,18 +1557,13 @@ def gains_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skinny int columns) pins a single partitioning for both readers.
     local = _gains_local_rank(spark, sf_dir).localCheckpoint()
     counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = counts.select(
-        "pid",
-        F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off"),
-        F.sum("cnt")
-        .over(
-            Window.orderBy("pid").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
-        .alias("n_total"),
-    )
+    # Windowless prefix merge (functions/ranking.pid_prefix_offsets) —
+    # the offsets used to be two unpartitioned 64-row windows; the
+    # array-expression form keeps the plan free of any WindowExec on a
+    # SinglePartition exchange.
+    from ..functions.ranking import pid_prefix_offsets
+
+    offs = pid_prefix_offsets(counts)
     # NTILE(k) of unique 1-based rank r over N rows: the first N%k
     # tiles take ceil(N/k) rows, the rest floor(N/k) — exact int64.
     k = F.lit(GAINS_DECILES).cast("bigint")

@@ -1100,17 +1100,25 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("spend_cents"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    w_richer = (
-        Window.orderBy(F.col("spend_cents").desc())
-        .rangeBetween(Window.unboundedPreceding, -1)
+    # "Best among strictly richer" = exclusive running MAX over the
+    # per-distinct-spend aggregate (RANGE frame ≡ ROWS frame once
+    # values are distinct), computed with the distributed two-phase
+    # rank's cum_max_excl and joined back — the customer frame is
+    # entity-scaled, so no single-partition window.
+    per_spend = cust.groupBy("spend_cents").agg(
+        F.max("n_orders").alias("best_orders_equal")
     )
-    w_equal = Window.partitionBy("spend_cents")
-    m = cust.select(
+    richer = two_phase_rank(
+        per_spend,
+        (F.col("spend_cents").desc(),),
+        cum_max_excl={"best_orders_richer": F.col("best_orders_equal")},
+    ).select("spend_cents", "best_orders_richer", "best_orders_equal")
+    m = cust.join(richer, "spend_cents").select(
         "o_custkey",
         "spend_cents",
         "n_orders",
-        F.max("n_orders").over(w_richer).alias("best_orders_richer"),
-        F.max("n_orders").over(w_equal).alias("best_orders_equal"),
+        "best_orders_richer",
+        "best_orders_equal",
     )
     return m.filter(
         (

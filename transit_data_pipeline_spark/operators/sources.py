@@ -961,13 +961,11 @@ def zone_map_skipping_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.partitionBy("pid").orderBy(*order)),
         )
         counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-        woff = Window.orderBy("pid").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        offs = counts.select(
-            "pid",
-            F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off"),
-        )
+        # Windowless prefix merge — keeps the plan free of any
+        # unpartitioned WindowExec (functions/ranking.py).
+        from ..functions.ranking import pid_prefix_offsets
+
+        offs = pid_prefix_offsets(counts).drop("n_total")
         return local.join(F.broadcast(offs), "pid").select(
             F.lit(name).alias("layout"),
             "l_shipdate",

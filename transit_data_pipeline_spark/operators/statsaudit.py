@@ -145,9 +145,17 @@ def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score_col().alias("q"),
         F.when((F.size(w) >= 10) & (sr > 0.0), 1).otherwise(0).alias("keep"),
     )
+    # Corpus-scaled NTILE via the distributed two-phase range rank +
+    # exact NTILE reconstruction — no single-partition window; the
+    # downstream PAV grid is <= ISO_BINS rows either way.
+    from ..functions.ranking import ntile_from_rank
+
     binned = (
-        scored.withColumn(
-            "bin", F.ntile(ISO_BINS).over(Window.orderBy("q", "doc_id"))
+        two_phase_rank(
+            scored, ("q", "doc_id"), rank_col="_rn", n_col="_nd"
+        )
+        .withColumn(
+            "bin", ntile_from_rank(F.col("_rn"), F.col("_nd"), ISO_BINS)
         )
         .groupBy("bin")
         .agg(

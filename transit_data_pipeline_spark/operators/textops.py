@@ -1609,20 +1609,17 @@ FROM s
 """,
 )
 def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..functions.ranking import two_phase_rank
 
     d = table(spark, sf_dir, "documents", spread=True)
     tok = d.select(F.explode(tokens_col()).alias("t"))
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
-    ranked = freq.select(
-        F.round(
-            F.log(
-                F.row_number()
-                .over(Window.orderBy(F.col("n").desc(), "t"))
-                .cast("double")
-            ),
-            4,
-        ).alias("x"),
+    # Vocabulary rank via the distributed two-phase range rank —
+    # (n desc, t) is a total order, no single-partition window.
+    ranked = two_phase_rank(
+        freq, (F.col("n").desc(), "t"), rank_col="_rnk"
+    ).select(
+        F.round(F.log(F.col("_rnk").cast("double")), 4).alias("x"),
         F.round(F.log("n"), 4).alias("y"),
     )
     xd = F.col("x").cast("decimal(18,4)")
