@@ -200,8 +200,20 @@ _R6_FRONT = (
     "abc_customer_classification",
     "vocab_coverage_curve",
     "spearman_rank_corr",
-    "cumulative_share",
     "ks_two_sample",
+    "rfm_segments",
+    "curriculum_phases",
+    "quantile_normalize_scores",
+    "quality_decile_calibration",
+    "pareto_frontier",
+    "vocab_zipf_fit",
+    "isotonic_calibration_pav",
+    "zone_map_skipping_eval",
+    "dedup_sorted_neighborhood",
+    "rouge_overlap_pairs",
+    "analysis_stop_hotspots",
+    "cumulative_share",
+    "train_test_split",
     "skewness_exact_moments",
     "interarrival_dispersion",
     "wilson_ci_conversion",

@@ -27,6 +27,15 @@ Determinism contract: ``order`` must be a TOTAL order (include a
 unique tiebreaker). Under a total order the produced global rank and
 running sums are bitwise identical to the serial single-partition
 window, regardless of where range boundaries land.
+
+Consistency of the two consumers (the local-window branch and the
+per-partition-summary branch both hang off the same range exchange):
+Catalyst's ReuseExchange dedupes one instance, and where a second
+instance does execute (e.g. under a broadcast subtree), Spark's
+RangePartitioner samples with PER-PARTITION-INDEX seeds
+(byteswap32(idx)) over the same deterministic input — identical
+boundaries either way, so pids agree across branches. The repo's
+exact-hash oracle parity exercises this on every converted query.
 """
 
 from __future__ import annotations
