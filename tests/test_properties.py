@@ -2272,3 +2272,44 @@ def test_sorted_neighbors_matches_serial_lead(spark):
     )
     assert len(got) == len(exp) == 1500
     assert got == exp
+
+
+def test_ntile_from_rank_matches_native_ntile(spark):
+    """functions/ranking.ntile_from_rank must equal Spark's NTILE(n)
+    for every n across uneven splits — including total < n (every row
+    its own tile) and total % n != 0 (first r tiles one row deeper)."""
+    from pyspark.sql.window import Window as W
+
+    from transit_data_pipeline_spark.functions.ranking import (
+        ntile_from_rank,
+    )
+
+    for total, n in [(97, 10), (10, 10), (7, 10), (1, 4), (100, 7), (23, 4)]:
+        df = spark.range(1, total + 1).select(F.col("id").alias("k"))
+        w = W.orderBy("k")
+        cmp = df.select(
+            "k",
+            F.ntile(n).over(w).alias("native"),
+            ntile_from_rank(
+                F.row_number().over(w), F.lit(total).cast("long"), n
+            ).alias("rebuilt"),
+        )
+        bad = cmp.filter(F.col("native") != F.col("rebuilt")).count()
+        assert bad == 0, (total, n)
+
+
+def test_pid_prefix_offsets_exclusive_counts(spark):
+    """pid_prefix_offsets: off = rows in all earlier partitions,
+    n_total = grand count — with gaps in the pid domain (empty range
+    partitions drop out of the summary)."""
+    from transit_data_pipeline_spark.functions.ranking import (
+        pid_prefix_offsets,
+    )
+
+    counts = spark.createDataFrame(
+        [(0, 5), (2, 3), (5, 7), (6, 1)], "pid int, cnt long"
+    )
+    rows = {r["pid"]: r for r in pid_prefix_offsets(counts).collect()}
+    assert rows[0]["off"] == 0 and rows[2]["off"] == 5
+    assert rows[5]["off"] == 8 and rows[6]["off"] == 15
+    assert all(r["n_total"] == 16 for r in rows.values())
