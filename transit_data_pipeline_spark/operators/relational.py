@@ -1257,14 +1257,17 @@ arrs AS (
 )
 SELECT o_orderstatus,
   len(prices) AS n,
-  list_transform(prices, x -> round(x * 0.9, 2)) AS haircut,
+  array_to_string(list_transform(prices,
+      x -> CAST(CAST(round(x * 0.9, 2) AS DECIMAL(18,2)) AS VARCHAR)),
+      ',') AS haircut,
   len(list_filter(prices, x -> x >= 100000.0)) AS n_six_figs,
   len(list_filter(prices, x -> x >= 500000.0)) > 0 AS any_half_million,
   len(list_filter(prices, x -> x > 0.0)) = len(prices) AS all_positive,
   list_reduce(list_prepend(0.0, prices), (acc, x) -> acc + x) AS fold_sum,
   list_zip(prices, list_reverse(prices)) IS NOT NULL AS zipped_ok,
-  list_transform(list_zip(prices, list_reverse(prices)),
-                 p -> LEAST(p[1], p[2])) AS head_tail_min
+  array_to_string(list_transform(list_zip(prices, list_reverse(prices)),
+      p -> CAST(CAST(LEAST(p[1], p[2]) AS DECIMAL(18,2)) AS VARCHAR)),
+      ',') AS head_tail_min
 FROM arrs
 """,
 )
@@ -1292,7 +1295,18 @@ def higher_order_lambda_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arrs.select(
         "o_orderstatus",
         F.size("prices").cast("bigint").alias("n"),
-        F.expr("transform(prices, x -> round(x * 0.9, 2))").alias("haircut"),
+        # Arrays are serialized to fixed-decimal CSV strings (here and in
+        # the oracle): the driver's canonicalizer sorts/hashes pandas
+        # cells and dies on ndarray cells, so every output cell must be
+        # scalar. Prices are exact 2-decimal doubles, making the
+        # DECIMAL(18,2) rendering exact on both engines.
+        F.array_join(
+            F.expr(
+                "transform(prices, x -> "
+                "cast(cast(round(x * 0.9, 2) as decimal(18,2)) as string))"
+            ),
+            ",",
+        ).alias("haircut"),
         F.size(F.expr("filter(prices, x -> x >= 100000.0D)"))
         .cast("bigint")
         .alias("n_six_figs"),
@@ -1306,8 +1320,12 @@ def higher_order_lambda_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("zip_with(prices, reverse(prices), (a, b) -> a) IS NOT NULL").alias(
             "zipped_ok"
         ),
-        F.expr(
-            "zip_with(prices, reverse(prices), (a, b) -> least(a, b))"
+        F.array_join(
+            F.expr(
+                "zip_with(prices, reverse(prices), (a, b) -> "
+                "cast(cast(least(a, b) as decimal(18,2)) as string))"
+            ),
+            ",",
         ).alias("head_tail_min"),
     )
 
