@@ -29,7 +29,8 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
                 + "; ".join(str(r.asDict()) for r in rows)
             )
         if "meets_mae" in df.columns:
-            # MAE gate (reference publishes 4.38 min; our bound 6.0):
+            # MAE gate (reference publishes 4.38 min; our bound is
+            # mae_bound in mlops.py — see its derivation note there):
             # the hit-rate gate alone could be satisfied by the
             # band-center calibration constant — the MAE bound proves
             # the GBT tracks the label, not just the band.

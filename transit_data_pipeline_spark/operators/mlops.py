@@ -250,12 +250,14 @@ def ml_gbt_cv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the label median, 7 min) has MAE 8.14 train / 6.74 test — the
     # irreducible floor; degenerate predictors sit well above it
     # (predict-mean 9.09/7.46, predict-zero 11.94/10.38, and the
-    # overfit depth-6/8 GBTs reach 9.7-11.1 on test). 8.5 separates
-    # "near the noise floor" from all of those. The reference's
-    # published 4.38 min is a hard-coded dashboard fallback for a
-    # 177K-row dataset (streamlit_dashboard.py:115,343), not
-    # reproducible from its own generator at this scale.
-    mae_bound = 8.5
+    # overfit depth-6/8 GBTs reach 9.7-11.1 on test). The bound is the
+    # measured test floor + 1.26 margin (hit-rate-vs-MAE calibration
+    # tradeoff + seed variation). The reference's published 4.38 min
+    # is a hard-coded dashboard fallback (streamlit_dashboard.py:115,
+    # 343) BELOW this generator's derivable Bayes floor (~6.9 expected
+    # conditioning on all magnitude signal) — unreachable by any
+    # predictor; full derivation in BASELINE.md §D7.
+    mae_bound = 8.0
 
     def fit_calibration(model, df) -> tuple[float, float]:
         """(w, shift) maximizing the ±10-min hit rate on `df` among
@@ -776,7 +778,8 @@ agg AS (
          SUM(CASE WHEN pos THEN avg_rank ELSE 0.0 END) AS r_pos
   FROM ranked GROUP BY source
 )
-SELECT source, n_pos, n_neg,
+SELECT source,
+       CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
        ROUND((r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 4) AS auc
 FROM agg WHERE n_pos > 0 AND n_neg > 0
 """,
@@ -871,7 +874,9 @@ marg AS (
     ON r.label = c.pred
 ),
 pe AS (SELECT SUM(n_true * n_pred) AS s_marg FROM marg)
-SELECT m.label, m.n_true, m.n_pred,
+SELECT m.label,
+       CAST(m.n_true AS BIGINT) AS n_true,
+       CAST(m.n_pred AS BIGINT) AS n_pred,
        COALESCE(d.n, 0) AS n_correct,
        ROUND(CAST(COALESCE(d.n, 0) AS DOUBLE) / m.n_true, 4) AS recall,
        ROUND(CAST(COALESCE(d.n, 0) AS DOUBLE) / m.n_pred, 4) AS precision,

@@ -700,7 +700,7 @@ att AS (
            (x, y) -> x + y) / SUM(n_treated) AS att_overall
   FROM strata
 )
-SELECT s.stratum,
+SELECT CAST(s.stratum AS BIGINT) AS stratum,
   CAST(s.n_cells AS BIGINT) AS n_cells,
   CAST(s.n_treated AS BIGINT) AS n_treated,
   CAST(s.n_control AS BIGINT) AS n_control,

@@ -949,7 +949,7 @@ contrib AS (
   CROSS JOIN reftot rt CROSS JOIN tcount tc
 )
 SELECT strftime(c.d, '%Y-%m-%d') AS score_day,
-       dt.dtot AS n_events,
+       CAST(dt.dtot AS BIGINT) AS n_events,
        ROUND(CAST(SUM(CAST(c.c AS DECIMAL(18,8))) AS DOUBLE), 6) AS psi,
        ROUND(CAST(SUM(CAST(c.c AS DECIMAL(18,8))) AS DOUBLE), 6)
          > {PSI_DRIFT_THR} AS drift_flag

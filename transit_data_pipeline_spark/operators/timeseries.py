@@ -907,7 +907,7 @@ curve AS (
          SUM(ended_t) OVER (ORDER BY t DESC) AS n_t
   FROM risk
 )
-SELECT t, d_t, n_t,
+SELECT t, CAST(d_t AS BIGINT) AS d_t, CAST(n_t AS BIGINT) AS n_t,
        CAST(SUM(CAST(
          CASE WHEN d_t = 0 THEN 0.0
               ELSE ROUND(LN(1.0 - CAST(d_t AS DOUBLE) / n_t), 6) END
