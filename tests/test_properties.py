@@ -2248,30 +2248,49 @@ def test_sorted_neighbors_matches_serial_lead(spark):
     rnd = random.Random(20260815)
     width = 5
     rows = [(i, f"k{rnd.randrange(40):02d}") for i in range(1500)]
-    df = spark.createDataFrame(rows, "id long, k string").repartition(16)
-    order = ("k", "id")
+    # Adversarial duplicate-heavy tail (the ADVICE r6 scenario): one
+    # dense key absorbs most rows, so sampled range boundaries leave
+    # 1-2-row partitions whose cross-boundary neighbors a single-
+    # boundary ghost overlap would silently drop. The multi-boundary
+    # ghosting must still reproduce the serial pair set exactly.
+    dense = [(10_000 + i, "kDD") for i in range(1400)]
+    sparse = [(20_000 + i, f"z{i:04d}") for i in range(40)]
+    for case_rows, parts in [
+        (rows, 64),
+        (rows + dense + sparse, 64),
+        (rows, 7),
+        (rows + dense + sparse, 256),
+    ]:
+        df = spark.createDataFrame(
+            case_rows, "id long, k string"
+        ).repartition(16)
+        order = ("k", "id")
 
-    frame, is_real, w = sorted_neighbors(
-        df, order, width, rows_per_partition_min=60
-    )
-    leads = F.array(*[F.lead("id", o).over(w) for o in range(1, width + 1)])
-    got = sorted(
-        (r["id"], tuple(r["nbrs"]))
-        for r in frame.select("id", leads.alias("nbrs"), is_real.alias("ok"))
-        .filter("ok")
-        .collect()
-    )
+        frame, is_real, w = sorted_neighbors(
+            df, order, width, partitions=parts
+        )
+        leads = F.array(
+            *[F.lead("id", o).over(w) for o in range(1, width + 1)]
+        )
+        got = sorted(
+            (r["id"], tuple(r["nbrs"]))
+            for r in frame.select(
+                "id", leads.alias("nbrs"), is_real.alias("ok")
+            )
+            .filter("ok")
+            .collect()
+        )
 
-    sw = W.orderBy(*order)
-    sleads = F.array(
-        *[F.lead("id", o).over(sw) for o in range(1, width + 1)]
-    )
-    exp = sorted(
-        (r["id"], tuple(r["nbrs"]))
-        for r in df.select("id", sleads.alias("nbrs")).collect()
-    )
-    assert len(got) == len(exp) == 1500
-    assert got == exp
+        sw = W.orderBy(*order)
+        sleads = F.array(
+            *[F.lead("id", o).over(sw) for o in range(1, width + 1)]
+        )
+        exp = sorted(
+            (r["id"], tuple(r["nbrs"]))
+            for r in df.select("id", sleads.alias("nbrs")).collect()
+        )
+        assert len(got) == len(exp) == len(case_rows)
+        assert got == exp, f"parts={parts} n={len(case_rows)}"
 
 
 def test_ntile_from_rank_matches_native_ntile(spark):
@@ -2296,6 +2315,41 @@ def test_ntile_from_rank_matches_native_ntile(spark):
         )
         bad = cmp.filter(F.col("native") != F.col("rebuilt")).count()
         assert bad == 0, (total, n)
+
+    # Integer-exactness near 2^53 (double division would round): check
+    # selected ranks of a huge synthetic total against Python's exact
+    # integer formula — no native NTILE reference possible at this
+    # scale, the formula IS the spec.
+    total = (1 << 53) + 12345
+    n = 7
+    q, r = divmod(total, n)
+
+    def py_ntile(rank: int) -> int:
+        big = r * (q + 1)
+        if rank <= big:
+            return (rank - 1) // (q + 1) + 1
+        return r + (rank - big - 1) // q + 1
+
+    probe_ranks = [
+        1,
+        q + 1,
+        q + 2,
+        r * (q + 1),
+        r * (q + 1) + 1,
+        total - 1,
+        total,
+    ]
+    probe = spark.createDataFrame(
+        [(rk,) for rk in probe_ranks], "rank long"
+    ).select(
+        "rank",
+        ntile_from_rank(
+            F.col("rank"), F.lit(total).cast("long"), n
+        ).alias("tile"),
+    )
+    got = {r2["rank"]: r2["tile"] for r2 in probe.collect()}
+    for rk in probe_ranks:
+        assert got[rk] == py_ntile(rk), (rk, got[rk], py_ntile(rk))
 
 
 def test_pid_prefix_offsets_exclusive_counts(spark):

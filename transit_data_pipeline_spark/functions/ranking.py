@@ -106,43 +106,106 @@ def sorted_neighbors(
     width: int,
     *,
     partitions: int = 64,
-    rows_per_partition_min: int | None = None,
+    rows_per_partition_min: int | None = None,  # noqa: ARG001 — kept for API compat
 ) -> tuple[DataFrame, Column, "Window"]:
     """Scale-safe ``LEAD(..., 1..width) OVER (ORDER BY order)``: the
     sorted-neighborhood / adjacent-pair pattern without a
     single-partition window.
 
-    Range-partition on the sort key, then duplicate each partition's
-    FIRST ``width`` rows into the PREVIOUS partition as ghost rows —
-    a per-partition window then sees every cross-boundary neighbor.
-    Ghost rows are lead-values only, never anchors: filter the result
-    on the returned ``is_real`` column AFTER computing the leads.
+    Range-partition on the sort key, then duplicate each row that is
+    within ``width`` of a partition boundary into EVERY earlier
+    partition whose tail lies within ``width`` global positions of it
+    (ghost rows) — a per-partition window then sees every
+    cross-boundary neighbor. Ghost rows are lead-values only, never
+    anchors: filter the result on the returned ``is_real`` column
+    AFTER computing the leads.
 
-    The partition count adapts (one cheap column-pruned count) so each
-    range holds ≥ ``rows_per_partition_min`` rows (default 16·width) —
-    ghosts only stitch ONE boundary, so a partition must always be
-    deeper than the neighborhood. Tiny frames fall back to a single
-    partition, identical to the serial window.
+    Ghost targets are computed from the per-partition prefix counts
+    (a ≤ ``partitions``-row summary packed into one broadcast array),
+    so correctness holds for ANY row distribution: a range partition
+    shallower than ``width`` — duplicate-heavy keys where one dense
+    key group absorbs most rows and sampled boundaries leave 1-2-row
+    partitions — simply makes its early rows ghost across SEVERAL
+    boundaries instead of one. No depth assumption, no eager
+    calibration count: the whole recipe is a single lazy plan (the
+    summary subtree hangs off the same range exchange, deduped by
+    ReuseExchange). A row at local rank ``lrn > width`` can never be
+    within ``width`` of an earlier partition's tail, so only the first
+    ``width`` rows of each partition are ghost candidates — candidate
+    volume stays ≤ ``width · partitions · width`` rows total.
+
+    ``rows_per_partition_min`` is retained for call compatibility but
+    ignored: the multi-boundary ghosting made the depth floor
+    unnecessary (it was an AVERAGE-depth heuristic that could not
+    guarantee per-partition depth anyway).
 
     Returns ``(frame, is_real, window)``: compute leads with
     ``F.lead(col, o).over(window)``, then ``.filter(is_real)``.
     """
     order = list(order)
-    floor_rows = rows_per_partition_min or 16 * width
-    n = df.count()  # scalar only — partition-count calibration
-    parts = max(1, min(partitions, n // max(floor_rows, 1) or 1))
-
     pid = _P + "npid"
     ghost = _P + "ghost"
-    part = df.repartitionByRange(parts, *order).withColumn(
+    part = df.repartitionByRange(partitions, *order).withColumn(
         pid, F.spark_partition_id()
     )
     wloc = Window.partitionBy(pid).orderBy(*order)
     local = part.withColumn(_P + "lrn", F.row_number().over(wloc))
+
+    # Per-partition summary → one-row broadcast array of
+    # (p, end) = (pid, cumulative row count through that partition),
+    # pid-sorted (struct arrays sort by leading field).
+    ps = F.col(_P + "ps")
+    packed = (
+        part.groupBy(pid)
+        .agg(F.count(F.lit(1)).alias(_P + "cnt"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(pid).alias("p"), F.col(_P + "cnt").alias("c")
+                    )
+                )
+            ).alias(_P + "ps")
+        )
+        .select(
+            F.transform(
+                ps,
+                lambda e, i: F.struct(
+                    e["p"].alias("p"),
+                    F.aggregate(
+                        F.slice(ps, F.lit(1), i + 1),
+                        F.lit(0).cast("long"),
+                        lambda a, x: a + x["c"],
+                    ).alias("end"),
+                ),
+            ).alias(_P + "ends")
+        )
+    )
+
+    # Ghost targets for a candidate row at (pid, lrn): every earlier
+    # non-empty partition p' whose global tail position end(p') is
+    # within `width` of the row's global position
+    # g = cum_before(pid) + lrn, i.e. g - end(p') <= width. The
+    # nearest earlier tail satisfies g - end(p') == lrn + (rows in
+    # empty/intervening partitions) >= lrn, hence lrn <= width bounds
+    # the candidates.
+    ends = F.col(_P + "ends")
+    before = F.filter(ends, lambda e: e["p"] < F.col(pid))
+    cum_before = F.coalesce(
+        F.element_at(before, -1)["end"], F.lit(0).cast("long")
+    )
+    g = cum_before + F.col(_P + "lrn")
+    targets = F.filter(
+        before, lambda e: g - e["end"] <= F.lit(width)
+    )
     ghosts = (
         local.filter(F.col(_P + "lrn") <= width)
-        .withColumn(pid, F.col(pid) - 1)
-        .filter(F.col(pid) >= 0)
+        .join(F.broadcast(packed))  # one-row summary frame
+        .withColumn(
+            _P + "tp", F.explode(F.transform(targets, lambda e: e["p"]))
+        )
+        .withColumn(pid, F.col(_P + "tp"))
+        .drop(_P + "tp", _P + "ends")
         .withColumn(ghost, F.lit(True))
     )
     frame = (
@@ -159,13 +222,23 @@ def ntile_from_rank(rank: Column, total: Column, n: int) -> Column:
     first ``r`` tiles hold ``q+1`` rows, the rest ``q`` — exactly
     Spark's and DuckDB's NTILE under a total order. Lets the
     two-phase rank replace ``NTILE() OVER (ORDER BY ...)`` without a
-    single-partition window."""
-    q = F.floor(total / n)
-    r = total % n
+    single-partition window.
+
+    Pure integer arithmetic end to end (``div``, never ``/``): double
+    division would silently lose exactness for counts near 2^53, and
+    the ``total < n`` case (q = 0) is handled by clamping the
+    otherwise-branch divisor — that branch is unreachable then
+    (``big = total`` covers every rank), so the clamp changes nothing
+    while removing any division-by-zero path."""
+    q = F.call_function("div", total, F.lit(n))
+    r = total - q * n
     big = r * (q + 1)
+    q_safe = F.greatest(q, F.lit(1))
     return (
-        F.when(rank <= big, F.floor((rank - 1) / (q + 1)) + 1)
-        .otherwise(r + F.floor((rank - big - 1) / q) + 1)
+        F.when(rank <= big, F.call_function("div", rank - 1, q + 1) + 1)
+        .otherwise(
+            r + F.call_function("div", rank - big - 1, q_safe) + 1
+        )
         .cast("int")
     )
 
