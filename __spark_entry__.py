@@ -22,12 +22,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from transit_data_pipeline_spark.operators.registry import all_specs  # noqa: E402
 from transit_data_pipeline_spark.session import configure  # noqa: E402
 
-#: Every query with a driver CORRECTNESS row in rounds 1-5 (all green
-#: as of r5). Used to sort the post-front remainder: never-checked
-#: queries first (they claim leftover window slots), re-confirmations
-#: after, rows-only (no-oracle) queries last.
+#: Every query with a driver CORRECTNESS row in rounds 1-6. Used to
+#: sort the post-front remainder: never-checked queries first (they
+#: claim leftover window slots), re-confirmations after, rows-only
+#: (no-oracle) queries last.
 _EVER_CHECKED = frozenset(
     {
+        # rounds 1-5
         "analysis_daily_trend_ma7",
         "analysis_delay_cascade",
         "analysis_dow_pattern",
@@ -150,70 +151,75 @@ _EVER_CHECKED = frozenset(
         "window_value_suite",
         "winsorize_clip",
         "zscore_normalize",
+        # round 6 (48 green + the 2 harness-compat reds re-fronted in
+        # _R7_FRONT below)
+        "abc_customer_classification",
+        "analysis_stop_hotspots",
+        "collation_aware_grouping",
+        "cumulative_share",
+        "curriculum_phases",
+        "dedup_sorted_neighborhood",
+        "higher_order_lambda_suite",
+        "isotonic_calibration_pav",
+        "ks_two_sample",
+        "lateral_topk_per_group",
+        "parameterized_sql_query",
+        "pareto_frontier",
+        "quality_decile_calibration",
+        "quantile_normalize_scores",
+        "recursive_cte_hierarchy",
+        "rfm_segments",
+        "rouge_overlap_pairs",
+        "spearman_rank_corr",
+        "sql_pipe_syntax_query",
+        "sql_scripting_batch",
+        "sql_session_variables",
+        "sql_udf_delay_category",
+        "tpch_q10_returned_items",
+        "tpch_q11_important_stock",
+        "tpch_q12_shipping_priority_class",
+        "tpch_q13_customer_distribution",
+        "tpch_q14_promo_revenue",
+        "tpch_q15_top_supplier",
+        "tpch_q16_supplier_part_counts",
+        "tpch_q17_small_quantity_revenue",
+        "tpch_q18_large_volume_customer",
+        "tpch_q19_discounted_revenue",
+        "tpch_q1_pricing_summary",
+        "tpch_q20_potential_promotion",
+        "tpch_q21_suppliers_kept_waiting",
+        "tpch_q22_global_sales_opportunity",
+        "tpch_q2_min_cost_supplier",
+        "tpch_q3_shipping_priority",
+        "tpch_q4_order_priority",
+        "tpch_q5_local_supplier_volume",
+        "tpch_q6_revenue_change",
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q9_product_profit",
+        "try_functions_suite",
+        "variant_props_extract",
+        "vocab_coverage_curve",
+        "vocab_zipf_fit",
+        "xml_ingest_roundtrip",
+        "zone_map_skipping_eval",
     }
 )
 
 
-#: Round-6 front of the driver's ~50-query check window. 241 of 363
+#: Round-7 front of the driver's ~50-query check window. 193 of 363
 #: registered queries have never had a driver CORRECTNESS row (the
-#: window is ~50/round); VERDICT r5 asks to front-load them by blast
-#: radius: the TPC-H suite first, then the Spark-4 SQL-dialect wave,
-#: then the queries whose PLANS changed this round (two-phase global
-#: rank conversion, variant spread fix) so their rows post-date the
-#: change, then the stats/timeseries waves. The remainder of the
-#: never-checked backlog follows automatically via _ordered_specs.
-_R6_FRONT = (
-    "tpch_q1_pricing_summary",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_revenue_change",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
+#: window is ~50/round). Per VERDICT r6: the two r06 harness-compat
+#: reds first (q12 oracle BIGINT cast + lambda-suite array
+#: serialization landed this round — the green rows must post-date the
+#: fixes), then the never-checked stats/timeseries/events waves in
+#: queue order. The remainder of the never-checked backlog follows
+#: automatically via _ordered_specs.
+_R7_FRONT = (
+    # r06 reds, re-checked after this round's fixes
     "tpch_q12_shipping_priority_class",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customer",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_suppliers_kept_waiting",
-    "tpch_q22_global_sales_opportunity",
-    "recursive_cte_hierarchy",
-    "sql_scripting_batch",
-    "try_functions_suite",
-    "sql_pipe_syntax_query",
-    "sql_session_variables",
-    "parameterized_sql_query",
-    "collation_aware_grouping",
-    "sql_udf_delay_category",
-    "lateral_topk_per_group",
     "higher_order_lambda_suite",
-    "xml_ingest_roundtrip",
-    "variant_props_extract",
-    "abc_customer_classification",
-    "vocab_coverage_curve",
-    "spearman_rank_corr",
-    "ks_two_sample",
-    "rfm_segments",
-    "curriculum_phases",
-    "quantile_normalize_scores",
-    "quality_decile_calibration",
-    "pareto_frontier",
-    "vocab_zipf_fit",
-    "isotonic_calibration_pav",
-    "zone_map_skipping_eval",
-    "dedup_sorted_neighborhood",
-    "rouge_overlap_pairs",
-    "analysis_stop_hotspots",
-    "cumulative_share",
-    "train_test_split",
+    # r6-front tail that missed the 50-row window
     "skewness_exact_moments",
     "interarrival_dispersion",
     "wilson_ci_conversion",
@@ -229,12 +235,60 @@ _R6_FRONT = (
     "time_range_window",
     "gap_fill_locf",
     "streaks_active_days",
+    # stats / timeseries wave
+    "ab_test_zscore",
+    "ab_srm_check",
+    "ab_cuped_adjustment",
+    "acf_daily_orders",
+    "benford_audit",
+    "cusum_changepoint",
+    "ewma_smoothing",
+    "ohlc_bars",
+    "gap_fill_linear_interp",
+    "seasonal_decompose_dow",
+    "interval_coverage",
+    "time_weighted_avg",
+    "rolling_regression_slope",
+    "cross_corr_lagged",
+    "theilsen_trend",
+    "survival_km_retention",
+    "gini_token_concentration",
+    "forecast_backtest_suite",
+    "propensity_strata_att",
+    "bootstrap_poisson_ci",
+    "model_calibration_bins",
+    "auc_mann_whitney",
+    # events wave
+    "retention_cohorts",
+    "event_funnel_steps",
+    "events_rate_anomaly",
+    "funnel_time_to_convert",
+    "event_markov_transitions",
+    "event_attribution_last_touch",
+    "event_session_pmi",
+    "events_anomaly_mad",
+    "next_event_features",
+    "event_path_analysis",
+    "event_mix_entropy_daily",
+    "point_in_time_features",
+    "nearest_event_join",
+    "source_freshness_monitor",
+    "event_pattern_automaton",
+    "time_decay_attribution",
+    "shapley_channel_attribution",
+    "dau_wau_stickiness",
+    "session_window_dynamic_gap",
+    # buffer (graph wave head) in case the window runs long
+    "bfs_shortest_hops",
+    "kcore_trade_graph",
+    "adamic_adar_link_prediction",
+    "corpus_merkle_manifest",
 )
 
 
 def _ordered_specs():
     specs = all_specs()
-    front = [n for n in _R6_FRONT if n in specs]
+    front = [n for n in _R7_FRONT if n in specs]
     rest = [n for n in specs if n not in set(front)]
     # Never-driver-checked queries before re-confirmations;
     # oracle-backed (strong hash-checked rows) before rows-only
