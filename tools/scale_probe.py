@@ -1,13 +1,14 @@
-"""×8 scaling probe: duplicate the sf0.1 tables 8× with shifted ids
+"""×N scaling probe: duplicate the sf0.1 tables N× with shifted ids
 into a scratch dir (multi-row-group layout, so scans parallelize),
-then time a set of registry queries at sf0.1 vs ×8 and print one
+then time a set of registry queries at sf0.1 vs ×N and print one
 line per query. Usage:
 
-    python tools/scale_probe.py [query ...]      # default: newest ops
+    python tools/scale_probe.py [--factor N] [query ...]   # default ×8
 
 Results are recorded in SCALING.md; the corpus is adversarial for
-near-dup operators (every doc has 8 exact copies).
-"""
+near-dup operators (every doc has N exact copies, so duplicate
+cliques — and the candidate sets of any pairwise verifier — grow
+quadratically in N by construction)."""
 
 from __future__ import annotations
 
@@ -24,7 +25,7 @@ from transit_data_pipeline_spark.operators.registry import all_specs  # noqa: E4
 from transit_data_pipeline_spark.session import get_spark  # noqa: E402
 
 SF = "/root/testdata/sf0.1"
-X8 = "/tmp/tdps_probe_x8"
+XDIR_TPL = "/tmp/tdps_probe_x{n}"
 
 #: id column to shift per table so duplicated rows stay key-unique.
 _SHIFT = {
@@ -53,10 +54,11 @@ DEFAULT = [
 ]
 
 
-def build_x8(spark) -> None:
-    os.makedirs(X8, exist_ok=True)
+def build_xn(spark, factor: int) -> str:
+    xdir = XDIR_TPL.format(n=factor)
+    os.makedirs(xdir, exist_ok=True)
     for t, idc in _SHIFT.items():
-        out = os.path.join(X8, f"{t}.parquet")
+        out = os.path.join(xdir, f"{t}.parquet")
         if os.path.exists(out):
             continue
         if t == "events":
@@ -67,24 +69,31 @@ def build_x8(spark) -> None:
         else:
             n = df.agg(F.max(idc)).collect()[0][0] + 1
             copies = df
-            for i in range(1, 8):
+            for i in range(1, factor):
                 copies = copies.unionByName(
                     df.withColumn(idc, F.col(idc) + F.lit(i * n))
                 )
         # tmp dir then single-file-per-partition layout; keep multiple
         # row groups so the scan parallelizes (unlike the driver files)
-        copies.repartition(16).write.mode("overwrite").parquet(out + ".d")
+        parts = max(16, 2 * factor)
+        copies.repartition(parts).write.mode("overwrite").parquet(out + ".d")
         os.rename(out + ".d", out)
+    return xdir
 
 
 def main() -> None:
-    names = sys.argv[1:] or DEFAULT
+    args = sys.argv[1:]
+    factor = 8
+    if args and args[0] == "--factor":
+        factor = int(args[1])
+        args = args[2:]
+    names = args or DEFAULT
     spark = get_spark("tdps-scale-probe")
-    build_x8(spark)
+    xdir = build_xn(spark, factor)
     specs = all_specs()
     for name in names:
         row = [name]
-        for sf_dir in (SF, X8):
+        for sf_dir in (SF, xdir):
             best = None
             for _ in range(2):
                 t0 = time.monotonic()
