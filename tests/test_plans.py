@@ -644,8 +644,22 @@ def test_two_phase_rank_windows_are_partition_parallel(spark, sf_dir, name):
     the ≤64-row summary, so it plans no Window at all. Legitimate
     partitioned windows (e.g. per-source percent_rank) stay allowed:
     the assertion is that no Window node sits on a SinglePartition
-    exchange (the plan-level signature of the warning)."""
-    plan = _plan(spark, sf_dir, name)
+    exchange (the plan-level signature of the warning).
+
+    The consistency localCheckpoint (r7 — pins one pid↔row assignment
+    for all branch consumers) truncates the visible plan at the
+    checkpoint boundary, so the structural assertions run with the
+    test hook `ranking.CONSISTENCY_CHECKPOINT = False` (explain-only;
+    nothing here executes the un-pinned plan). The checkpoint's own
+    correctness is owned by
+    tests/test_properties.py::test_two_phase_rank_branch_consistency_at_scale."""
+    from transit_data_pipeline_spark.functions import ranking
+
+    ranking.CONSISTENCY_CHECKPOINT = False
+    try:
+        plan = _plan(spark, sf_dir, name)
+    finally:
+        ranking.CONSISTENCY_CHECKPOINT = True
     assert "rangepartitioning" in plan.lower(), name
     lines = plan.splitlines()
     for i, line in enumerate(lines):

@@ -2178,6 +2178,55 @@ def test_span_corruption_spans_never_overlap(spark, sf_dir):
             assert s2 >= e1, "spans overlap"
 
 
+def test_two_phase_rank_branch_consistency_at_scale(spark):
+    """Regression for the r7 ×64 finding: the local-window branch and
+    the summary branch of two_phase_rank each consume the range
+    exchange through DIFFERENTLY-PRUNED subtrees, so ReuseExchange
+    cannot dedupe them, and RangePartitioner seeds its boundary
+    sampling with the RDD id — two executions can pick different
+    boundaries. At fixture scale the sampler sees ~the whole input and
+    the bug never fires; at 320K rows with 64-way duplicate key ties
+    it produced duplicate and out-of-range global ranks (NTILE buckets
+    off by hundreds, sometimes an 11th bucket). The lazy
+    localCheckpoint of the partitioned frame pins one physical
+    assignment; this test replays the failing shape: heavy-tie sort
+    key, an extra payload column (so the branches prune differently),
+    and an NTILE aggregation — rank must be a permutation and every
+    tile exactly n/10, across repeated executions."""
+    from transit_data_pipeline_spark.functions.ranking import (
+        ntile_from_rank,
+        two_phase_rank,
+    )
+
+    n = 320_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # 5000 distinct scores × 64 copies each — the ×64-corpus tie
+        # profile that exposed the divergence.
+        (F.col("id") % 5000).cast("double").alias("q"),
+        (F.col("id") % 7 == 0).alias("keep"),  # payload → branch pruning differs
+    )
+    r = two_phase_rank(df, ("q", "doc_id"), rank_col="_rn", n_col="_nd")
+    dec = r.withColumn("decile", ntile_from_rank(F.col("_rn"), F.col("_nd"), 10))
+    for trial in range(2):
+        got = {
+            row["decile"]: row["n"]
+            for row in dec.groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == {i: n // 10 for i in range(1, 11)}, (trial, got)
+        stats = r.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct("_rn").alias("d"),
+            F.max("_rn").alias("mx"),
+        ).collect()[0]
+        assert (stats["rows"], stats["d"], stats["mx"]) == (n, n, n), (
+            trial,
+            stats,
+        )
+
+
 def test_two_phase_rank_matches_serial_window(spark):
     """functions/ranking.two_phase_rank must be value-identical to the
     serial single-partition window under a total order — global

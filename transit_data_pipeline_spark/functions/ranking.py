@@ -29,13 +29,22 @@ running sums are bitwise identical to the serial single-partition
 window, regardless of where range boundaries land.
 
 Consistency of the two consumers (the local-window branch and the
-per-partition-summary branch both hang off the same range exchange):
-Catalyst's ReuseExchange dedupes one instance, and where a second
-instance does execute (e.g. under a broadcast subtree), Spark's
-RangePartitioner samples with PER-PARTITION-INDEX seeds
-(byteswap32(idx)) over the same deterministic input — identical
-boundaries either way, so pids agree across branches. The repo's
-exact-hash oracle parity exercises this on every converted query.
+per-partition-summary branch both hang off the same range exchange)
+is guaranteed by a LAZY localCheckpoint of the partitioned frame:
+the first consumer to execute (the summary's broadcast job)
+materializes it, and every other consumer reads the SAME materialized
+partitions — the pid↔row assignment is physically shared, not
+recomputed. This is load-bearing, not belt-and-braces: column pruning
+makes the two exchange subtrees non-identical (the summary prunes the
+payload columns), so ReuseExchange does NOT dedupe them, and Spark's
+RangePartitioner seeds its boundary sampling with the RDD id
+(sketch(): byteswap32(idx ^ (rdd.id << 16))) — two executions of the
+"same" range shuffle can pick DIFFERENT boundaries. At fixture scale
+the sampler sees essentially the whole input and the divergence never
+fires, but a ×64 probe (320K rows, 64 partitions) produced duplicate
+and out-of-range global ranks, nondeterministically, before the
+checkpoint. The repo's exact-hash oracle parity plus the ×64
+consistency probe in tests/test_properties.py exercise this.
 """
 
 from __future__ import annotations
@@ -145,8 +154,14 @@ def sorted_neighbors(
     order = list(order)
     pid = _P + "npid"
     ghost = _P + "ghost"
-    part = df.repartitionByRange(partitions, *order).withColumn(
-        pid, F.spark_partition_id()
+    # Pin one physical pid↔row assignment for the same reason as
+    # two_phase_rank: the ghost-target summary and the real/ghost row
+    # branches all consume this frame, and their exchange subtrees are
+    # not reuse-identical.
+    part = _pin_partitions(
+        df.repartitionByRange(partitions, *order).withColumn(
+            pid, F.spark_partition_id()
+        )
     )
     wloc = Window.partitionBy(pid).orderBy(*order)
     local = part.withColumn(_P + "lrn", F.row_number().over(wloc))
@@ -245,6 +260,23 @@ def ntile_from_rank(rank: Column, total: Column, n: int) -> Column:
 #: Internal column prefix — stripped from the result frame.
 _P = "_tpr_"
 
+#: Test hook: the consistency localCheckpoint truncates the visible
+#: query plan at the checkpoint boundary, hiding the range exchange
+#: and pid-partitioned windows from `explain`-based plan assertions.
+#: tests/test_plans.py flips this to False (explain-only — such a
+#: plan must never be EXECUTED at scale) to inspect the two-phase
+#: structure; production code never touches it.
+CONSISTENCY_CHECKPOINT = True
+
+
+def _pin_partitions(df: DataFrame) -> DataFrame:
+    """The lazy localCheckpoint that makes every consumer of a range-
+    partitioned frame read one physical pid↔row assignment (see the
+    module docstring — ReuseExchange cannot dedupe the differently-
+    pruned branch subtrees, and RangePartitioner's sampling is seeded
+    by RDD id, so un-pinned branches can disagree on boundaries)."""
+    return df.localCheckpoint(eager=False) if CONSISTENCY_CHECKPOINT else df
+
 
 def _acc(dt: DataType) -> DataType:
     """Accumulator type for a prefix sum of ``dt`` values. The summary
@@ -303,8 +335,14 @@ def two_phase_rank(
     order = list(order)
 
     pid = _P + "pid"
-    part = df.repartitionByRange(partitions, *order).withColumn(
-        pid, F.spark_partition_id()
+    # Pin one physical pid↔row assignment: both consumers (local
+    # window + summary) must see the SAME boundaries — see the module
+    # docstring; without it the two non-reusable exchange instances
+    # can range-partition on different sampled boundaries.
+    part = _pin_partitions(
+        df.repartitionByRange(partitions, *order).withColumn(
+            pid, F.spark_partition_id()
+        )
     )
 
     wloc = Window.partitionBy(pid).orderBy(*order)

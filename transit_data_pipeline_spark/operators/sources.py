@@ -953,8 +953,16 @@ def zone_map_skipping_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 64-row broadcast). Ties share a ship date, so rank ties being
         # partition-boundary-dependent cannot change any chunk's
         # min/max/match stats — the oracle's serial ROW_NUMBER agrees.
-        part = keyed.repartitionByRange(64, *order).withColumn(
-            "pid", F.spark_partition_id()
+        # _pin_partitions: the rank branch and the counts branch must
+        # read ONE pid↔row assignment (RangePartitioner's sampling is
+        # RDD-id-seeded; see functions/ranking.py — the r7 ×64 probe
+        # showed unpinned branches can disagree on boundaries).
+        from ..functions.ranking import _pin_partitions
+
+        part = _pin_partitions(
+            keyed.repartitionByRange(64, *order).withColumn(
+                "pid", F.spark_partition_id()
+            )
         )
         local = part.withColumn(
             "lrn",
