@@ -45,6 +45,24 @@ fires, but a ×64 probe (320K rows, 64 partitions) produced duplicate
 and out-of-range global ranks, nondeterministically, before the
 checkpoint. The repo's exact-hash oracle parity plus the ×64
 consistency probe in tests/test_properties.py exercise this.
+
+Cluster posture for the checkpoint: ``localCheckpoint`` truncates
+lineage, so its blocks must survive executor churn. On clusters that
+is handled by graceful decommissioning block migration
+(``spark.decommission.enabled`` + ``spark.storage.decommission.
+rddBlocks.enabled``, Spark 3.1+), which moves cached/checkpointed
+blocks off nodes before they leave; a HARD executor loss still fails
+the stage, and the retry re-runs the whole query — acceptable for
+idempotent batch analytics, and the price of the only mechanism that
+guarantees one pid↔row assignment without a second shuffle.
+(``persist()`` would pin equally well — one InMemoryRelation means
+one exchange instance, whose range boundaries are sampled once in its
+ShuffleDependency — but DataFrame persist entries are strong-held by
+the CacheManager until an explicit ``unpersist``, which no lazy
+query-returning operator can schedule, so a long session would
+accumulate one cached shuffle-sized frame per two-phase query;
+``localCheckpoint`` blocks are released by the ContextCleaner as soon
+as the RDD is unreferenced.)
 """
 
 from __future__ import annotations
@@ -136,9 +154,12 @@ def sorted_neighbors(
     key group absorbs most rows and sampled boundaries leave 1-2-row
     partitions — simply makes its early rows ghost across SEVERAL
     boundaries instead of one. No depth assumption, no eager
-    calibration count: the whole recipe is a single lazy plan (the
-    summary subtree hangs off the same range exchange, deduped by
-    ReuseExchange). A row at local rank ``lrn > width`` can never be
+    calibration count: the whole recipe is a single lazy plan whose
+    consumers (summary, real rows, ghost rows) read one pinned
+    pid↔row assignment (``_pin_partitions``; ReuseExchange cannot
+    dedupe the differently-pruned subtrees, and un-pinned range
+    exchanges may sample different boundaries — see the module
+    docstring). A row at local rank ``lrn > width`` can never be
     within ``width`` of an earlier partition's tail, so only the first
     ``width`` rows of each partition are ghost candidates — candidate
     volume stays ≤ ``width · partitions · width`` rows total.
