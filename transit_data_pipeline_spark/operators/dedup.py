@@ -2129,11 +2129,18 @@ cand AS (
     ON b.rn - a.rn BETWEEN 1 AND {_SN_WINDOW}
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY 1),
+-- ca is MATERIALIZED to pin the join order: left free, the optimizer
+-- may join sh to sh on the shingle alone first (Σdf² — quadratic per
+-- shared shingle on duplicate-clique corpora) instead of expanding
+-- the w·n-bounded candidate pairs first. Same algebra, same values.
+ca AS MATERIALIZED (
+  SELECT c.doc_a, c.doc_b, sa.sh
+  FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id
+),
 inter AS (
-  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
-  FROM cand c
-  JOIN sh sa ON c.doc_a = sa.doc_id
-  JOIN sh sb ON c.doc_b = sb.doc_id AND sa.sh = sb.sh
+  SELECT ca.doc_a, ca.doc_b, COUNT(*) AS ni
+  FROM ca
+  JOIN sh sb ON ca.doc_b = sb.doc_id AND ca.sh = sb.sh
   GROUP BY 1, 2
 )
 SELECT c.doc_a, c.doc_b, c.neighbor_offset,

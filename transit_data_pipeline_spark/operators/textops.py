@@ -2290,18 +2290,30 @@ bi AS (
 ),
 tot1 AS (SELECT doc_id, SUM(c) AS t FROM uni GROUP BY 1),
 tot2 AS (SELECT doc_id, SUM(c) AS t FROM bi GROUP BY 1),
+-- The A-side gram expansion is MATERIALIZED to pin the join order:
+-- left free, the optimizer may join the two gram tables on the gram
+-- alone first, which is Σdf² — quadratic per shared gram type — and
+-- was measured exploding (60 GB spill, OOD) on a ×4 duplicate-clique
+-- corpus while this shape runs it in under a second. Same algebra,
+-- same values (verified identical at sf0.01).
+pa1 AS MATERIALIZED (
+  SELECT p.doc_a, p.doc_b, ua.g, ua.c
+  FROM pairs p JOIN uni ua ON p.doc_a = ua.doc_id
+),
 ov1 AS (
-  SELECT p.doc_a, p.doc_b, SUM(LEAST(ua.c, ub.c)) AS o
-  FROM pairs p
-  JOIN uni ua ON p.doc_a = ua.doc_id
-  JOIN uni ub ON p.doc_b = ub.doc_id AND ua.g = ub.g
+  SELECT pa.doc_a, pa.doc_b, SUM(LEAST(pa.c, ub.c)) AS o
+  FROM pa1 pa
+  JOIN uni ub ON pa.doc_b = ub.doc_id AND pa.g = ub.g
   GROUP BY 1, 2
 ),
+pa2 AS MATERIALIZED (
+  SELECT p.doc_a, p.doc_b, ba.g, ba.c
+  FROM pairs p JOIN bi ba ON p.doc_a = ba.doc_id
+),
 ov2 AS (
-  SELECT p.doc_a, p.doc_b, SUM(LEAST(ba.c, bb.c)) AS o
-  FROM pairs p
-  JOIN bi ba ON p.doc_a = ba.doc_id
-  JOIN bi bb ON p.doc_b = bb.doc_id AND ba.g = bb.g
+  SELECT pa.doc_a, pa.doc_b, SUM(LEAST(pa.c, bb.c)) AS o
+  FROM pa2 pa
+  JOIN bi bb ON pa.doc_b = bb.doc_id AND pa.g = bb.g
   GROUP BY 1, 2
 )
 SELECT p.doc_a, p.doc_b,
