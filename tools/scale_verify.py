@@ -107,6 +107,7 @@ def main() -> int:
     names = args or AT_RISK
 
     import duckdb
+    from pyspark.sql import SparkSession
 
     from scale_probe import build_xn
     from compare import compare
@@ -114,6 +115,22 @@ def main() -> int:
     from transit_data_pipeline_spark.operators.registry import all_specs
     from transit_data_pipeline_spark.session import get_spark
 
+    # The comparison collects FULL result sets via toPandas — at ×64
+    # some verify outputs (e.g. dedup_simhash's block-local Hamming
+    # pairs on the 64-clique corpus) exceed the 1 GiB default
+    # spark.driver.maxResultSize. That's a harness collect, not an
+    # engine one (source code never collects data frames), so the cap
+    # is raised HERE, in the tool's own session, not in the factory.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    (
+        SparkSession.builder.appName("tdps-scale-verify")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.driver.maxResultSize", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
     spark = get_spark("tdps-scale-verify")
     xdir = build_xn(spark, factor)
 
