@@ -62,7 +62,31 @@ def build_xn(spark, factor: int) -> str:
         if os.path.exists(out):
             continue
         if t == "events":
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # Spark cannot WRITE TIMESTAMP(NANOS): a Spark-side copy
+            # (nanosAsLong read) lands as a raw BIGINT ts column —
+            # fine for the engine (normalize_events accepts both
+            # encodings) but unusable by the DuckDB oracles, which
+            # address ts as a timestamp. Build the ×N events in
+            # DuckDB instead: it reads TIMESTAMP_NS at µs precision
+            # and writes timestamp[us], the OTHER encoding
+            # normalize_events accepts — so both engines see the
+            # same values and the events family becomes
+            # scale-verifiable (tools/scale_verify.py).
+            import duckdb
+
+            con = duckdb.connect()
+            src = os.path.join(SF, f"{t}.parquet")
+            n = con.execute(
+                f"SELECT MAX({idc}) + 1 FROM '{src}'"
+            ).fetchone()[0]
+            con.execute(
+                f"COPY (SELECT e.* REPLACE (e.{idc} + f.i * {n} AS {idc})"
+                f" FROM '{src}' e CROSS JOIN range({factor}) f(i))"
+                f" TO '{out}.tmp' (FORMAT PARQUET)"
+            )
+            con.close()
+            os.rename(out + ".tmp", out)
+            continue
         df = spark.read.parquet(os.path.join(SF, f"{t}.parquet"))
         if idc is None:
             copies = df

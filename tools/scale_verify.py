@@ -18,11 +18,12 @@ Usage:  python tools/scale_verify.py [--factor N] [query ...]
 The default list targets the operator families whose physical plans
 change shape with data volume: every two-phase-rank consumer, the
 sorted-neighborhood scans, the dedup/similarity candidate-generation
-paths, and the heaviest TPC-H joins. Excluded by design:
+paths, the events/time-series family (the probe corpus builds events
+in DuckDB at µs timestamp precision — one of the two encodings
+`catalog.normalize_events` accepts — so both engines read identical
+values), and the heaviest TPC-H joins. Excluded by design:
 `dedup_ngram_jaccard` (its Σdf² guard refuses the ×64 clique corpus —
-that refusal is itself probed in SCALING.md), and the events family
-(the probe corpus rewrites TIMESTAMP_NS as raw longs, so the DuckDB
-views see a different physical type than the sf0.1 originals).
+that refusal is itself probed in SCALING.md).
 """
 
 from __future__ import annotations
@@ -87,6 +88,24 @@ AT_RISK = [
     "text_bm25_topk",
     "text_winnowing_fingerprints",
     "text_fingerprint",
+    # events / time-series (dense-traffic adversarial: every event
+    # duplicated ×N at the same timestamp)
+    "hourly_event_rollup",
+    "events_rolling_hour_range",
+    "time_range_window",
+    "gap_fill_locf",
+    "streaks_active_days",
+    "ohlc_bars",
+    "time_weighted_avg",
+    "retention_cohorts",
+    "event_funnel_steps",
+    "funnel_time_to_convert",
+    "next_event_features",
+    "point_in_time_features",
+    "nearest_event_join",
+    "session_window_dynamic_gap",
+    "dau_wau_stickiness",
+    "asof_join_prior_purchase",
     # unpartitioned-window whitelist members (calendar-bounded claims)
     "moving_avg_7day",
     "monthly_trend_ma3",
@@ -142,10 +161,12 @@ def main() -> int:
     con = duckdb.connect(config={"memory_limit": "48GB"})
     con.execute(f"SET temp_directory='{xdir}/duckdb_spill'")
     for t in TABLES:
-        # Spark writes each ×N table as a directory of part files.
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{xdir}/{t}.parquet/*.parquet'"
-        )
+        # Spark writes each ×N table as a directory of part files;
+        # events is a single DuckDB-written file (see build_xn).
+        path = f"{xdir}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     specs = all_specs()
     fails: list[tuple[str, str]] = []
