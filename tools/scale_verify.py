@@ -106,6 +106,25 @@ AT_RISK = [
     "session_window_dynamic_gap",
     "dau_wau_stickiness",
     "asof_join_prior_purchase",
+    # multimodal binary columns (metadata, frame sampling, pHash bands)
+    "multimodal_audio_energy",
+    "multimodal_binary_meta",
+    "multimodal_decode_probe",
+    "multimodal_frame_sample",
+    "multimodal_modality_mix",
+    "multimodal_phash_near_dup",
+    "multimodal_resize_features",
+    "multimodal_scene_segments",
+    "multimodal_shard_packing",
+    # statistics / experiment-analysis wave
+    "permutation_test_means",
+    "bh_fdr_control",
+    "holm_stepdown_ab_tests",
+    "did_estimator",
+    "wilson_ci_conversion",
+    "skewness_exact_moments",
+    "forecast_backtest_suite",
+    "propensity_strata_att",
     # unpartitioned-window whitelist members (calendar-bounded claims)
     "moving_avg_7day",
     "monthly_trend_ma3",
