@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from transit_data_pipeline_spark.operators.registry import all_specs  # noqa: E402
 from transit_data_pipeline_spark.session import configure  # noqa: E402
 
-#: Every query with a driver CORRECTNESS row in rounds 1-6. Used to
+#: Every query with a driver CORRECTNESS row in rounds 1-7. Used to
 #: sort the post-front remainder: never-checked queries first (they
 #: claim leftover window slots), re-confirmations after, rows-only
 #: (no-oracle) queries last.
@@ -152,7 +152,7 @@ _EVER_CHECKED = frozenset(
         "winsorize_clip",
         "zscore_normalize",
         # round 6 (48 green + the 2 harness-compat reds re-fronted in
-        # _R7_FRONT below)
+        # _R8_FRONT below)
         "abc_customer_classification",
         "analysis_stop_hotspots",
         "collation_aware_grouping",
@@ -203,82 +203,128 @@ _EVER_CHECKED = frozenset(
         "vocab_zipf_fit",
         "xml_ingest_roundtrip",
         "zone_map_skipping_eval",
+        # round 7 (50/50 green — stats/timeseries/events wave)
+        "ab_cuped_adjustment",
+        "ab_srm_check",
+        "ab_test_zscore",
+        "acf_daily_orders",
+        "auc_mann_whitney",
+        "benford_audit",
+        "bh_fdr_control",
+        "bootstrap_poisson_ci",
+        "cross_corr_lagged",
+        "cusum_changepoint",
+        "did_estimator",
+        "downsample_lttb",
+        "event_attribution_last_touch",
+        "event_funnel_steps",
+        "event_markov_transitions",
+        "event_mix_entropy_daily",
+        "event_path_analysis",
+        "event_session_pmi",
+        "events_anomaly_mad",
+        "events_rate_anomaly",
+        "events_rolling_hour_range",
+        "ewma_smoothing",
+        "forecast_backtest_suite",
+        "funnel_time_to_convert",
+        "gains_lift_table",
+        "gap_fill_linear_interp",
+        "gap_fill_locf",
+        "gini_token_concentration",
+        "holm_stepdown_ab_tests",
+        "interarrival_dispersion",
+        "interval_coverage",
+        "mann_kendall_trend",
+        "model_calibration_bins",
+        "next_event_features",
+        "ohlc_bars",
+        "permutation_test_means",
+        "propensity_strata_att",
+        "retention_cohorts",
+        "rolling_regression_slope",
+        "seasonal_decompose_dow",
+        "skewness_exact_moments",
+        "streaks_active_days",
+        "survival_km_retention",
+        "theilsen_trend",
+        "time_range_window",
+        "time_weighted_avg",
+        "welch_ttest",
+        "wilson_ci_conversion",
     }
 )
 
 
-#: Round-7 front of the driver's ~50-query check window. 193 of 363
+#: Round-8 front of the driver's ~50-query check window. 145 of 363
 #: registered queries have never had a driver CORRECTNESS row (the
-#: window is ~50/round). Per VERDICT r6: the two r06 harness-compat
-#: reds first (q12 oracle BIGINT cast + lambda-suite array
-#: serialization landed this round — the green rows must post-date the
-#: fixes), then the never-checked stats/timeseries/events waves in
-#: queue order. The remainder of the never-checked backlog follows
-#: automatically via _ordered_specs.
-_R7_FRONT = (
-    # r06 reds, re-checked after this round's fixes
-    "tpch_q12_shipping_priority_class",
-    "higher_order_lambda_suite",
-    # r6-front tail that missed the 50-row window
-    "skewness_exact_moments",
-    "interarrival_dispersion",
-    "wilson_ci_conversion",
-    "bh_fdr_control",
-    "permutation_test_means",
-    "holm_stepdown_ab_tests",
-    "did_estimator",
-    "welch_ttest",
-    "gains_lift_table",
-    "mann_kendall_trend",
-    "downsample_lttb",
-    "events_rolling_hour_range",
-    "time_range_window",
-    "gap_fill_locf",
-    "streaks_active_days",
-    # stats / timeseries wave
-    "ab_test_zscore",
-    "ab_srm_check",
-    "ab_cuped_adjustment",
-    "acf_daily_orders",
-    "benford_audit",
-    "cusum_changepoint",
-    "ewma_smoothing",
-    "ohlc_bars",
-    "gap_fill_linear_interp",
-    "seasonal_decompose_dow",
-    "interval_coverage",
-    "time_weighted_avg",
-    "rolling_regression_slope",
-    "cross_corr_lagged",
-    "theilsen_trend",
-    "survival_km_retention",
-    "gini_token_concentration",
-    "forecast_backtest_suite",
-    "propensity_strata_att",
-    "bootstrap_poisson_ci",
-    "model_calibration_bins",
-    "auc_mann_whitney",
-    # events wave
-    "retention_cohorts",
-    "event_funnel_steps",
-    "events_rate_anomaly",
-    "funnel_time_to_convert",
-    "event_markov_transitions",
-    "event_attribution_last_touch",
-    "event_session_pmi",
-    "events_anomaly_mad",
-    "next_event_features",
-    "event_path_analysis",
-    "event_mix_entropy_daily",
-    "point_in_time_features",
-    "nearest_event_join",
-    "source_freshness_monitor",
-    "event_pattern_automaton",
-    "time_decay_attribution",
-    "shapley_channel_attribution",
-    "dau_wau_stickiness",
-    "session_window_dynamic_gap",
-    # buffer (graph wave head) in case the window runs long
+#: window is ~50/round). Per VERDICT r7 item 1: land this round's 50
+#: on the streaming / sketch / embedding / retrieval / dedup / dp
+#: families, plus the new D7 oracle-split query first so all 86 §2
+#: ops gain a hash-green row. The remainder of the never-checked
+#: backlog follows automatically via _ordered_specs.
+_R8_FRONT = (
+    # D7 oracle split (VERDICT r7 item 2) — hash-checkable metric
+    # arithmetic over frozen predictions
+    "ml_frozen_prediction_metrics",
+    # streaming wave (7)
+    "streaming_stream_stream_join",
+    "streaming_session_window",
+    "streaming_topk_trending",
+    "streaming_cdc_upsert",
+    "streaming_backfill_bridge",
+    "streaming_psi_drift",
+    "streaming_checkpoint_resume",
+    # sketch wave (9)
+    "sketch_bloom_membership",
+    "sketch_join_cardinality",
+    "sketch_kmv_union",
+    "sketch_kmv_intersection",
+    "sketch_kmv_rolling_distinct",
+    "sketch_ddsketch_quantiles",
+    "sketch_native_hll_datasketches",
+    "moments_partial_merge",
+    "topk_two_level_merge",
+    # embedding / similarity / retrieval wave (9)
+    "embedding_centroid_drift",
+    "embedding_knn_outliers",
+    "embedding_pca_power",
+    "embedding_matryoshka_recall",
+    "embedding_binary_quantization",
+    "jl_random_projection",
+    "retrieval_maxsim_late_interaction",
+    "retrieval_ndcg_eval",
+    "retrieval_rrf_fusion",
+    # dedup wave (12)
+    "dedup_substring_spans",
+    "minhash_source_overlap",
+    "dedup_graph_triangles",
+    "dedup_minhash_incremental",
+    "dedup_containment",
+    "lsh_threshold_sweep",
+    "dedup_semdedup",
+    "contrastive_pair_mining",
+    "simhash_eval_pr",
+    "doc_ngram_novelty",
+    "dedup_cluster_stats",
+    "fellegi_sunter_linkage",
+    # curation / dp wave (11)
+    "dedup_keep_best",
+    "k_anonymity_audit",
+    "l_diversity_audit",
+    "t_closeness_audit",
+    "dp_noisy_counts",
+    "dp_quantile_exponential",
+    "quality_weighted_sampling",
+    "erasure_cascade_audit",
+    "js_divergence_sources",
+    "token_budget_mix_solver",
+    "survivorship_merge",
+    # buffer in case the window runs long: multimodal + graph tails
+    "multimodal_shard_packing",
+    "multimodal_audio_energy",
+    "multimodal_scene_segments",
+    "multimodal_modality_mix",
     "bfs_shortest_hops",
     "kcore_trade_graph",
     "adamic_adar_link_prediction",
@@ -288,7 +334,7 @@ _R7_FRONT = (
 
 def _ordered_specs():
     specs = all_specs()
-    front = [n for n in _R7_FRONT if n in specs]
+    front = [n for n in _R8_FRONT if n in specs]
     rest = [n for n in specs if n not in set(front)]
     # Never-driver-checked queries before re-confirmations;
     # oracle-backed (strong hash-checked rows) before rows-only
