@@ -385,6 +385,161 @@ def ml_gbt_cv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Frozen deployed predictor for the D7 metric-arithmetic oracle
+#: below: per-weather-condition ±10-min band CENTERS, the w=0 arm of
+#: `ml_gbt_cv_metrics`'s calibration family conditioned on the one
+#: label-bearing feature of the simulation grid (weather condition).
+#: Frozen constants — NOT fitted at query time — so the whole query is
+#: pure SQL-expressible arithmetic.
+_FROZEN_CENTERS = (
+    ("clear", 10.6),
+    ("cloudy", 10.5),
+    ("rain", 8.8),
+    ("snow", 11.5),
+    ("storm", 11.4),
+)
+_CENTER_CASE = "CASE condition " + " ".join(
+    f"WHEN '{c}' THEN {v}" for c, v in _FROZEN_CENTERS
+) + " END"
+
+
+@register(
+    "ml_frozen_prediction_metrics",
+    ops=("D6", "D7", "A3", "A5", "P5", "J10", "F7"),
+    doc="The D7 oracle split (VERDICT r7 item 2): the reference's "
+    "model-evaluation arithmetic (`train_delay_model.py:358-416` — "
+    "MAE, RMSE, ±5/±10-min tolerance accuracy, bias, and the "
+    "acceptance gate acc_10min >= 0.85 from line 584) computed over a "
+    "DETERMINISTIC frozen-predictions fixture, so the metric block "
+    "that `ml_gbt_cv_metrics` can only rows-only-check gets a strict "
+    "value-hash row. Labels are the D5 delay-magnitude simulation on "
+    "the keyed-hash grid (identical recipe to synthetic_weather_model); "
+    "predictions are the deployed predictor family's w=0 arm — "
+    "per-condition band centers — frozen as constants. Per-condition "
+    "rows plus an ALL rollup row; every aggregate goes through exact "
+    "DECIMAL sufficient statistics (sum |err|, sum err², hit counts) "
+    "so the division/sqrt at the end is the only floating step on "
+    "both engines. The frozen predictor itself clears the reference's "
+    "published acceptance gate on the ALL row (measured 0.8646 vs "
+    "0.85). Scale shape: generated grid, zero input scan, one rollup "
+    "aggregate — constant work at any SF.",
+    oracle=f"""
+WITH grid AS (
+  SELECT d.day_index, h.hour,
+         d.day_index * 24 + h.hour + 1 AS cell_key
+  FROM range(0, {_GRID_DAYS}) d(day_index)
+  CROSS JOIN range(0, 24) h(hour)
+), drawn AS (
+  SELECT cell_key,
+    {_uniform_sql("cell_key", _H1)} AS u1,
+    {_uniform_sql("cell_key", _H2)} AS u2
+  FROM grid
+), cond AS (
+  SELECT *, {_COND_CASE} AS condition FROM drawn
+), model AS (
+  SELECT *, {_MULT_CASE} AS weather_mult FROM cond
+), frozen AS (
+  SELECT condition,
+    CAST(ROUND(GREATEST(1.0, LEAST(120.0,
+      (CASE WHEN u2 < 0.6 THEN 1.0 + u2 / 0.6 * 4.0
+            WHEN u2 < 0.85 THEN 6.0 + (u2 - 0.6) / 0.25 * 9.0
+            ELSE 16.0 + (u2 - 0.85) / 0.15 * 29.0 END)
+      * (1.0 + (weather_mult - 1.0) * 0.5))), 4) AS DECIMAL(12,4))
+      AS label,
+    CAST({_CENTER_CASE} AS DECIMAL(12,4)) AS pred
+  FROM model
+), errs AS (
+  SELECT condition, pred, label,
+         CAST(ABS(pred - label) AS DECIMAL(12,4)) AS abs_err
+  FROM frozen
+)
+SELECT COALESCE(condition, 'ALL') AS condition,
+  COUNT(*) AS n,
+  CAST(SUM(pred) AS DOUBLE) / COUNT(*) AS avg_pred,
+  CAST(SUM(label) AS DOUBLE) / COUNT(*) AS avg_label,
+  CAST(SUM(pred - label) AS DOUBLE) / COUNT(*) AS bias,
+  CAST(SUM(abs_err) AS DOUBLE) / COUNT(*) AS mae,
+  SQRT(CAST(SUM(abs_err * abs_err) AS DOUBLE) / COUNT(*)) AS rmse,
+  CAST(SUM(CASE WHEN abs_err <= 5.0 THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*) AS acc_5min,
+  CAST(SUM(CASE WHEN abs_err <= 10.0 THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*) AS acc_10min,
+  (CAST(SUM(CASE WHEN abs_err <= 10.0 THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*)) >= 0.85 AS meets_threshold
+FROM errs
+GROUP BY ROLLUP(condition)
+ORDER BY condition
+""",
+)
+def ml_frozen_prediction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = spark.range(_GRID_DAYS).select(F.col("id").alias("day_index"))
+    hours = spark.range(24).select(F.col("id").alias("hour"))
+    grid = days.crossJoin(hours).withColumn(
+        "cell_key", F.col("day_index") * 24 + F.col("hour") + 1
+    )
+    drawn = grid.select(
+        _uniform_col(F.col("cell_key"), _H1).alias("u1"),
+        _uniform_col(F.col("cell_key"), _H2).alias("u2"),
+    )
+    model = drawn.withColumn("condition", F.expr(_COND_CASE)).withColumn(
+        "weather_mult", F.expr(_MULT_CASE)
+    )
+    magnitude = (
+        F.when(F.col("u2") < 0.6, 1.0 + F.col("u2") / 0.6 * 4.0)
+        .when(F.col("u2") < 0.85, 6.0 + (F.col("u2") - 0.6) / 0.25 * 9.0)
+        .otherwise(16.0 + (F.col("u2") - 0.85) / 0.15 * 29.0)
+    ) * (1.0 + (F.col("weather_mult") - 1.0) * 0.5)
+    frozen = model.select(
+        "condition",
+        F.round(F.greatest(F.lit(1.0), F.least(F.lit(120.0), magnitude)), 4)
+        .cast("decimal(12,4)")
+        .alias("label"),
+        F.expr(_CENTER_CASE).cast("decimal(12,4)").alias("pred"),
+    )
+    # abs_err re-cast to DECIMAL(12,4) before squaring: the raw
+    # subtraction widens precision, and a 13+13-digit product would
+    # trip Spark's >38-precision scale reduction (a lossy rounding
+    # DuckDB doesn't apply). 12+12 stays exact on both engines.
+    errs = frozen.withColumn(
+        "abs_err", F.abs(F.col("pred") - F.col("label")).cast("decimal(12,4)")
+    )
+    n = F.count(F.lit(1))
+    hit = lambda tol: F.sum(  # noqa: E731
+        F.when(F.col("abs_err") <= tol, 1).otherwise(0)
+    ).cast("double")
+    return (
+        errs.rollup("condition")
+        .agg(
+            n.alias("n"),
+            (F.sum("pred").cast("double") / n).alias("avg_pred"),
+            (F.sum("label").cast("double") / n).alias("avg_label"),
+            (F.sum(F.col("pred") - F.col("label")).cast("double") / n).alias(
+                "bias"
+            ),
+            (F.sum("abs_err").cast("double") / n).alias("mae"),
+            F.sqrt(
+                F.sum(F.col("abs_err") * F.col("abs_err")).cast("double") / n
+            ).alias("rmse"),
+            (hit(5.0) / n).alias("acc_5min"),
+            (hit(10.0) / n).alias("acc_10min"),
+            ((hit(10.0) / n) >= 0.85).alias("meets_threshold"),
+        )
+        .select(
+            F.coalesce(F.col("condition"), F.lit("ALL")).alias("condition"),
+            "n",
+            "avg_pred",
+            "avg_label",
+            "bias",
+            "mae",
+            "rmse",
+            "acc_5min",
+            "acc_10min",
+            "meets_threshold",
+        )
+        .orderBy("condition")
+    )
+
+
 @register(
     "feature_drift_psi",
     ops=("A3", "A9", "F13"),
