@@ -2180,10 +2180,24 @@ def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "every event sees the count and decimal-exact value sum of its "
     "type's preceding hour, the per-event feature the tumbling "
     "hourly rollup can't express (events near bucket edges lose "
-    "their recent context there). Type-partitioned sort, no global "
-    "window; emitted sample is 5% taken AFTER the window so frames "
-    "see every row. The DuckDB twin uses the same numeric-epoch "
-    "RANGE frame.",
+    "their recent context there). Computed as a bucketed TWO-PASS "
+    "(VERDICT r7 item 7), not a sliding RANGE frame: a trailing "
+    "[t-3599, t] window spans at most two hour buckets, so each "
+    "event's answer is (its own bucket's inclusive prefix at t) + "
+    "(the previous bucket's suffix past t-3600), and both pieces are "
+    "CUMULATIVE frames — O(n) incremental evaluation over thousands "
+    "of (type, hour) partitions — where Spark's sliding RANGE frame "
+    "re-aggregates its whole buffer per row (O(n x frame density), "
+    "15.7x at the x64 probe) and parallelizes only per type. The "
+    "suffix lookup is a ghost-probe row at offset t mod 3600 in the "
+    "previous bucket (suffix = bucket total - ghost's inclusive "
+    "prefix; ghosts carry zero weight and are emitted only for the "
+    "5% output sample), merged back by one event_id equi-join. Order "
+    "inside a bucket is the single numeric key offset*2+is_ghost, so "
+    "ONE RANGE-cumulative window serves real rows (offset ties "
+    "inclusive) and ghosts (reals at the same offset inclusive) at "
+    "once. The DuckDB twin keeps the declarative numeric-epoch RANGE "
+    "frame.",
     oracle=f"""
 WITH ev AS (
   SELECT event_id, event_type, value,
@@ -2211,23 +2225,92 @@ def events_rolling_hour_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Integer division: epoch nanos (~1.7e18) exceed double's 2^53
     # exact range, so a float divide would corrupt the low digits.
     sec = F.expr("ts div 1000000000")
-    ev = e.select("event_id", "event_type", "value", sec.alias("sec"))
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("sec")
-        .rangeBetween(-3599, 0)
-    )
-    out = ev.select(
+    ev = e.select(
         "event_id",
         "event_type",
-        F.col("sec").cast("bigint").alias("sec"),
-        F.count(F.lit(1)).over(w).cast("bigint").alias("n_prev_hour"),
-        F.sum(F.col("value").cast(N.DEC))
-        .over(w)
+        "value",
+        sec.cast("bigint").alias("sec"),
+    ).select(
+        "*",
+        (F.col("sec") - F.col("sec") % 3600).alias("hr"),
+        (F.col("sec") % 3600).alias("off"),
+    )
+    sampled = F.col("event_id") % 20 == 0
+    real = ev.select(
+        "event_id",
+        "event_type",
+        "sec",
+        "hr",
+        # single numeric order key: reals at 2*off, ghosts at
+        # 2*off + 1 — a ghost's cumulative frame includes every real
+        # row at its own offset, a real row's includes its offset ties
+        # but no same-offset ghost.
+        (F.col("off") * 2).alias("k"),
+        F.lit(1).alias("w_n"),
+        F.col("value").cast(N.DEC).alias("w_v"),
+        F.lit(False).alias("is_ghost"),
+    )
+    ghosts = ev.filter(sampled).select(
+        "event_id",
+        "event_type",
+        "sec",
+        (F.col("hr") - 3600).alias("hr"),
+        (F.col("off") * 2 + 1).alias("k"),
+        F.lit(0).alias("w_n"),
+        F.lit(None).cast(N.DEC).alias("w_v"),
+        F.lit(True).alias("is_ghost"),
+    )
+    wcum = (
+        Window.partitionBy("event_type", "hr")
+        .orderBy("k")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("event_type", "hr")
+    cum = real.unionByName(ghosts).select(
+        "event_id",
+        "event_type",
+        "sec",
+        "is_ghost",
+        F.sum("w_n").over(wcum).alias("pre_n"),
+        F.sum("w_v").over(wcum).alias("pre_v"),
+        F.sum("w_n").over(wtot).alias("tot_n"),
+        F.sum("w_v").over(wtot).alias("tot_v"),
+    )
+    own = cum.filter(~F.col("is_ghost") & sampled).select(
+        "event_id",
+        "event_type",
+        "sec",
+        F.col("pre_n").alias("own_n"),
+        F.col("pre_v").alias("own_v"),
+    )
+    # Previous-bucket suffix past t-3600 = bucket total − inclusive
+    # prefix at the ghost's offset. An empty previous bucket is a
+    # one-ghost partition: total == prefix == the ghost's zero weight.
+    rem = cum.filter(F.col("is_ghost")).select(
+        "event_id",
+        (F.col("tot_n") - F.col("pre_n")).alias("rem_n"),
+        (F.col("tot_v") - F.coalesce(F.col("pre_v"), F.lit(0).cast(N.DEC))).alias(
+            "rem_v"
+        ),
+    )
+    zero = F.lit(0).cast(N.DEC)
+    return own.join(rem, "event_id").select(
+        "event_id",
+        "event_type",
+        "sec",
+        (F.col("own_n") + F.col("rem_n")).cast("bigint").alias("n_prev_hour"),
+        # NULL iff the whole trailing window held no non-null value
+        # (exact SUM-over-frame semantics).
+        F.when(
+            F.col("own_v").isNull() & F.col("rem_v").isNull(),
+            F.lit(None).cast(N.DEC),
+        )
+        .otherwise(
+            F.coalesce(F.col("own_v"), zero) + F.coalesce(F.col("rem_v"), zero)
+        )
         .cast("double")
         .alias("value_prev_hour"),
     )
-    return out.filter(F.col("event_id") % 20 == 0)
 
 
 @register(
