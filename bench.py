@@ -56,6 +56,30 @@ def main() -> None:
     ).mapInPandas(_noop_pdf, "id long").write.format("noop").mode(
         "overwrite"
     ).save()
+    # ...and the Structured-Streaming machinery (microbatch scheduler
+    # thread pool, state-store provider registry, streaming-metrics
+    # listeners): a one-file drain through a stateful aggregate pays
+    # the engine's one-time init so the first timed streaming query
+    # measures its plan, not engine bring-up (VERDICT r7 item 6).
+    import tempfile as _tf
+
+    with _tf.TemporaryDirectory(prefix="tdps_bench_warm_") as wdir:
+        spark.range(64).selectExpr("id", "id % 4 AS k").write.parquet(
+            os.path.join(wdir, "src")
+        )
+        (
+            spark.readStream.schema("id long, k long")
+            .parquet(os.path.join(wdir, "src"))
+            .groupBy("k")
+            .count()
+            .writeStream.format("memory")
+            .queryName("tdps_bench_warm")
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(wdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
 
     # Iterative driver-loop queries compile a fresh plan per loop round,
     # so their run-to-run variance is ±40% (JIT/codegen debt) — one
@@ -80,7 +104,16 @@ def main() -> None:
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = time.perf_counter() - t0
-        reps = 2 if name in noisy else (1 if best > 1.5 or name in anchor else 0)
+        # Streaming queries always get best-of-3: the first run stages
+        # scratch dirs and a fresh checkpoint AND pays family-level
+        # JIT debt (state-store/file-sink codepaths) that the generic
+        # warmup can't reach — measured: run 1 is 30-80% over steady
+        # state, runs 2-3 sit within ~10% of it.
+        reps = (
+            2
+            if name in noisy or name.startswith("streaming_")
+            else (1 if best > 1.5 or name in anchor else 0)
+        )
         for _ in range(reps):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
