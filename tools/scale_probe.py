@@ -79,8 +79,16 @@ def build_xn(spark, factor: int) -> str:
             n = con.execute(
                 f"SELECT MAX({idc}) + 1 FROM '{src}'"
             ).fetchone()[0]
+            # The CAST(ts AS TIMESTAMP) is explicit and version-
+            # independent (ADVICE r7): DuckDB 1.0 implicitly truncates
+            # TIMESTAMP_NS to µs on read, but newer DuckDB preserves
+            # native TIMESTAMP_NS and would write TIMESTAMP(NANOS)
+            # parquet that Spark cannot read without the nanosAsLong
+            # conf. Forcing µs here pins the encoding contract.
             con.execute(
-                f"COPY (SELECT e.* REPLACE (e.{idc} + f.i * {n} AS {idc})"
+                f"COPY (SELECT e.* REPLACE ("
+                f"CAST(e.ts AS TIMESTAMP) AS ts, "
+                f"e.{idc} + f.i * {n} AS {idc})"
                 f" FROM '{src}' e CROSS JOIN range({factor}) f(i))"
                 f" TO '{out}.tmp' (FORMAT PARQUET)"
             )

@@ -15,6 +15,29 @@ being a permutation, while every sf ≤ 0.1 check stays green.
 Usage:  python tools/scale_verify.py [--factor N] [query ...]
         (default ×64 over the curated at-risk list below)
 
+Per-query harness bounds (VERDICT r7 item 4 / ADVICE r7): some
+oracles cannot run at ×64 on a single node — the BOUNDS table
+annotates each such query with its verification mode above ×8:
+
+* ``digest`` — the full-result pandas diff is replaced by an
+  order-insensitive digest computed INSIDE each engine (count + two
+  polynomial sums over per-row md5s of canonically rendered rows),
+  so neither side materializes the result out of the engine. Used
+  where the answer set itself is huge (dedup_simhash's ~100M
+  Hamming pairs, >8.7 GiB collected).
+* ``max_factor`` — the DuckDB GROUND TRUTH is all-pairs /
+  recursive-CTE quadratic BY DEFINITION and exhausts the single
+  node above the stated factor; the engine side completes. These
+  queries are strict-verified up to the bound and SKIPPED (with the
+  reason printed) above it; a skip is not a failure.
+* ``expected_refusal`` — the ENGINE's own blast-radius guard refuses
+  the duplicate-saturated corpus by design at or above the stated
+  factor; the refusal itself is asserted (anything other than the
+  guard's error is a failure).
+
+A default invocation therefore exits 0 unless something UNEXPECTED
+fails — expected harness bounds no longer masquerade as regressions.
+
 The default list targets the operator families whose physical plans
 change shape with data volume: every two-phase-rank consumer, the
 sorted-neighborhood scans, the dedup/similarity candidate-generation
@@ -136,6 +159,210 @@ AT_RISK = [
 ]
 
 
+#: Per-query harness bounds (see module docstring). Key → dict with
+#: optional fields: "digest" (use in-engine digest compare above this
+#: factor), "max_factor" (oracle-compute-bounded: skip above),
+#: "expected_refusal" (engine guard refuses at/above this factor),
+#: "reason" (printed on skip/refusal).
+BOUNDS: dict[str, dict] = {
+    "dedup_simhash": {
+        "digest": 8,
+        "reason": "answer set is Θ(true pairs): ~100M block-local "
+        "Hamming pairs at ×64 (>8.7 GiB collected) — digest keeps "
+        "both sides in-engine",
+    },
+    "simhash_eval_pr": {
+        "expected_refusal": 8,
+        "reason": "engine Σdf² blast-radius guard refuses "
+        "duplicate-saturated corpora (Σdf²=179M > 100M cap at ×8) "
+        "by design — the refusal is the asserted behavior",
+    },
+    "dedup_components": {
+        "max_factor": 8,
+        "reason": "DuckDB ground truth is recursive-CTE reachability "
+        "over clique-quadratic dup edges — exhausts the 48 GB oracle "
+        "cap above ×8; the Spark side completes (SCALING.md ×64 "
+        "campaign)",
+    },
+    "dedup_cluster_stats": {
+        "max_factor": 8,
+        "reason": "composes dedup_components' recursive-CTE oracle — "
+        "same single-node ground-truth bound",
+    },
+    "dedup_keep_best": {
+        "max_factor": 8,
+        "reason": "composes dedup_components' recursive-CTE oracle — "
+        "same single-node ground-truth bound",
+    },
+    "dedup_semdedup": {
+        "max_factor": 8,
+        "reason": "oracle ground truth is within-cluster all-pairs "
+        "(quadratic per 64-clique) — exhausts the single-node oracle "
+        "above ×8",
+    },
+    "lsh_threshold_sweep": {
+        "max_factor": 8,
+        "reason": "oracle verifies every candidate pair exactly; the "
+        "×64 clique corpus inflates true pairs quadratically past "
+        "the single-node oracle",
+    },
+    "minhash_source_overlap": {
+        "max_factor": 8,
+        "reason": "oracle joins full shingle posting lists (fanout "
+        "Σdf² on the duplicated corpus) — single-node bound above ×8",
+    },
+}
+
+#: Multiplier base for the per-row md5 polynomial digest (any odd
+#: number > 102 works; 12 hex chars × 131^11 × 200M rows stays far
+#: inside DECIMAL(38,0)).
+_POLY_BASE = 131
+
+
+def _poly_sql(h: str, start: int, nchars: int = 12) -> str:
+    """SUM-able polynomial over md5-hex chars [start, start+nchars) —
+    identical SQL for Spark and DuckDB (ascii/substr are common). Each
+    term is cast to DECIMAL(38,0) BEFORE the multiply: DuckDB would
+    otherwise evaluate ascii()*literal in INT32 and overflow, and
+    Spark big-integer literals only stay exact as decimals."""
+    terms = " + ".join(
+        f"CAST(ascii(substr({h}, {start + i}, 1)) AS DECIMAL(38,0))"
+        f" * {_POLY_BASE**i}"
+        for i in range(nchars)
+    )
+    return f"CAST({terms} AS DECIMAL(38,0))"
+
+
+def _render_sql(col: str, family: str) -> str:
+    """Canonical cross-engine VARCHAR rendering of one column (shared
+    SQL dialect subset). `family`: int|float|decimal|bool|str|date|
+    timestamp. Floats/decimals round to 6dp then render via
+    DECIMAL(38,6) so both engines print identical fixed-scale text
+    (the underlying doubles are bitwise-equal by construction — the
+    rounding only normalizes formatting)."""
+    if family == "float" or family == "decimal":
+        r = f"CAST(CAST(ROUND({col}, 6) AS DECIMAL(38,6)) AS STRING)"
+    elif family == "bool":
+        r = f"CAST(CAST({col} AS INT) AS STRING)"
+    elif family == "timestamp":
+        # epoch micros: engine-native timestamp→text formats differ
+        # in fractional-second rendering; integers never do. The
+        # function name differs per engine — handled by the caller.
+        raise AssertionError("timestamp handled by caller")
+    else:  # int / str / date render identically
+        r = f"CAST({col} AS STRING)"
+    return f"COALESCE({r}, chr(1))"
+
+
+def _digest_exprs(cols: list[tuple[str, str]], ts_fn: str, quote: str) -> str:
+    """(count, h1, h2) digest select-list over canonically rendered,
+    name-sorted columns. `ts_fn`: engine's timestamp→epoch-micros
+    function (unix_micros for Spark, epoch_us for DuckDB). `quote`:
+    the engine's IDENTIFIER quote — backtick for Spark, double quote
+    for DuckDB (double quotes are string LITERALS in Spark SQL)."""
+    rendered = []
+    for c, fam in sorted(cols):
+        q = f"{quote}{c}{quote}"
+        if fam == "timestamp":
+            rendered.append(f"COALESCE(CAST({ts_fn}({q}) AS STRING), chr(1))")
+        else:
+            rendered.append(_render_sql(q, fam))
+    row = "md5(concat_ws('|', " + ", ".join(rendered) + "))"
+    return (
+        f"COUNT(*) AS n, SUM({_poly_sql(row, 1)}) AS h1, "
+        f"SUM({_poly_sql(row, 13)}) AS h2"
+    )
+
+
+def _spark_family(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.TimestampType):
+        return "timestamp"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    return "str"
+
+
+def _duck_family(type_name: str) -> str:
+    t = type_name.upper()
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t == "BOOLEAN":
+        return "bool"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t == "DATE":
+        return "date"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    return "str"
+
+
+def digest_compare(spark_df, oracle_sql: str, con) -> list[str]:
+    """Order-insensitive in-engine digest compare: neither side
+    materializes the result set; each computes (count, h1, h2) and
+    only the three scalars cross the engine boundary."""
+    s_cols = [
+        (f.name, _spark_family(f.dataType)) for f in spark_df.schema.fields
+    ]
+    d_desc = con.execute(
+        f"DESCRIBE SELECT * FROM ({oracle_sql}) _dt"
+    ).fetchall()
+    d_cols = [(r[0], _duck_family(r[1])) for r in d_desc]
+    if sorted(c for c, _ in s_cols) != sorted(c for c, _ in d_cols):
+        return [
+            f"digest schema: spark={sorted(c for c, _ in s_cols)} "
+            f"duck={sorted(c for c, _ in d_cols)}"
+        ]
+    sel = _digest_exprs(s_cols, "unix_micros", "`")
+    s = spark_df.selectExpr(*[p.strip() for p in _split_select(sel)]).collect()[0]
+    d = con.execute(
+        f"SELECT {_digest_exprs(d_cols, 'epoch_us', chr(34))} "
+        f"FROM ({oracle_sql}) _dt"
+    ).fetchone()
+    import decimal as _dec
+
+    def _n(v):
+        return int(v) if isinstance(v, (int, _dec.Decimal)) else v
+
+    s_t = (int(s["n"]), _n(s["h1"]), _n(s["h2"]))
+    d_t = (int(d[0]), _n(d[1]), _n(d[2]))
+    if s_t != d_t:
+        return [f"digest mismatch: spark={s_t} duck={d_t}"]
+    return []
+
+
+def _split_select(sel: str) -> list[str]:
+    """Split a digest select-list into its three top-level items
+    (no nested commas outside parens need handling beyond depth
+    tracking)."""
+    out, depth, cur = [], 0, []
+    for ch in sel:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return out
+
+
 def main() -> int:
     args = sys.argv[1:]
     factor = 64
@@ -189,6 +416,7 @@ def main() -> int:
 
     specs = all_specs()
     fails: list[tuple[str, str]] = []
+    n_skipped = 0
     for name in names:
         spec = specs.get(name)
         if spec is None:
@@ -196,24 +424,60 @@ def main() -> int:
             continue
         if spec.oracle is None:
             print(f"{name}: SKIP (rows-only, no oracle)", flush=True)
+            n_skipped += 1
             continue
+        bound = BOUNDS.get(name, {})
+        if factor > bound.get("max_factor", factor):
+            print(
+                f"{name}: SKIP at ×{factor} (strict-verified up to "
+                f"×{bound['max_factor']}: {bound['reason']})",
+                flush=True,
+            )
+            n_skipped += 1
+            continue
+        refusal_at = bound.get("expected_refusal")
+        use_digest = factor > bound.get("digest", factor)
         t0 = time.monotonic()
         try:
-            problems = compare(spec.fn(spark, xdir), spec.oracle, con)
+            df = spec.fn(spark, xdir)
+            if use_digest:
+                problems = digest_compare(df, spec.oracle, con)
+            else:
+                problems = compare(df, spec.oracle, con)
         except Exception as e:  # noqa: BLE001 — report and continue
+            dt = time.monotonic() - t0
+            if refusal_at is not None and factor >= refusal_at:
+                # The engine guard's refusal IS the asserted behavior.
+                print(
+                    f"{name}: OK-REFUSED as designed ({dt:.1f}s): "
+                    f"{str(e)[:160]}",
+                    flush=True,
+                )
+                continue
             fails.append((name, f"EXC {type(e).__name__}: {e}"))
-            print(f"{name}: EXC {type(e).__name__} "
-                  f"({time.monotonic() - t0:.1f}s)", flush=True)
+            print(f"{name}: EXC {type(e).__name__} ({dt:.1f}s)", flush=True)
             continue
         dt = time.monotonic() - t0
+        if refusal_at is not None and factor >= refusal_at:
+            fails.append(
+                (name, f"guard did NOT refuse at ×{factor} "
+                 f"(expected refusal: {bound['reason']})")
+            )
+            print(f"{name}: FAIL — expected refusal absent ({dt:.1f}s)",
+                  flush=True)
+            continue
         if problems:
             fails.append((name, "; ".join(problems)[:500]))
-            print(f"{name}: FAIL ({dt:.1f}s)", flush=True)
+            tag = "FAIL(digest)" if use_digest else "FAIL"
+            print(f"{name}: {tag} ({dt:.1f}s)", flush=True)
         else:
-            print(f"{name}: OK ({dt:.1f}s)", flush=True)
+            tag = "OK(digest)" if use_digest else "OK"
+            print(f"{name}: {tag} ({dt:.1f}s)", flush=True)
 
+    n_green = len(names) - len(fails) - n_skipped
     print(f"\n{'FAILURES:' if fails else 'ALL OK'} "
-          f"({len(names) - len(fails)}/{len(names)} green at ×{factor})")
+          f"({n_green}/{len(names)} green at ×{factor}, "
+          f"{n_skipped} skipped at documented harness bounds)")
     for n, m in fails:
         print(f"  {n}: {m}")
     return 1 if fails else 0

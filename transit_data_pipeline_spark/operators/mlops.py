@@ -269,6 +269,13 @@ def ml_gbt_cv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BELOW this generator's derivable Bayes floor (~6.9 expected
     # conditioning on all magnitude signal) — unreachable by any
     # predictor out of sample; full derivation in BASELINE.md §D7.
+    # SEED-PINNED GATE (ADVICE r7): mae_bound leaves only 0.28 of
+    # headroom over the measured 7.32 deployed test MAE, and
+    # POOL_FACTOR was tuned on the seed-42 fixture specifically —
+    # both sit ON the measured frontier by design. If the synth
+    # fixture, its seed, or the Spark ML version changes, re-derive
+    # both from the sweep documented above (and in BASELINE.md §D7)
+    # rather than loosening the asserted gate ad hoc.
     mae_bound = 7.6
     POOL_FACTOR = 1.05
 
