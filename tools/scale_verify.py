@@ -169,7 +169,19 @@ BOUNDS: dict[str, dict] = {
         "digest": 8,
         "reason": "answer set is Θ(true pairs): ~100M block-local "
         "Hamming pairs at ×64 (>8.7 GiB collected) — digest keeps "
-        "both sides in-engine",
+        "both sides in-engine (measured DIGEST-OK at ×64 in 946 s)",
+    },
+    "minhash_source_overlap": {
+        "digest": 8,
+        "reason": "oracle joins full shingle posting lists — fine "
+        "in-engine (DIGEST-OK at ×64 in 12 s); only the pandas "
+        "transfer was the ×8 ceiling",
+    },
+    "lsh_threshold_sweep": {
+        "digest": 8,
+        "reason": "candidate-pair verification sweep — oracle "
+        "computes at ×64 when the result stays in-engine "
+        "(DIGEST-OK in 548 s)",
     },
     "simhash_eval_pr": {
         "expected_refusal": 8,
@@ -197,19 +209,10 @@ BOUNDS: dict[str, dict] = {
     "dedup_semdedup": {
         "max_factor": 8,
         "reason": "oracle ground truth is within-cluster all-pairs "
-        "(quadratic per 64-clique) — exhausts the single-node oracle "
-        "above ×8",
-    },
-    "lsh_threshold_sweep": {
-        "max_factor": 8,
-        "reason": "oracle verifies every candidate pair exactly; the "
-        "×64 clique corpus inflates true pairs quadratically past "
-        "the single-node oracle",
-    },
-    "minhash_source_overlap": {
-        "max_factor": 8,
-        "reason": "oracle joins full shingle posting lists (fanout "
-        "Σdf² on the duplicated corpus) — single-node bound above ×8",
+        "(quadratic per 64-clique): even the in-engine digest ran "
+        "the single node out of spill DISK at ×64 (measured: "
+        "IOException after 474 s with the 48 GB memory cap + "
+        ">77 GB of DuckDB temp) — a genuine single-node bound",
     },
 }
 
