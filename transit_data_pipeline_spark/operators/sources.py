@@ -946,98 +946,71 @@ def zone_map_skipping_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h"),
     )
 
-    # Both layout orderings ride ONE range exchange and ONE pinned
-    # frame (VERDICT r7: the per-layout variant pinned two 600K-row
-    # checkpoints and scanned+hashed lineitem twice). The orderings
-    # are expressed as common-typed sort keys (k1, k2) — the ship date
-    # is rendered as a fixed-width string so both layouts sort string
-    # pairs — and 'layout' leads the range key, so each layout's rows
-    # occupy a contiguous pid range. A boundary partition can straddle
-    # the two layouts, so local ranks and prefix counts are keyed by
-    # (pid, layout), never pid alone.
-    # The timestamp itself is not carried — the fixed-width ship
-    # string orders and compares identically, and each row's ship
-    # string is recoverable from (layout, k1, k2). The hashed scan is
-    # pinned BEFORE the union: its three consumers (each union branch
-    # plus the RangePartitioner's sampling pass) read the ~50-byte-row
-    # materialization instead of re-running scan+md5 — this is where
-    # the per-layout variant burned 4 lineitem scans.
-    from ..functions.ranking import _pin_partitions
-
-    ship_s = F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss")
-    hashed = _pin_partitions(keyed.select(ship_s.alias("s"), "h"))
-    tagged = hashed.select(
-        F.lit("clustered").alias("layout"),
-        F.col("s").alias("k1"),
-        F.col("h").alias("k2"),
-    ).unionByName(
-        hashed.select(
-            F.lit("scattered").alias("layout"),
-            F.col("h").alias("k1"),
-            F.col("s").alias("k2"),
-        )
-    )
-    # Distributed two-phase global rank (never a single-partition
-    # window): range-partition on the sort key, rank locally, then
-    # add the exclusive prefix count of earlier partitions (a
-    # ≤128-row broadcast). Ties share a ship date, so rank ties being
-    # partition-boundary-dependent cannot change any chunk's
+    # Global rank via VALUE-BUCKETED two-phase rank — no range
+    # exchange, no checkpoint: each layout buckets on a PREFIX of its
+    # own sort key (the day prefix of the fixed-width ship string;
+    # the first two hex chars of the scatter hash), so the bucket id
+    # is a pure row function, prefix-monotone in the sort order, and
+    # every re-execution of the hash shuffle lands rows identically —
+    # the branch-consistency problem that forced r7's pinned range
+    # exchange (RangePartitioner's RDD-id-seeded sampling) simply
+    # does not exist here. lrn within bucket + exclusive prefix of
+    # earlier buckets (a bucket-count-sized broadcast) = global rank.
+    # Ties share a ship date (clustered) / a full row image
+    # (scattered), so residual tie order cannot change any chunk's
     # min/max/match stats — the oracle's serial ROW_NUMBER agrees.
-    # _pin_partitions: the rank branch and the counts branch must
-    # read ONE pid↔row assignment (RangePartitioner's sampling is
-    # RDD-id-seeded; see functions/ranking.py — the r7 ×64 probe
-    # showed unpinned branches can disagree on boundaries).
-    part = _pin_partitions(
-        tagged.repartitionByRange(128, "layout", "k1", "k2").withColumn(
-            "pid", F.spark_partition_id()
+    # Scale posture: ~2.5K day buckets / 256 hex buckets at sf0.1;
+    # at larger volumes widen the prefixes (hour buckets, 3 hex
+    # chars) — the broadcast stays tiny and the plan shape is
+    # unchanged.
+    ship_s = F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss")
+    hashed = keyed.select(ship_s.alias("s"), "h")
+
+    def layout(name: str, bucket, order) -> DataFrame:
+        b = hashed.withColumn("bkt", bucket)
+        local = b.withColumn(
+            "lrn",
+            F.row_number().over(Window.partitionBy("bkt").orderBy(*order)),
         )
-    )
-    local = part.withColumn(
-        "lrn",
-        F.row_number().over(
-            Window.partitionBy("pid", "layout").orderBy("k1", "k2")
-        ),
-    )
-    counts = local.groupBy("layout", "pid").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    # Windowless per-layout prefix merge (pid_prefix_offsets
-    # generalized over the layout tag): pack each layout's
-    # (pid, cnt) rows into one sorted array, take exclusive
-    # prefixes with transform/aggregate — no WindowExec.
-    ps = F.col("ps")
-    packed = counts.groupBy("layout").agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col("pid").alias("p"), F.col("cnt").alias("c")))
-        ).alias("ps")
-    )
-    offs = packed.select(
-        "layout",
-        F.explode(
-            F.transform(
-                ps,
-                lambda _, i: F.struct(
-                    F.element_at(ps, i + 1)["p"].alias("pid"),
-                    F.aggregate(
-                        F.slice(ps, F.lit(1), i),
-                        F.lit(0).cast("long"),
-                        lambda a, x: a + x["c"],
-                    ).alias("off"),
-                ),
-            )
-        ).alias("o"),
-    ).select("layout", "o.*")
-    # Per-row ship string (fixed-format, so string order == timestamp
-    # order): k1 for the clustered rows, k2 for the scattered ones.
-    layouts = local.join(F.broadcast(offs), ["pid", "layout"]).select(
-        "layout",
-        F.when(F.col("layout") == "clustered", F.col("k1"))
-        .otherwise(F.col("k2"))
-        .alias("ship_s"),
-        ((F.col("lrn") + F.col("off") - 1) / _ZM_CHUNK)
-        .cast("long")
-        .alias("chunk"),
-    )
+        counts = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
+        # Windowless prefix merge over the sorted bucket ids
+        # (pid_prefix_offsets with a string key): bucket ids are
+        # prefix-monotone in the sort key, so lexicographic bucket
+        # order == global key order.
+        ps = F.col("ps")
+        packed = counts.agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("bkt").alias("p"), F.col("cnt").alias("c"))
+                )
+            ).alias("ps")
+        )
+        offs = packed.select(
+            F.explode(
+                F.transform(
+                    ps,
+                    lambda _, i: F.struct(
+                        F.element_at(ps, i + 1)["p"].alias("bkt"),
+                        F.aggregate(
+                            F.slice(ps, F.lit(1), i),
+                            F.lit(0).cast("long"),
+                            lambda a, x: a + x["c"],
+                        ).alias("off"),
+                    ),
+                )
+            ).alias("o"),
+        ).select("o.*")
+        return local.join(F.broadcast(offs), "bkt").select(
+            F.lit(name).alias("layout"),
+            F.col("s").alias("ship_s"),
+            ((F.col("lrn") + F.col("off") - 1) / _ZM_CHUNK)
+            .cast("long")
+            .alias("chunk"),
+        )
+
+    layouts = layout(
+        "clustered", F.substring("s", 1, 10), ("s", "h")
+    ).unionByName(layout("scattered", F.substring("h", 1, 2), ("h", "s")))
     lo = F.lit(_ZM_LO + " 00:00:00")
     hi = F.lit(_ZM_HI + " 00:00:00")
     in_pred = (F.col("ship_s") >= lo) & (F.col("ship_s") < hi)
