@@ -2416,3 +2416,119 @@ def test_pid_prefix_offsets_exclusive_counts(spark):
     assert rows[0]["off"] == 0 and rows[2]["off"] == 5
     assert rows[5]["off"] == 8 and rows[6]["off"] == 15
     assert all(r["n_total"] == 16 for r in rows.values())
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # event_type id
+            # seconds clustered around hour boundaries so bucket-edge
+            # cases (off == 0, off == 3599, t-3599 in an empty bucket)
+            # are common, plus dense ties on identical seconds
+            st.integers(min_value=0, max_value=5) ,
+            st.integers(min_value=-2, max_value=2),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_rolling_hour_two_pass_matches_sliding_frame(spark, rows):
+    """The bucketed two-pass decomposition (events.py: own-bucket
+    prefix + previous-bucket suffix via ghost probes) must equal
+    Spark's own declarative sliding RANGE frame on arbitrary data —
+    including hour-boundary offsets, per-second ties, and empty
+    previous buckets."""
+    from pyspark.sql.window import Window
+
+    data = [
+        (
+            i,  # event_id — every row sampled (id % 20 hits row 0 etc.)
+            f"t{t}",
+            # hours 0-5 with offsets hugging the bucket edges
+            h * 3600 + {-2: 0, -1: 1, 0: 1799, 1: 3598, 2: 3599}[o],
+            float(i % 7) / 4.0,
+        )
+        for i, (t, h, o) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, event_type string, sec long, value double"
+    )
+    # Reference: the declarative sliding frame (correct by definition,
+    # quadratic at scale — which is why the operator decomposes it).
+    w = Window.partitionBy("event_type").orderBy("sec").rangeBetween(-3599, 0)
+    want = {
+        r["event_id"]: (r["n"], r["v"])
+        for r in df.select(
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("n"),
+            F.sum(F.col("value").cast(N.DEC)).over(w).cast("double").alias("v"),
+        ).collect()
+    }
+    # The decomposition is inlined here, mirroring
+    # events.events_rolling_hour_range exactly but sampling EVERY row
+    # (the operator's %20 output filter is orthogonal to the window
+    # arithmetic under test, and the operator itself reads parquet).
+    ev = df.select(
+        "event_id",
+        "event_type",
+        "value",
+        "sec",
+        (F.col("sec") - F.col("sec") % 3600).alias("hr"),
+        (F.col("sec") % 3600).alias("off"),
+    )
+    real = ev.select(
+        "event_id", "event_type", "sec", "hr",
+        (F.col("off") * 2).alias("k"),
+        F.lit(1).alias("w_n"),
+        F.col("value").cast(N.DEC).alias("w_v"),
+        F.lit(False).alias("is_ghost"),
+    )
+    ghosts = ev.select(
+        "event_id", "event_type", "sec",
+        (F.col("hr") - 3600).alias("hr"),
+        (F.col("off") * 2 + 1).alias("k"),
+        F.lit(0).alias("w_n"),
+        F.lit(None).cast(N.DEC).alias("w_v"),
+        F.lit(True).alias("is_ghost"),
+    )
+    wcum = (
+        Window.partitionBy("event_type", "hr")
+        .orderBy("k")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("event_type", "hr")
+    cum = real.unionByName(ghosts).select(
+        "event_id", "is_ghost",
+        F.sum("w_n").over(wcum).alias("pre_n"),
+        F.sum("w_v").over(wcum).alias("pre_v"),
+        F.sum("w_n").over(wtot).alias("tot_n"),
+        F.sum("w_v").over(wtot).alias("tot_v"),
+    )
+    own = cum.filter(~F.col("is_ghost")).select(
+        "event_id",
+        F.col("pre_n").alias("own_n"), F.col("pre_v").alias("own_v"),
+    )
+    zero = F.lit(0).cast(N.DEC)
+    rem = cum.filter(F.col("is_ghost")).select(
+        "event_id",
+        (F.col("tot_n") - F.col("pre_n")).alias("rem_n"),
+        (F.col("tot_v") - F.coalesce(F.col("pre_v"), zero)).alias("rem_v"),
+    )
+    got = {
+        r["event_id"]: (r["n"], r["v"])
+        for r in own.join(rem, "event_id").select(
+            "event_id",
+            (F.col("own_n") + F.col("rem_n")).alias("n"),
+            F.when(
+                F.col("own_v").isNull() & F.col("rem_v").isNull(),
+                F.lit(None).cast(N.DEC),
+            )
+            .otherwise(
+                F.coalesce(F.col("own_v"), zero) + F.coalesce(F.col("rem_v"), zero)
+            )
+            .cast("double")
+            .alias("v"),
+        ).collect()
+    }
+    assert got == want
