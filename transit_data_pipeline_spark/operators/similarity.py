@@ -772,14 +772,28 @@ FROM generate_series(1, 64) AS t(dim), v2, ray r, tr, nn n
 def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .mlprep import _q_col
 
-    e = table(spark, sf_dir, "embeddings", spread=True).select(
-        "vec_id", _q_col(F.col("embedding")).alias("q")
+    # The power iteration re-consumes every base frame across both
+    # iterations plus the trace/ray/final stages; lazy pins on the
+    # small frames (2000-row quantized vectors, 128K exploded cells,
+    # 64-row dim stats, per-iteration scores and weight vectors) stop
+    # the lineage from re-executing multiplicatively — measured
+    # 3.8 -> 2.4 s steady at sf0.1.
+    _pin = lambda df: df.localCheckpoint(eager=False)  # noqa: E731
+    e = _pin(
+        table(spark, sf_dir, "embeddings", spread=True).select(
+            "vec_id", _q_col(F.col("embedding")).alias("q")
+        )
     )
-    ex = e.select(
-        "vec_id", F.posexplode("q").alias("dim0", "qv")
-    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "qv")
-    sdim = ex.groupBy("dim").agg(
-        F.sum("qv").alias("s_d"), F.sum(F.col("qv") * F.col("qv")).alias("sq_d")
+    ex = _pin(
+        e.select(
+            "vec_id", F.posexplode("q").alias("dim0", "qv")
+        ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "qv")
+    )
+    sdim = _pin(
+        ex.groupBy("dim").agg(
+            F.sum("qv").alias("s_d"),
+            F.sum(F.col("qv") * F.col("qv")).alias("sq_d"),
+        )
     )
     sarr = sdim.agg(
         F.transform(
@@ -797,7 +811,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def pca_iter(vdf):
-        s = (
+        s = _pin(
             e.crossJoin(F.broadcast(vdf))
             .crossJoin(F.broadcast(sarr))
             .crossJoin(F.broadcast(nn))
@@ -834,11 +848,13 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("wd"),
             )
         )
-        wa = w.agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "wd"))),
-                lambda r: r["wd"],
-            ).alias("warr")
+        wa = _pin(
+            w.agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "wd"))),
+                    lambda r: r["wd"],
+                ).alias("warr")
+            )
         )
         v_next = wa.select(
             F.transform(
