@@ -2428,6 +2428,11 @@ def test_pid_prefix_offsets_exclusive_counts(spark):
             # are common, plus dense ties on identical seconds
             st.integers(min_value=0, max_value=5) ,
             st.integers(min_value=-2, max_value=2),
+            # NULL-valued rows (ADVICE r8): the frame SUM must stay
+            # NULL when every value in the trailing window is NULL —
+            # including the case where the previous bucket's suffix is
+            # all-NULL while its excluded prefix held non-null values.
+            st.booleans(),
         ),
         min_size=1,
         max_size=60,
@@ -2447,9 +2452,9 @@ def test_rolling_hour_two_pass_matches_sliding_frame(spark, rows):
             f"t{t}",
             # hours 0-5 with offsets hugging the bucket edges
             h * 3600 + {-2: 0, -1: 1, 0: 1799, 1: 3598, 2: 3599}[o],
-            float(i % 7) / 4.0,
+            None if isnull else float(i % 7) / 4.0,
         )
-        for i, (t, h, o) in enumerate(rows)
+        for i, (t, h, o, isnull) in enumerate(rows)
     ]
     df = spark.createDataFrame(
         data, "event_id long, event_type string, sec long, value double"
@@ -2482,6 +2487,7 @@ def test_rolling_hour_two_pass_matches_sliding_frame(spark, rows):
         (F.col("off") * 2).alias("k"),
         F.lit(1).alias("w_n"),
         F.col("value").cast(N.DEC).alias("w_v"),
+        F.col("value").isNotNull().cast("int").alias("w_nn"),
         F.lit(False).alias("is_ghost"),
     )
     ghosts = ev.select(
@@ -2490,6 +2496,7 @@ def test_rolling_hour_two_pass_matches_sliding_frame(spark, rows):
         (F.col("off") * 2 + 1).alias("k"),
         F.lit(0).alias("w_n"),
         F.lit(None).cast(N.DEC).alias("w_v"),
+        F.lit(0).alias("w_nn"),
         F.lit(True).alias("is_ghost"),
     )
     wcum = (
@@ -2502,8 +2509,10 @@ def test_rolling_hour_two_pass_matches_sliding_frame(spark, rows):
         "event_id", "is_ghost",
         F.sum("w_n").over(wcum).alias("pre_n"),
         F.sum("w_v").over(wcum).alias("pre_v"),
+        F.sum("w_nn").over(wcum).alias("pre_nn"),
         F.sum("w_n").over(wtot).alias("tot_n"),
         F.sum("w_v").over(wtot).alias("tot_v"),
+        F.sum("w_nn").over(wtot).alias("tot_nn"),
     )
     own = cum.filter(~F.col("is_ghost")).select(
         "event_id",
@@ -2513,7 +2522,11 @@ def test_rolling_hour_two_pass_matches_sliding_frame(spark, rows):
     rem = cum.filter(F.col("is_ghost")).select(
         "event_id",
         (F.col("tot_n") - F.col("pre_n")).alias("rem_n"),
-        (F.col("tot_v") - F.coalesce(F.col("pre_v"), zero)).alias("rem_v"),
+        F.when(
+            F.col("tot_nn") - F.col("pre_nn") == 0, F.lit(None).cast(N.DEC)
+        )
+        .otherwise(F.col("tot_v") - F.coalesce(F.col("pre_v"), zero))
+        .alias("rem_v"),
     )
     got = {
         r["event_id"]: (r["n"], r["v"])

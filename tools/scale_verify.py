@@ -185,6 +185,7 @@ BOUNDS: dict[str, dict] = {
     },
     "simhash_eval_pr": {
         "expected_refusal": 8,
+        "refusal_marker": "estimated truth-join blow-up",
         "reason": "engine Σdf² blast-radius guard refuses "
         "duplicate-saturated corpora (Σdf²=179M > 100M cap at ×8) "
         "by design — the refusal is the asserted behavior",
@@ -239,12 +240,19 @@ def _poly_sql(h: str, start: int, nchars: int = 12) -> str:
 def _render_sql(col: str, family: str) -> str:
     """Canonical cross-engine VARCHAR rendering of one column (shared
     SQL dialect subset). `family`: int|float|decimal|bool|str|date|
-    timestamp. Floats/decimals round to 6dp then render via
-    DECIMAL(38,6) so both engines print identical fixed-scale text
-    (the underlying doubles are bitwise-equal by construction — the
-    rounding only normalizes formatting)."""
-    if family == "float" or family == "decimal":
+    timestamp. Floats round to 6dp then render via DECIMAL(38,6) so
+    both engines print identical fixed-scale text (the underlying
+    doubles are bitwise-equal by construction — the rounding only
+    normalizes formatting). DECIMALs are exact: render at a common
+    18-digit scale so a genuine cross-engine value drift at ANY
+    digit of the stored scale stays visible (the engines may declare
+    different scales for the same aggregate — e.g. Spark vs DuckDB
+    SUM/AVG widening — so normalizing the scale, not rounding, is
+    what makes the text comparable)."""
+    if family == "float":
         r = f"CAST(CAST(ROUND({col}, 6) AS DECIMAL(38,6)) AS STRING)"
+    elif family == "decimal":
+        r = f"CAST(CAST({col} AS DECIMAL(38,18)) AS STRING)"
     elif family == "bool":
         r = f"CAST(CAST({col} AS INT) AS STRING)"
     elif family == "timestamp":
@@ -313,6 +321,15 @@ def _duck_family(type_name: str) -> str:
     return "str"
 
 
+def is_designed_refusal(e: BaseException, bound: dict) -> bool:
+    """True iff the exception is the engine's own blast-radius guard:
+    a ValueError carrying the guard's distinctive message (ADVICE r8 —
+    any OTHER exception where a refusal is expected is a regression,
+    not the designed behavior, and must fail the sweep)."""
+    marker = bound.get("refusal_marker", "exceeds max_")
+    return isinstance(e, ValueError) and marker in str(e)
+
+
 def digest_compare(spark_df, oracle_sql: str, con) -> list[str]:
     """Order-insensitive in-engine digest compare: neither side
     materializes the result set; each computes (count, h1, h2) and
@@ -329,6 +346,18 @@ def digest_compare(spark_df, oracle_sql: str, con) -> list[str]:
             f"digest schema: spark={sorted(c for c, _ in s_cols)} "
             f"duck={sorted(c for c, _ in d_cols)}"
         ]
+    # Harmonize float/decimal per column: decimals render exact at a
+    # common 18-digit scale ONLY when both engines agree the column is
+    # decimal. If one side computes a double (e.g. the engine casts its
+    # decimal-exact aggregate to double at the boundary) the 6dp float
+    # rendering is the only text both representations can agree on.
+    s_fam = dict(s_cols)
+    d_fam = dict(d_cols)
+    for c in s_fam:
+        if {s_fam[c], d_fam[c]} == {"float", "decimal"}:
+            s_fam[c] = d_fam[c] = "float"
+    s_cols = sorted(s_fam.items())
+    d_cols = sorted(d_fam.items())
     sel = _digest_exprs(s_cols, "unix_micros", "`")
     s = spark_df.selectExpr(*[p.strip() for p in _split_select(sel)]).collect()[0]
     d = con.execute(
@@ -450,10 +479,26 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — report and continue
             dt = time.monotonic() - t0
             if refusal_at is not None and factor >= refusal_at:
-                # The engine guard's refusal IS the asserted behavior.
+                # The engine guard's refusal IS the asserted behavior —
+                # but ONLY the guard's own ValueError counts. Any other
+                # exception at this factor (AnalysisException, OOM,
+                # schema error) is a real regression, not the designed
+                # refusal, and must fail the sweep.
+                if is_designed_refusal(e, bound):
+                    print(
+                        f"{name}: OK-REFUSED as designed ({dt:.1f}s): "
+                        f"{str(e)[:160]}",
+                        flush=True,
+                    )
+                    continue
+                fails.append(
+                    (name, f"EXC is NOT the blast-radius guard "
+                     f"(wanted the guard's ValueError): "
+                     f"{type(e).__name__}: {e}")
+                )
                 print(
-                    f"{name}: OK-REFUSED as designed ({dt:.1f}s): "
-                    f"{str(e)[:160]}",
+                    f"{name}: FAIL — non-guard {type(e).__name__} "
+                    f"where refusal expected ({dt:.1f}s)",
                     flush=True,
                 )
                 continue

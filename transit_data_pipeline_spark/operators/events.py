@@ -2248,6 +2248,10 @@ def events_rolling_hour_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("off") * 2).alias("k"),
         F.lit(1).alias("w_n"),
         F.col("value").cast(N.DEC).alias("w_v"),
+        # non-null-VALUE counter, carried alongside w_v so suffix
+        # sums can be NULLed out when the suffix holds no non-null
+        # value (SUM-over-frame semantics; ADVICE r8)
+        F.col("value").isNotNull().cast("int").alias("w_nn"),
         F.lit(False).alias("is_ghost"),
     )
     ghosts = ev.filter(sampled).select(
@@ -2258,6 +2262,7 @@ def events_rolling_hour_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("off") * 2 + 1).alias("k"),
         F.lit(0).alias("w_n"),
         F.lit(None).cast(N.DEC).alias("w_v"),
+        F.lit(0).alias("w_nn"),
         F.lit(True).alias("is_ghost"),
     )
     wcum = (
@@ -2273,8 +2278,10 @@ def events_rolling_hour_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_ghost",
         F.sum("w_n").over(wcum).alias("pre_n"),
         F.sum("w_v").over(wcum).alias("pre_v"),
+        F.sum("w_nn").over(wcum).alias("pre_nn"),
         F.sum("w_n").over(wtot).alias("tot_n"),
         F.sum("w_v").over(wtot).alias("tot_v"),
+        F.sum("w_nn").over(wtot).alias("tot_nn"),
     )
     own = cum.filter(~F.col("is_ghost") & sampled).select(
         "event_id",
@@ -2286,12 +2293,22 @@ def events_rolling_hour_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Previous-bucket suffix past t-3600 = bucket total − inclusive
     # prefix at the ghost's offset. An empty previous bucket is a
     # one-ghost partition: total == prefix == the ghost's zero weight.
+    # A suffix with zero non-null values must be NULL, not 0: when the
+    # excluded prefix held the bucket's only non-null values,
+    # tot_v − pre_v is 0 while SUM over the (all-NULL) suffix is NULL
+    # (ADVICE r8; exercised by the NULL-valued rows the hypothesis
+    # generator now draws in test_properties.py).
     rem = cum.filter(F.col("is_ghost")).select(
         "event_id",
         (F.col("tot_n") - F.col("pre_n")).alias("rem_n"),
-        (F.col("tot_v") - F.coalesce(F.col("pre_v"), F.lit(0).cast(N.DEC))).alias(
-            "rem_v"
-        ),
+        F.when(
+            F.col("tot_nn") - F.col("pre_nn") == 0, F.lit(None).cast(N.DEC)
+        )
+        .otherwise(
+            F.col("tot_v")
+            - F.coalesce(F.col("pre_v"), F.lit(0).cast(N.DEC))
+        )
+        .alias("rem_v"),
     )
     zero = F.lit(0).cast(N.DEC)
     return own.join(rem, "event_id").select(
