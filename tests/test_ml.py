@@ -221,3 +221,28 @@ def test_daily_pipeline_chain(spark, feature_frames, tmp_path):
     )
     assert swept["n_partitions_dropped"] == 1
     assert not os.path.isdir(old_dir)
+
+
+def test_train_cv_literal_grid(feature_frames):
+    """The reference's 4-cell grid (train_delay_model.py:292-309) as
+    CrossValidator: every cell is scored, the best cell's params are
+    reported, and the returned model is a fitted pipeline (shrunk
+    depths/iters keep the test fast; the cell COUNT is the contract)."""
+    from transit_data_pipeline_spark.gtfs import ml
+    from transit_data_pipeline_spark.gtfs.features import train_test_views
+
+    _, feats = feature_frames
+    train_df, test_df = train_test_views(feats)
+    model, summary = ml.train_cv(
+        train_df, max_depths=(2, 3), min_instances=(1, 3),
+        num_folds=2, max_iter=3,
+    )
+    assert len(summary["cells"]) == 4
+    assert all(c["cv_rmse"] > 0 for c in summary["cells"])
+    assert summary["best_cv_rmse"] == min(
+        c["cv_rmse"] for c in summary["cells"]
+    )
+    bp = summary["best_params"]
+    assert bp["max_depth"] in (2, 3) and bp["min_instances_per_node"] in (1, 3)
+    metrics = ml.evaluate(model, test_df)
+    assert metrics["rmse"] > 0
