@@ -54,8 +54,14 @@ DEFAULT = [
 ]
 
 
-def build_xn(spark, factor: int) -> str:
+def build_xn(spark, factor: int, base: str = SF) -> str:
+    """Materialize the ×factor corpus: every row duplicated `factor`
+    times with its id column shifted by i·(max_id+1), content
+    unchanged. `base` defaults to the sf0.1 probe scale; a different
+    base gets its own cache directory keyed by the base dir name."""
     xdir = XDIR_TPL.format(n=factor)
+    if base != SF:
+        xdir = f"/tmp/tdps_probe_{os.path.basename(base.rstrip('/'))}_x{factor}"
     os.makedirs(xdir, exist_ok=True)
     for t, idc in _SHIFT.items():
         out = os.path.join(xdir, f"{t}.parquet")
@@ -75,7 +81,7 @@ def build_xn(spark, factor: int) -> str:
             import duckdb
 
             con = duckdb.connect()
-            src = os.path.join(SF, f"{t}.parquet")
+            src = os.path.join(base, f"{t}.parquet")
             n = con.execute(
                 f"SELECT MAX({idc}) + 1 FROM '{src}'"
             ).fetchone()[0]
@@ -95,7 +101,7 @@ def build_xn(spark, factor: int) -> str:
             con.close()
             os.rename(out + ".tmp", out)
             continue
-        df = spark.read.parquet(os.path.join(SF, f"{t}.parquet"))
+        df = spark.read.parquet(os.path.join(base, f"{t}.parquet"))
         if idc is None:
             copies = df
         else:

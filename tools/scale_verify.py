@@ -195,17 +195,20 @@ BOUNDS: dict[str, dict] = {
         "reason": "DuckDB ground truth is recursive-CTE reachability "
         "over clique-quadratic dup edges — exhausts the 48 GB oracle "
         "cap above ×8; the Spark side completes (SCALING.md ×64 "
-        "campaign)",
+        "campaign) and is law-verified at ×64 against the derived "
+        "oracle (tools/scale_spotcheck.py)",
     },
     "dedup_cluster_stats": {
         "max_factor": 8,
         "reason": "composes dedup_components' recursive-CTE oracle — "
-        "same single-node ground-truth bound",
+        "same single-node ground-truth bound; law-verified at ×64 "
+        "(tools/scale_spotcheck.py)",
     },
     "dedup_keep_best": {
         "max_factor": 8,
         "reason": "composes dedup_components' recursive-CTE oracle — "
-        "same single-node ground-truth bound",
+        "same single-node ground-truth bound; law-verified at ×64 "
+        "(tools/scale_spotcheck.py)",
     },
     "dedup_semdedup": {
         "max_factor": 8,
@@ -213,7 +216,8 @@ BOUNDS: dict[str, dict] = {
         "(quadratic per 64-clique): even the in-engine digest ran "
         "the single node out of spill DISK at ×64 (measured: "
         "IOException after 474 s with the 48 GB memory cap + "
-        ">77 GB of DuckDB temp) — a genuine single-node bound",
+        ">77 GB of DuckDB temp) — a genuine single-node bound; "
+        "invariant-verified at ×64 (tools/scale_spotcheck.py)",
     },
 }
 

@@ -577,6 +577,8 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
+    # coalesce(1): fixture-sized roundtrip file; a real table keeps
+    # its partitioning (single-file writes serialize the whole write).
     sup.coalesce(1).write.mode("overwrite").orc(out)
     return spark.read.orc(out)
 

@@ -463,6 +463,8 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     now = _time.time()
     for i, part in enumerate(splits):
         out = os.path.join(base, f"part{i}")
+        # coalesce(1): one tiny fixture file per micro-batch drop;
+        # wrong on a real table (serializes the write) — fixture only.
         part.coalesce(1).write.mode("overwrite").parquet(out)
         link = os.path.join(src, f"{chr(97 + i)}.parquet")
         os.link(glob.glob(os.path.join(out, "*.parquet"))[0], link)
@@ -1075,6 +1077,8 @@ def streaming_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stage phase files from the RAW frame so the on-disk encoding
     # matches whatever the fixture uses; the stream schema is derived
     # from the staged footer (see _events_schema rationale).
+    # coalesce(1) on these phase files: fixture-scale staging only —
+    # a production backfill keeps source partitioning.
     raw.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
         os.path.join(src_dir, "phase1")
     )
