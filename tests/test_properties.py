@@ -2545,3 +2545,35 @@ def test_rolling_hour_two_pass_matches_sliding_frame(spark, rows):
         ).collect()
     }
     assert got == want
+
+
+def test_dravg_half_up_tie_matches_duckdb(spark):
+    """dravg: half-up round of the exact mean in integer arithmetic —
+    must agree with sql_dravg bitwise INCLUDING at ties, where
+    ROUND(double, 4) of the two engines diverges (the ×8 campaign's
+    text_bigram_perplexity find: exact mean 3.35795 → Spark 3.3579,
+    DuckDB 3.358)."""
+    import duckdb
+
+    from transit_data_pipeline_spark.functions import numeric as N
+
+    con = duckdb.connect()
+    cases = [
+        [3.3579, 3.3580],            # tie from a just-below double
+        [-3.3579, -3.3580],          # negative: half away from zero
+        [3.3579] * 7 + [3.3580] * 7, # tie at larger n
+        [1.0, 1.0, 2.0],             # non-terminating mean
+        [0.0001, 0.0002],            # tie at the smallest scale step
+        [12345.6789] * 3,            # exact mean, no rounding motion
+    ]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = df.agg(N.dravg("x").alias("r")).first()["r"]
+        lst = ",".join(f"({v!r})" for v in vals)
+        want = con.execute(
+            f"SELECT {N.sql_dravg('x')} AS r FROM (VALUES {lst}) t(x)"
+        ).fetchone()[0]
+        assert got == want, (vals, got, want)
+    # the literal tie from the campaign
+    tie = spark.createDataFrame([(3.3579,), (3.3580,)], "x double")
+    assert tie.agg(N.dravg("x")).first()[0] == 3.358

@@ -12,8 +12,9 @@ divergence bug from a harness instead of an eyeball: at ×64 the range
 sampler's per-branch boundary draws diverge and global ranks stop
 being a permutation, while every sf ≤ 0.1 check stays green.
 
-Usage:  python tools/scale_verify.py [--factor N] [query ...]
-        (default ×64 over the curated at-risk list below)
+Usage:  python tools/scale_verify.py [--factor N] [--all | query ...]
+        (default ×64 over the curated at-risk list below; --all runs
+        every oracle-backed query in the registry)
 
 Per-query harness bounds (VERDICT r7 item 4 / ADVICE r7): some
 oracles cannot run at ×64 on a single node — the BOUNDS table
@@ -182,6 +183,13 @@ BOUNDS: dict[str, dict] = {
         "reason": "candidate-pair verification sweep — oracle "
         "computes at ×64 when the result stays in-engine "
         "(DIGEST-OK in 548 s)",
+    },
+    "dedup_ngram_jaccard": {
+        "expected_refusal": 8,
+        "refusal_marker": "estimated shingle-join blow-up",
+        "reason": "engine Σdf² blast-radius guard refuses the "
+        "duplicate-saturated corpus (~1.8e8 > 1e8 cap at ×8, "
+        "dedup.py:163) by design — use dedup_lsh_verified at scale",
     },
     "simhash_eval_pr": {
         "expected_refusal": 8,
@@ -405,6 +413,9 @@ def main() -> int:
     if args and args[0] == "--factor":
         factor = int(args[1])
         args = args[2:]
+    run_all = bool(args) and args[0] == "--all"
+    if run_all:
+        args = args[1:]
     names = args or AT_RISK
 
     import duckdb
@@ -451,6 +462,11 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     specs = all_specs()
+    if run_all:
+        # Every oracle-backed query in registry order (the curated
+        # AT_RISK names keep their BOUNDS semantics); rows-only
+        # queries are skipped by the loop below.
+        names = list(specs)
     fails: list[tuple[str, str]] = []
     n_skipped = 0
     for name in names:

@@ -44,6 +44,37 @@ def davg(col: str | Column) -> Column:
     return F.sum(c.cast(DEC)).cast("double") / F.count(c)
 
 
+def dravg(col: str | Column) -> Column:
+    """Deterministic mean ROUNDED HALF-UP at 4 decimals, computed in
+    exact integer arithmetic — the cross-engine replacement for
+    ``ROUND(davg(x), 4)``.
+
+    ``ROUND(double, k)`` is NOT cross-engine deterministic at ties:
+    when the exact mean terminates at the rounding digit (e.g.
+    3.35795), the nearest double sits just below it and Spark rounds
+    the binary expansion down (3.3579) while DuckDB rounds the
+    shortest decimal repr half-up (3.358) — found by the ×8 strict
+    campaign on text_bigram_perplexity. Here the half-up round of
+    sum/count is computed on integers — sign·((2·|sum·10⁴| + n) div
+    (2n)) — so both engines produce the identical integer, and the
+    final /10⁴ is one correctly-rounded IEEE division.
+
+    All decimal steps stay exact: % and - are exact, and the one
+    division is of an exactly-divisible pair (quotient integral, so
+    no scale rounding can touch it). Spark's decimal ``div`` operator
+    is NOT used — it silently overflows through BIGINT."""
+    c = _c(col)
+    s = F.sum(c.cast(DEC))  # decimal(28,4): exact
+    a = (s * F.lit(10_000)).cast("decimal(38,0)")
+    aa = F.abs(a)
+    n = F.count(c).cast("decimal(38,0)")
+    rem = aa % n
+    k = ((aa - rem) / n).cast("decimal(38,0)")  # exact: divisible
+    q = k + F.when(rem * 2 >= n, F.lit(1)).otherwise(F.lit(0))
+    sign = F.when(a < 0, F.lit(-1)).otherwise(F.lit(1))
+    return (sign * q).cast("double") / F.lit(10_000.0)
+
+
 def dstddev(col: str | Column) -> Column:
     """Deterministic sample stddev from exact sufficient statistics:
     sqrt((sum(x²) − sum(x)²/n) / (n−1)). NULL when n < 2 (matches
@@ -78,6 +109,17 @@ def sql_dsum(expr: str) -> str:
 def sql_davg(expr: str) -> str:
     """DuckDB spelling of :func:`davg`."""
     return f"({sql_dsum(expr)} / COUNT({expr}))"
+
+
+def sql_dravg(expr: str) -> str:
+    """DuckDB spelling of :func:`dravg` — the same half-up integer
+    round in HUGEINT (128-bit, exact up to 1.7e38; ``//`` on
+    non-negative HUGEINTs is the exact integral quotient)."""
+    a = f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,4))) * 10000 AS HUGEINT)"
+    n = f"CAST(COUNT({expr}) AS HUGEINT)"
+    q = f"((2 * ABS({a}) + {n}) // (2 * {n}))"
+    sign = f"(CASE WHEN {a} < 0 THEN -1 ELSE 1 END)"
+    return f"(CAST({sign} * {q} AS DOUBLE) / 10000.0)"
 
 
 def sql_dstddev(expr: str) -> str:

@@ -957,10 +957,12 @@ SELECT n_a, n_b, conv_a, conv_b,
     / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
            * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
            * (1.0 / n_a + 1.0 / n_b)) AS z_score,
-  abs((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
-    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-           * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-           * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant
+  COALESCE(
+    abs((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+      / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+             * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+             * (1.0 / n_a + 1.0 / n_b))) > 1.96,
+    FALSE) AS significant
 FROM w
 """,
 )
@@ -1012,7 +1014,13 @@ def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_a.alias("p_a"),
         p_b.alias("p_b"),
         z.alias("z_score"),
-        (F.abs(z) > 1.96).alias("significant"),
+        # COALESCE: when both arms fully convert (possible on a
+        # dup-saturated corpus) the pooled variance is 0, z is NULL
+        # on both engines, and an undefined test is "not significant"
+        # — a NULL boolean would also hash-diverge at the driver
+        # (Spark's all-NULL bool stays object None in pandas while
+        # DuckDB's becomes float NaN).
+        F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("significant"),
     )
 
 

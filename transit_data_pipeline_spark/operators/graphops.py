@@ -50,9 +50,16 @@ _CORE_ROUNDS = 6
 
 
 def _backbone_sql(k: int) -> str:
-    """Shared oracle CTEs: weighted pairs → top-k per src → symmetric."""
+    """Shared oracle CTEs: weighted pairs → top-k per src → symmetric.
+
+    MATERIALIZED throughout: DuckDB inlines plain CTEs, so an
+    iterative consumer (k-core's 2-per-round references to `edges`)
+    would re-run the 4-way fact join dozens of times — at ×8 that ran
+    the oracle into the 48 GB cap. The backbone is ≤ 25·k rows;
+    computing it once is the point. (DuckDB accepts the hint inside
+    WITH RECURSIVE blocks too — the BFS oracle shares these CTEs.)"""
     return f"""
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -61,14 +68,14 @@ pairs AS (
   WHERE s.s_nationkey <> c.c_nationkey
   GROUP BY 1, 2
 ),
-topk AS (
+topk AS MATERIALIZED (
   SELECT src, dst FROM (
     SELECT src, dst,
       ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rk
     FROM pairs
   ) WHERE rk <= {k}
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT src, dst FROM topk
   UNION
   SELECT dst AS src, src AS dst FROM topk

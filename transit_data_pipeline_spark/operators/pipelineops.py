@@ -921,8 +921,10 @@ _PR_ITERS = 5
 
 
 def _pagerank_oracle() -> str:
+    # MATERIALIZED for the same reason as _hits_oracle: DuckDB
+    # inlines plain CTEs, and `ew` alone references edges twice.
     ctes = [
-        """edges AS (
+        """edges AS MATERIALIZED (
   SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1553,8 +1555,12 @@ _HITS_ITERS = 4
 
 
 def _hits_oracle() -> str:
+    # MATERIALIZED: DuckDB inlines plain CTEs, so each of the 16
+    # iteration joins would re-run the 4-way fact join — at ×8 that
+    # OOMed the 48 GB oracle cap. The edge list is ≤ 25×25 rows;
+    # computing it once is the point.
     ctes = [
-        """edges AS (
+        """edges AS MATERIALIZED (
   SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey

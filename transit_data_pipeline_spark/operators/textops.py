@@ -580,8 +580,10 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the vocab size is a broadcast scalar; no Python UDFs. Per-bigram "
     "log-probs are rounded to 4 decimals BEFORE averaging (ln is the "
     "one non-IEEE-pinned op between JVM and libm) and the per-doc "
-    "mean uses the decimal-exact davg, so the score is bitwise "
-    "reproducible on any partitioning — same recipe as the trig "
+    "mean uses dravg (half-up round of the exact decimal sum/count "
+    "in integer arithmetic), so the score is bitwise reproducible "
+    "on any partitioning — ROUND(double,4) of the mean is NOT, at "
+    "ties (x8 campaign find) — same recipe as the trig "
     "columns in mlops. Swap the self-trained counts for a reference "
     "LM's n-gram table to reproduce CCNet exactly: the plan shape "
     "(count join -> score -> per-doc agg) is identical.",
@@ -606,7 +608,7 @@ scored AS (
 ),
 per_doc AS (
   SELECT doc_id, COUNT(*) AS n_bigrams,
-         ROUND({N.sql_davg("nll")}, 4) AS avg_neg_logprob
+         {N.sql_dravg("nll")} AS avg_neg_logprob
   FROM scored GROUP BY 1
 )
 SELECT doc_id, n_bigrams, avg_neg_logprob,
@@ -643,7 +645,7 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(N.davg("nll"), 4).alias("avg_neg_logprob"),
+            N.dravg("nll").alias("avg_neg_logprob"),
         )
         .select(
             "doc_id",

@@ -47,9 +47,9 @@ SELECT l_returnflag, l_linestatus,
        * CAST(1.0 - l_discount AS DECIMAL(18,4)) AS DECIMAL(25,8))
        * CAST(1.0 + l_tax AS DECIMAL(13,4))) AS VARCHAR) AS DOUBLE)
     AS sum_charge,
-  ROUND({N.sql_davg("l_quantity")}, 4) AS avg_qty,
-  ROUND({N.sql_davg("l_extendedprice")}, 4) AS avg_price,
-  ROUND({N.sql_davg("l_discount")}, 4) AS avg_disc,
+  {N.sql_dravg("l_quantity")} AS avg_qty,
+  {N.sql_dravg("l_extendedprice")} AS avg_price,
+  {N.sql_dravg("l_discount")} AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -70,9 +70,9 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.dsum("l_extendedprice").alias("sum_base_price"),
         F.sum(disc_price).cast("string").cast("double").alias("sum_disc_price"),
         F.sum(charge).cast("string").cast("double").alias("sum_charge"),
-        F.round(N.davg("l_quantity"), 4).alias("avg_qty"),
-        F.round(N.davg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(N.davg("l_discount"), 4).alias("avg_disc"),
+        N.dravg("l_quantity").alias("avg_qty"),
+        N.dravg("l_extendedprice").alias("avg_price"),
+        N.dravg("l_discount").alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
