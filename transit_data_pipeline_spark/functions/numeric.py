@@ -64,13 +64,20 @@ def dravg(col: str | Column) -> Column:
     no scale rounding can touch it). Spark's decimal ``div`` operator
     is NOT used — it silently overflows through BIGINT."""
     c = _c(col)
-    s = F.sum(c.cast(DEC))  # decimal(28,4): exact
+    return drdiv(F.sum(c.cast(DEC)), F.count(c))
+
+
+def drdiv(s: Column, n: Column) -> Column:
+    """Half-up round at 4 decimals of exact-DECIMAL ``s`` / positive
+    integral ``n``, in exact integer arithmetic (see :func:`dravg` for
+    why ROUND(double, 4) of the same ratio is not cross-engine
+    deterministic). ``s`` must be a decimal of scale ≤ 4."""
     a = (s * F.lit(10_000)).cast("decimal(38,0)")
     aa = F.abs(a)
-    n = F.count(c).cast("decimal(38,0)")
-    rem = aa % n
-    k = ((aa - rem) / n).cast("decimal(38,0)")  # exact: divisible
-    q = k + F.when(rem * 2 >= n, F.lit(1)).otherwise(F.lit(0))
+    nn = n.cast("decimal(38,0)")
+    rem = aa % nn
+    k = ((aa - rem) / nn).cast("decimal(38,0)")  # exact: divisible
+    q = k + F.when(rem * 2 >= nn, F.lit(1)).otherwise(F.lit(0))
     sign = F.when(a < 0, F.lit(-1)).otherwise(F.lit(1))
     return (sign * q).cast("double") / F.lit(10_000.0)
 
@@ -112,11 +119,19 @@ def sql_davg(expr: str) -> str:
 
 
 def sql_dravg(expr: str) -> str:
-    """DuckDB spelling of :func:`dravg` — the same half-up integer
+    """DuckDB spelling of :func:`dravg`."""
+    return sql_drdiv(
+        f"SUM(CAST(({expr}) AS DECIMAL(18,4)))", f"COUNT({expr})"
+    )
+
+
+def sql_drdiv(s_expr: str, n_expr: str) -> str:
+    """DuckDB spelling of :func:`drdiv` — the same half-up integer
     round in HUGEINT (128-bit, exact up to 1.7e38; ``//`` on
-    non-negative HUGEINTs is the exact integral quotient)."""
-    a = f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,4))) * 10000 AS HUGEINT)"
-    n = f"CAST(COUNT({expr}) AS HUGEINT)"
+    non-negative HUGEINTs is the exact integral quotient). ``s_expr``
+    must be a DECIMAL of scale ≤ 4, ``n_expr`` a positive integer."""
+    a = f"CAST(({s_expr}) * 10000 AS HUGEINT)"
+    n = f"CAST(({n_expr}) AS HUGEINT)"
     q = f"((2 * ABS({a}) + {n}) // (2 * {n}))"
     sign = f"(CASE WHEN {a} < 0 THEN -1 ELSE 1 END)"
     return f"(CAST({sign} * {q} AS DOUBLE) / 10000.0)"

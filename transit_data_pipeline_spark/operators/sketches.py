@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions import numeric as N
 from .registry import register
 
 _K = 64
@@ -756,7 +757,7 @@ def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     "deterministic aggregates commute with partitioning: the merge "
     "path sees per-source frames, the direct path one global agg, "
     "and the driver hash-compares them.",
-    oracle="""
+    oracle=f"""
 WITH partials AS (
   SELECT source,
          COUNT(*) AS n,
@@ -767,13 +768,14 @@ WITH partials AS (
 ),
 merged AS (
   SELECT CAST(SUM(n) AS BIGINT) AS n_all,
+         SUM(s1) AS s1dec,
          CAST(SUM(s1) AS DOUBLE) AS s1d,
          CAST(CAST(SUM(s2) AS VARCHAR) AS DOUBLE) AS s2d
   FROM partials
 )
 SELECT (SELECT COUNT(*) FROM partials) AS n_partials,
        n_all,
-       ROUND(s1d / n_all, 4) AS merged_mean,
+       {N.sql_drdiv("s1dec", "n_all")} AS merged_mean,
        ROUND(SQRT(GREATEST(
          (s2d - (s1d * s1d) / n_all) / (n_all - 1.0), 0.0)), 4)
          AS merged_stddev
@@ -793,6 +795,7 @@ def moments_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = partials.agg(
         F.count(F.lit(1)).alias("n_partials"),
         F.sum("n").cast("bigint").alias("n_all"),
+        F.sum("s1").alias("s1dec"),
         F.sum("s1").cast("double").alias("s1d"),
         F.sum("s2").cast("string").cast("double").alias("s2d"),
     )
@@ -802,7 +805,7 @@ def moments_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "n_partials",
         "n_all",
-        F.round(F.col("s1d") / F.col("n_all"), 4).alias("merged_mean"),
+        N.drdiv(F.col("s1dec"), F.col("n_all")).alias("merged_mean"),
         F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 4).alias("merged_stddev"),
     )
 

@@ -945,7 +945,7 @@ part_avg AS (
   SELECT l_partkey, {N.sql_davg("l_quantity")} AS avg_qty
   FROM brand_lines GROUP BY l_partkey)
 SELECT
-  ROUND({N.sql_dsum("b.l_extendedprice")} / 7.0, 4) AS avg_yearly,
+  {N.sql_drdiv('SUM(CAST((b.l_extendedprice) AS DECIMAL(18,4)))', '7')} AS avg_yearly,
   COUNT(*) AS n_lines
 FROM brand_lines b
 JOIN part_avg a ON b.l_partkey = a.l_partkey
@@ -972,7 +972,9 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
-            F.round(N.dsum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            N.drdiv(
+                F.sum(F.col("l_extendedprice").cast(N.DEC)), F.lit(7)
+            ).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
