@@ -2577,3 +2577,33 @@ def test_dravg_half_up_tie_matches_duckdb(spark):
     # the literal tie from the campaign
     tie = spark.createDataFrame([(3.3579,), (3.3580,)], "x double")
     assert tie.agg(N.dravg("x")).first()[0] == 3.358
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        # 4-decimal-quantized values (the DEC grid) spanning sign and
+        # magnitude, biased so sums frequently land on round ties
+        st.integers(min_value=-10_000_000, max_value=10_000_000),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_dravg_matches_duckdb_on_arbitrary_decimal_grids(spark, units):
+    """Property form of the tie test: for ANY 4dp-quantized inputs the
+    Spark dravg and DuckDB sql_dravg doubles are identical (the engine
+    pair disagrees on ROUND(double,4) ties; dravg must not)."""
+    import duckdb
+
+    from transit_data_pipeline_spark.functions import numeric as N
+
+    vals = [u / 10_000.0 for u in units]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.agg(N.dravg("x").alias("r")).first()["r"]
+    lst = ",".join(f"({v!r})" for v in vals)
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT {N.sql_dravg('x')} AS r FROM (VALUES {lst}) t(x)"
+    ).fetchone()[0]
+    con.close()
+    assert got == want, (vals, got, want)
