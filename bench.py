@@ -30,6 +30,64 @@ sys.path.insert(0, REPO)
 MAX_LINE = 1900
 
 
+def _newest_mtime(path: str) -> float:
+    if os.path.isdir(path):
+        times = [os.path.getmtime(path)]
+        for root, _dirs, files in os.walk(path):
+            times += [os.path.getmtime(os.path.join(root, f)) for f in files]
+        return max(times)
+    return os.path.getmtime(path)
+
+
+def _mirror_fixtures(spark, sf_dir: str) -> str:
+    """Rewrite the driver tables as multi-file parquet into a cached
+    /tmp mirror and bench against THAT (VERDICT r9 item 4).
+
+    The driver fixtures are single-row-group files — one scan task no
+    matter the cluster, a layout no real table has (testdata is
+    read-only, so the layout knob lives here, in the bench's own
+    ingest). Fact-scale tables get one file per core so scans
+    parallelize natively and catalog.table's `spread` gate stops
+    firing; broadcast dims stay single-file. Cache key = fixture path
+    hash; a mirror older than its source is rebuilt. Opt out with
+    SPARK_GRAFT_NO_MIRROR=1 (times the raw driver layout instead).
+    """
+    import hashlib
+    import shutil
+
+    from transit_data_pipeline_spark.catalog import (
+        BROADCAST_TABLES,
+        TABLES,
+        read_events_raw,
+    )
+
+    base = sf_dir.rstrip("/")
+    tag = hashlib.sha1(os.path.abspath(base).encode()).hexdigest()[:8]
+    mdir = f"/tmp/tdps_bench_mirror_{os.path.basename(base)}_{tag}"
+    os.makedirs(mdir, exist_ok=True)
+    dp = spark.sparkContext.defaultParallelism
+    for t in TABLES:
+        src = os.path.join(base, f"{t}.parquet")
+        out = os.path.join(mdir, f"{t}.parquet")
+        if os.path.exists(out):
+            if _newest_mtime(out) >= _newest_mtime(src):
+                continue
+            shutil.rmtree(out, ignore_errors=True)
+        # events keeps its on-disk encoding contract via the raw
+        # reader (TIMESTAMP(NANOS) lands as int64 nanos, the OTHER
+        # encoding normalize_events accepts).
+        df = (
+            read_events_raw(spark, base)
+            if t == "events"
+            else spark.read.parquet(src)
+        )
+        parts = 1 if t in BROADCAST_TABLES else dp
+        shutil.rmtree(out + ".d", ignore_errors=True)
+        df.repartition(parts).write.mode("overwrite").parquet(out + ".d")
+        os.rename(out + ".d", out)
+    return mdir
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -39,6 +97,8 @@ def main() -> None:
     from transit_data_pipeline_spark.session import get_spark
 
     spark = get_spark("transit-spark-bench")
+    if os.environ.get("SPARK_GRAFT_NO_MIRROR", "") != "1":
+        sf_dir = _mirror_fixtures(spark, sf_dir)
 
     specs = {n: s for n, s in all_specs().items() if s.bench}
     # Warm the JVM + parquet footers once so per-query numbers measure
@@ -80,6 +140,22 @@ def main() -> None:
             .start()
             .awaitTermination()
         )
+
+    # Session floor: median of 5 runs of a trivial query (5-row region
+    # scan → noop sink). Every timed query pays this fixed per-run cost
+    # (job launch, scheduler round-trip, noop-commit protocol) — ~1 s
+    # locally — which drowns sub-second deltas. BENCH_FULL records
+    # `queries_net` (raw − floor, clamped at 0) next to the raw table
+    # so a +0.2 s round-over-round delta is distinguishable from floor
+    # jitter without cross-referencing SCALING.md (VERDICT r9 item 3).
+    floor_reps = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        floor_reps.append(time.perf_counter() - t0)
+    floor = round(sorted(floor_reps)[len(floor_reps) // 2], 3)
 
     # Iterative driver-loop queries compile a fresh plan per loop round,
     # so their run-to-run variance is ±40% (JIT/codegen debt) — one
@@ -131,6 +207,7 @@ def main() -> None:
         n: round(timings[n] - prev[n], 3) for n in timings if n in prev
     }
     comparable = round(sum(timings[n] for n in timings if n in prev), 3)
+    net = {n: round(max(0.0, t - floor), 3) for n, t in timings.items()}
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
         json.dump(
             {
@@ -140,7 +217,15 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "comparable_total_vs_r01": comparable,
+                "fixture_layout": (
+                    "driver-raw"
+                    if os.environ.get("SPARK_GRAFT_NO_MIRROR", "") == "1"
+                    else "multi-file-mirror"
+                ),
+                "session_floor_sec": floor,
+                "net_total": round(sum(net.values()), 3),
                 "queries": timings,
+                "queries_net": net,
                 "delta_vs_r01": dict(
                     sorted(delta.items(), key=lambda kv: kv[1], reverse=True)
                 ),
@@ -163,6 +248,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "comparable_total_vs_r01": comparable,
+                "session_floor_sec": floor,
             },
             separators=(",", ":"),
         )

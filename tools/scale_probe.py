@@ -12,7 +12,9 @@ quadratically in N by construction)."""
 
 from __future__ import annotations
 
+import hashlib
 import os
+import shutil
 import sys
 import time
 
@@ -54,19 +56,47 @@ DEFAULT = [
 ]
 
 
+def _src_mtime(path: str) -> float:
+    """Newest mtime under a parquet file OR directory-of-parts."""
+    if os.path.isdir(path):
+        times = [os.path.getmtime(path)]
+        for root, _dirs, files in os.walk(path):
+            times += [os.path.getmtime(os.path.join(root, f)) for f in files]
+        return max(times)
+    return os.path.getmtime(path)
+
+
 def build_xn(spark, factor: int, base: str = SF) -> str:
     """Materialize the ×factor corpus: every row duplicated `factor`
     times with its id column shifted by i·(max_id+1), content
     unchanged. `base` defaults to the sf0.1 probe scale; a different
-    base gets its own cache directory keyed by the base dir name."""
+    base gets its own cache directory keyed by the base dir name PLUS
+    a hash of its absolute path (two distinct fixtures that share a
+    dir name — e.g. any two 'sf0.001' dirs — must not share a cache,
+    ADVICE r9). A cached table older than its source parquet is
+    rebuilt, so regenerated fixtures never silently reuse a stale ×N
+    corpus across runs."""
     xdir = XDIR_TPL.format(n=factor)
     if base != SF:
-        xdir = f"/tmp/tdps_probe_{os.path.basename(base.rstrip('/'))}_x{factor}"
+        tag = hashlib.sha1(
+            os.path.abspath(base.rstrip("/")).encode()
+        ).hexdigest()[:8]
+        xdir = (
+            f"/tmp/tdps_probe_{os.path.basename(base.rstrip('/'))}"
+            f"_{tag}_x{factor}"
+        )
     os.makedirs(xdir, exist_ok=True)
     for t, idc in _SHIFT.items():
         out = os.path.join(xdir, f"{t}.parquet")
+        src_path = os.path.join(base, f"{t}.parquet")
         if os.path.exists(out):
-            continue
+            if _src_mtime(out) >= _src_mtime(src_path):
+                continue
+            # source regenerated after the cache was built → rebuild
+            if os.path.isdir(out):
+                shutil.rmtree(out)
+            else:
+                os.remove(out)
         if t == "events":
             # Spark cannot WRITE TIMESTAMP(NANOS): a Spark-side copy
             # (nanosAsLong read) lands as a raw BIGINT ts column —

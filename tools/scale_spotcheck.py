@@ -59,21 +59,37 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 def _mismatch_report(df, conds: dict) -> list[str]:
-    """One pass: count rows violating each named condition."""
+    """One pass: count rows violating each named condition. A
+    condition that evaluates to NULL (e.g. an equality against a NULL
+    column) counts as a VIOLATION — ~NULL is NULL and would slip past
+    a bare F.when (ADVICE r9), so each condition is coalesced to
+    False first."""
     agg = df.agg(
         *[
-            F.count(F.when(~cond, F.lit(1))).alias(name)
+            F.count(
+                F.when(~F.coalesce(cond, F.lit(False)), F.lit(1))
+            ).alias(name)
             for name, cond in conds.items()
         ]
     ).first()
     return [f"{k}: {agg[k]} mismatching rows" for k in conds if agg[k]]
 
 
+def _id_shift(df, idc: str) -> int:
+    """The per-copy id shift build_xn uses: MAX(id)+1 on the BASE
+    table. Copy k of base row b has id b + k*shift, so `id % shift`
+    recovers b exactly even when base ids have gaps or start at 1 —
+    deriving the modulus from COUNT(*) only coincides with this for
+    0-based contiguous ids (ADVICE r9)."""
+    return df.agg(F.max(idc)).first()[0] + 1
+
+
 def check_components(spark, xdir: str, factor: int, base: str = SF) -> list[str]:
     from transit_data_pipeline_spark.catalog import table
     from transit_data_pipeline_spark.operators.dedup import dedup_components
 
-    n = table(spark, base, "documents").count()
+    docs = table(spark, base, "documents")
+    n, shift = docs.count(), _id_shift(docs, "doc_id")
     b1 = dedup_components(spark, base).select(
         F.col("doc_id").alias("base_id"),
         F.col("canonical_doc_id").alias("canon1"),
@@ -85,7 +101,7 @@ def check_components(spark, xdir: str, factor: int, base: str = SF) -> list[str]
     if n_got != factor * n:
         problems.append(f"row count {n_got} != {factor}*{n}")
     joined = got.join(
-        b1, got["doc_id"] % F.lit(n) == b1["base_id"], "left"
+        b1, got["doc_id"] % F.lit(shift) == b1["base_id"], "left"
     )
     problems += _mismatch_report(
         joined,
@@ -140,7 +156,8 @@ def check_keep_best(spark, xdir: str, factor: int, base: str = SF) -> list[str]:
         dedup_keep_best,
     )
 
-    n = table(spark, base, "documents").count()
+    docs = table(spark, base, "documents")
+    n, shift = docs.count(), _id_shift(docs, "doc_id")
     b1 = dedup_keep_best(spark, base).select(
         F.col("doc_id").alias("base_id"),
         F.col("canonical_doc_id").alias("canon1"),
@@ -152,7 +169,7 @@ def check_keep_best(spark, xdir: str, factor: int, base: str = SF) -> list[str]:
     if n_got != factor * n:
         problems.append(f"row count {n_got} != {factor}*{n}")
     joined = got.join(
-        b1, got["doc_id"] % F.lit(n) == b1["base_id"], "left"
+        b1, got["doc_id"] % F.lit(shift) == b1["base_id"], "left"
     )
     problems += _mismatch_report(
         joined,
@@ -195,13 +212,14 @@ def check_semdedup(spark, xdir: str, factor: int, base: str = SF) -> list[str]:
     ).count()
     if zero_q:
         return [f"precondition: {zero_q} zero-quantized base vectors"]
+    shift = _id_shift(e, "vec_id")
     got = dedup_semdedup(spark, xdir)
     problems = []
     n_got = got.count()
     if n_got != factor * n:
         problems.append(f"row count {n_got} != {factor}*{n}")
     kept_nonbase = got.filter(
-        F.col("keep") & (F.col("vec_id") >= F.lit(n))
+        F.col("keep") & (F.col("vec_id") >= F.lit(shift))
     ).count()
     if kept_nonbase:
         problems.append(
@@ -209,7 +227,7 @@ def check_semdedup(spark, xdir: str, factor: int, base: str = SF) -> list[str]:
             "lower-id copy in the same cluster must dominate them)"
         )
     multi = (
-        got.groupBy((F.col("vec_id") % F.lit(n)).alias("b"))
+        got.groupBy((F.col("vec_id") % F.lit(shift)).alias("b"))
         .agg(F.sum(F.col("keep").cast("int")).alias("k"))
         .filter(F.col("k") > 1)
         .count()

@@ -53,6 +53,7 @@ that refusal is itself probed in SCALING.md).
 from __future__ import annotations
 
 import os
+import re
 import sys
 import time
 
@@ -303,7 +304,11 @@ def _spark_family(dt) -> str:
     if isinstance(dt, (T.FloatType, T.DoubleType)):
         return "float"
     if isinstance(dt, T.DecimalType):
-        return "decimal"
+        # DECIMAL(38,18) rendering holds at most 20 integer digits; a
+        # wider declared integer part could overflow asymmetrically
+        # (Spark non-ANSI → NULL, DuckDB → raise), so fall back to the
+        # 6dp float rendering both engines can agree on (ADVICE r9).
+        return "decimal" if dt.precision - dt.scale <= 20 else "float"
     if isinstance(dt, T.BooleanType):
         return "bool"
     if isinstance(dt, T.TimestampType):
@@ -320,6 +325,11 @@ def _duck_family(type_name: str) -> str:
     if t in ("FLOAT", "DOUBLE", "REAL"):
         return "float"
     if t.startswith("DECIMAL"):
+        # Mirror _spark_family's overflow guard: DECIMAL(p,s) with
+        # p-s > 20 integer digits cannot be rendered at scale 18.
+        m = re.match(r"DECIMAL\((\d+),(\d+)\)", t)
+        if m and int(m.group(1)) - int(m.group(2)) > 20:
+            return "float"
         return "decimal"
     if t == "BOOLEAN":
         return "bool"
@@ -366,7 +376,14 @@ def digest_compare(spark_df, oracle_sql: str, con) -> list[str]:
     s_fam = dict(s_cols)
     d_fam = dict(d_cols)
     for c in s_fam:
-        if {s_fam[c], d_fam[c]} == {"float", "decimal"}:
+        # An int/decimal pair would also diverge textually ("5" vs
+        # "5.000000000000000000"); the 6dp float rendering is the
+        # common ground for every mixed-numeric pair (ADVICE r9).
+        if s_fam[c] != d_fam[c] and {s_fam[c], d_fam[c]} <= {
+            "float",
+            "decimal",
+            "int",
+        }:
             s_fam[c] = d_fam[c] = "float"
     s_cols = sorted(s_fam.items())
     d_cols = sorted(d_fam.items())
@@ -408,15 +425,25 @@ def _split_select(sel: str) -> list[str]:
 
 
 def main() -> int:
-    args = sys.argv[1:]
-    factor = 64
-    if args and args[0] == "--factor":
-        factor = int(args[1])
-        args = args[2:]
-    run_all = bool(args) and args[0] == "--all"
-    if run_all:
-        args = args[1:]
-    names = args or AT_RISK
+    # argparse so --factor and --all compose in either order (the old
+    # positional loop only recognized --all after --factor, ADVICE r9).
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="xN in-engine digest verify of registry queries"
+    )
+    ap.add_argument("--factor", type=int, default=64)
+    ap.add_argument(
+        "--all",
+        dest="run_all",
+        action="store_true",
+        help="sweep every oracle-backed registry query, not just AT_RISK",
+    )
+    ap.add_argument("names", nargs="*")
+    ns = ap.parse_args(sys.argv[1:])
+    factor = ns.factor
+    run_all = ns.run_all
+    names = ns.names or AT_RISK
 
     import duckdb
     from pyspark.sql import SparkSession

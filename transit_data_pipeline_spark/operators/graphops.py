@@ -114,6 +114,87 @@ def _backbone_edges(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     )
 
 
+def bfs_hops_frame(
+    nodes: DataFrame, edges: DataFrame, source: int, max_hops: int
+) -> DataFrame:
+    """Bounded single-source BFS by frontier relaxation over an
+    ARBITRARY symmetric edge list — the iteration core of
+    ``bfs_shortest_hops``, factored out so property tests can drive
+    it with hypothesis-generated graphs (VERDICT r9 item 6).
+
+    `nodes`: one int column ``node`` (every vertex, reachable or
+    not); `edges`: ``src``/``dst``. Returns (node, hops) with hops
+    NULL when the node is unreachable within `max_hops`."""
+    dist = nodes.select(
+        "node",
+        F.when(F.col("node") == source, F.lit(0)).alias("hops"),
+    )
+    for _ in range(max_hops):
+        cand = (
+            dist.filter(F.col("hops").isNotNull())
+            .join(F.broadcast(edges), dist["node"] == edges["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.min("hops") + 1).alias("via"))
+        )
+        dist = (
+            dist.join(F.broadcast(cand), "node", "left")
+            .select(
+                "node",
+                # Explicit null-aware min — Spark's least() skips
+                # NULLs but engines disagree on that contract, so the
+                # CASE spells it out identically on both sides.
+                F.when(F.col("hops").isNull(), F.col("via"))
+                .when(F.col("via").isNull(), F.col("hops"))
+                .when(F.col("via") < F.col("hops"), F.col("via"))
+                .otherwise(F.col("hops"))
+                .alias("hops"),
+            )
+            # small frame; cutting lineage per round keeps analysis/
+            # planning cost O(1) per round instead of O(round depth)
+            # (measured 8.7 s → a chained-plan tax, not data).
+            .localCheckpoint()
+        )
+    return dist
+
+
+def kcore_peel(
+    nodes: DataFrame, edges: DataFrame, k: int, rounds: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Degree peeling over an ARBITRARY symmetric edge list — the
+    iteration core of ``kcore_trade_graph``, factored out for
+    property tests (VERDICT r9 item 6).
+
+    Returns (deg0, alive, deg): initial degrees, the survivor set
+    after `rounds` peels, and the last round's survivor-restricted
+    degrees. With rounds >= |nodes| the survivor set is the exact
+    k-core fixpoint (each non-final round removes >= 1 node)."""
+    deg0 = (
+        nodes.join(F.broadcast(edges), nodes["node"] == edges["src"], "left")
+        .groupBy("node")
+        .agg(F.count(edges["dst"]).alias("deg"))
+    )
+    alive = deg0.filter(F.col("deg") >= k).select("node")
+    deg = deg0
+    for _ in range(rounds):
+        # Fresh column names per round: `alive` feeds the round twice
+        # (as survivors and as the neighbor filter), so renamed
+        # projections keep the self-join unambiguous.
+        e = edges.select(
+            F.col("src").alias("e_src"), F.col("dst").alias("e_dst")
+        )
+        nbr = alive.select(F.col("node").alias("nbr"))
+        deg = (
+            alive.join(F.broadcast(e), alive["node"] == F.col("e_src"), "left")
+            .join(F.broadcast(nbr), F.col("e_dst") == F.col("nbr"), "left")
+            .groupBy("node")
+            .agg(F.count("nbr").alias("deg"))
+            # small frame; per-round lineage cut (see bfs note).
+            .localCheckpoint()
+        )
+        alive = deg.filter(F.col("deg") >= k).select("node")
+    return deg0, alive, deg
+
+
 def _bfs_oracle() -> str:
     return f"""
 WITH RECURSIVE {_backbone_sql(_BFS_TOPK)},
@@ -152,35 +233,8 @@ FROM nation n LEFT JOIN dist d ON n.n_nationkey = d.node
 def bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _backbone_edges(spark, sf_dir, _BFS_TOPK)
     nation = table(spark, sf_dir, "nation")
-    dist = nation.select(
-        F.col("n_nationkey").cast("int").alias("node"),
-        F.when(F.col("n_nationkey") == 0, F.lit(0)).alias("hops"),
-    )
-    for _ in range(_BFS_HOPS):
-        cand = (
-            dist.filter(F.col("hops").isNotNull())
-            .join(F.broadcast(edges), dist["node"] == edges["src"])
-            .groupBy(F.col("dst").alias("node"))
-            .agg((F.min("hops") + 1).alias("via"))
-        )
-        dist = (
-            dist.join(F.broadcast(cand), "node", "left")
-            .select(
-                "node",
-                # Explicit null-aware min — Spark's least() skips
-                # NULLs but engines disagree on that contract, so the
-                # CASE spells it out identically on both sides.
-                F.when(F.col("hops").isNull(), F.col("via"))
-                .when(F.col("via").isNull(), F.col("hops"))
-                .when(F.col("via") < F.col("hops"), F.col("via"))
-                .otherwise(F.col("hops"))
-                .alias("hops"),
-            )
-            # 25-row frame; cutting lineage per round keeps analysis/
-            # planning cost O(1) per round instead of O(round depth)
-            # (measured 8.7 s → a chained-plan tax, not data).
-            .localCheckpoint()
-        )
+    nodes = nation.select(F.col("n_nationkey").cast("int").alias("node"))
+    dist = bfs_hops_frame(nodes, edges, source=0, max_hops=_BFS_HOPS)
     return dist.join(
         F.broadcast(nation), dist["node"] == nation["n_nationkey"]
     ).select(
@@ -250,30 +304,7 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _backbone_edges(spark, sf_dir, _CORE_TOPK)
     nation = table(spark, sf_dir, "nation")
     nodes = nation.select(F.col("n_nationkey").alias("node"))
-    deg0 = (
-        nodes.join(F.broadcast(edges), nodes["node"] == edges["src"], "left")
-        .groupBy("node")
-        .agg(F.count(edges["dst"]).alias("deg"))
-    )
-    alive = deg0.filter(F.col("deg") >= _CORE_K).select("node")
-    deg = deg0
-    for _ in range(_CORE_ROUNDS):
-        # Fresh column names per round: `alive` feeds the round twice
-        # (as survivors and as the neighbor filter), so renamed
-        # projections keep the self-join unambiguous.
-        e = edges.select(
-            F.col("src").alias("e_src"), F.col("dst").alias("e_dst")
-        )
-        nbr = alive.select(F.col("node").alias("nbr"))
-        deg = (
-            alive.join(F.broadcast(e), alive["node"] == F.col("e_src"), "left")
-            .join(F.broadcast(nbr), F.col("e_dst") == F.col("nbr"), "left")
-            .groupBy("node")
-            .agg(F.count("nbr").alias("deg"))
-            # 25-row frame; per-round lineage cut (see bfs note).
-            .localCheckpoint()
-        )
-        alive = deg.filter(F.col("deg") >= _CORE_K).select("node")
+    deg0, alive, deg = kcore_peel(nodes, edges, k=_CORE_K, rounds=_CORE_ROUNDS)
     return (
         nation.join(
             deg0.withColumnRenamed("deg", "deg_init"),
@@ -315,6 +346,47 @@ _AA_WEIGHTS = {
 _AA_WEIGHT_SQL = " ".join(
     f"WHEN {d} THEN CAST('{v!r}' AS DOUBLE)" for d, v in _AA_WEIGHTS.items()
 )
+
+
+def adamic_adar_scored(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """AA scores for every non-adjacent pair with >= 1 common
+    neighbor, over an ARBITRARY symmetric edge list — the scoring
+    core of ``adamic_adar_link_prediction``, factored out for
+    property tests (VERDICT r9 item 6). Returns (u, v, n_common,
+    aa_score) with u < v, unranked."""
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    wmap = spark.createDataFrame(
+        [(d, v) for d, v in _AA_WEIGHTS.items()], "d int, wt double"
+    )
+    w = deg.join(F.broadcast(wmap), "d").select("node", "wt")
+    a = edges.select(F.col("src").alias("u"), F.col("dst").alias("za"))
+    b = edges.select(F.col("src").alias("zb"), F.col("dst").alias("v"))
+    # two-hop paths u -z- v with u < v; z must really neighbor u
+    # (edges are symmetric, so a's (u,z) suffices) — the third join in
+    # the oracle mirrors symmetry explicitly.
+    two_hop = a.join(
+        F.broadcast(b), (F.col("za") == F.col("zb")) & (F.col("u") < F.col("v"))
+    ).select("u", "v", F.col("za").alias("z"))
+    ex = edges.select(F.col("src").alias("xu"), F.col("dst").alias("xv"))
+    cand = two_hop.join(
+        F.broadcast(ex),
+        (F.col("u") == F.col("xu")) & (F.col("v") == F.col("xv")),
+        "left_anti",
+    )
+    # LEFT join mirrors the oracle's CASE: a common neighbor whose
+    # degree falls outside the weight table still counts in n_common
+    # (its NULL weight is skipped by SUM) instead of silently dropping
+    # the row — semantics hold even if the backbone constants change.
+    return (
+        cand.join(F.broadcast(w), cand["z"] == w["node"], "left")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("wt").alias("aa_score"),
+        )
+    )
 
 
 @register(
@@ -365,39 +437,7 @@ FROM (
 )
 def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _backbone_edges(spark, sf_dir, _CORE_TOPK)
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("d")
-    )
-    wmap = spark.createDataFrame(
-        [(d, v) for d, v in _AA_WEIGHTS.items()], "d int, wt double"
-    )
-    w = deg.join(F.broadcast(wmap), "d").select("node", "wt")
-    a = edges.select(F.col("src").alias("u"), F.col("dst").alias("za"))
-    b = edges.select(F.col("src").alias("zb"), F.col("dst").alias("v"))
-    # two-hop paths u -z- v with u < v; z must really neighbor u
-    # (edges are symmetric, so a's (u,z) suffices) — the third join in
-    # the oracle mirrors symmetry explicitly.
-    two_hop = a.join(
-        F.broadcast(b), (F.col("za") == F.col("zb")) & (F.col("u") < F.col("v"))
-    ).select("u", "v", F.col("za").alias("z"))
-    ex = edges.select(F.col("src").alias("xu"), F.col("dst").alias("xv"))
-    cand = two_hop.join(
-        F.broadcast(ex),
-        (F.col("u") == F.col("xu")) & (F.col("v") == F.col("xv")),
-        "left_anti",
-    )
-    # LEFT join mirrors the oracle's CASE: a common neighbor whose
-    # degree falls outside the weight table still counts in n_common
-    # (its NULL weight is skipped by SUM) instead of silently dropping
-    # the row — semantics hold even if the backbone constants change.
-    scored = (
-        cand.join(F.broadcast(w), cand["z"] == w["node"], "left")
-        .groupBy("u", "v")
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.sum("wt").alias("aa_score"),
-        )
-    )
+    scored = adamic_adar_scored(spark, edges)
     # Rank on the ROUNDED score: the raw double sum is order-dependent
     # across partition layouts, so mathematically-tied pairs could
     # straddle the top-15 boundary differently between runs/engines;

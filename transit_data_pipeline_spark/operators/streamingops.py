@@ -318,10 +318,19 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in (sink, ckpt):
         shutil.rmtree(d, ignore_errors=True)
     os.makedirs(src, exist_ok=True)
+    events_src = os.path.join(sf_dir, "events.parquet")
     for copy in ("a", "b"):
-        link = os.path.join(src, f"events_{copy}.parquet")
-        if not os.path.exists(link):
-            os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        if os.path.isdir(events_src):
+            # Directory-layout table: link each part file under a
+            # per-copy name (the file source does not recurse).
+            for f in os.listdir(events_src):
+                link = os.path.join(src, f"events_{copy}_{f}")
+                if f.endswith(".parquet") and not os.path.exists(link):
+                    os.symlink(os.path.join(events_src, f), link)
+        else:
+            link = os.path.join(src, f"events_{copy}.parquet")
+            if not os.path.exists(link):
+                os.symlink(events_src, link)
 
     stream = (
         normalize_events(
