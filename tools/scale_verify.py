@@ -161,6 +161,52 @@ AT_RISK = [
 ]
 
 
+#: Periodic ×64 tier (VERDICT r9 item 7): the heaviest NON-at-risk
+#: queries — ranked by recorded bench cost — so the families the
+#: at-risk set doesn't reach (text ranking, stats/privacy audits,
+#: graph iterations, curation) also carry ×64 strict/digest evidence,
+#: retiring the "only at-risk queries were ×64-checked" caveat.
+#: Run: python tools/scale_verify.py --tier x64
+X64_TIER = [
+    # curation / corpus pipelines
+    "corpus_curation_funnel",
+    "contrastive_pair_mining",
+    "dedup_minhash_incremental",
+    "retrieval_rrf_fusion",
+    "embedding_knn_outliers",
+    # graph iterations
+    "nation_trade_pagerank",
+    "hits_trade_graph",
+    "kcore_trade_graph",
+    "bfs_shortest_hops",
+    "adamic_adar_link_prediction",
+    # text ranking / language modelling
+    "text_inverted_index",
+    "text_kneser_ney_bigram",
+    "text_bigram_perplexity",
+    "text_bpe_pair_counts",
+    "pmi_collocations",
+    "source_distinctive_terms",
+    # stats / audit
+    "benford_audit",
+    "k_anonymity_audit",
+    "l_diversity_audit",
+    "t_closeness_audit",
+    "erasure_cascade_audit",
+    "welch_ttest",
+    "mann_kendall_trend",
+    "theilsen_trend",
+    "cusum_changepoint",
+    "acf_daily_orders",
+    # storage / infra
+    "mv_incremental_refresh",
+    "hierarchy_closure_rollup",
+    "market_basket_lift",
+    "weighted_percentiles",
+    "corr_features",
+]
+
+
 #: Per-query harness bounds (see module docstring). Key → dict with
 #: optional fields: "digest" (use in-engine digest compare above this
 #: factor), "max_factor" (oracle-compute-bounded: skip above),
@@ -439,11 +485,18 @@ def main() -> int:
         action="store_true",
         help="sweep every oracle-backed registry query, not just AT_RISK",
     )
+    ap.add_argument(
+        "--tier",
+        choices=["x64"],
+        help="named sweep tier: 'x64' = X64_TIER, the heaviest "
+        "non-at-risk families (text ranking, stats/audit, graph, "
+        "curation) for the periodic ×64 pass",
+    )
     ap.add_argument("names", nargs="*")
     ns = ap.parse_args(sys.argv[1:])
     factor = ns.factor
     run_all = ns.run_all
-    names = ns.names or AT_RISK
+    names = ns.names or (X64_TIER if ns.tier == "x64" else AT_RISK)
 
     import duckdb
     from pyspark.sql import SparkSession

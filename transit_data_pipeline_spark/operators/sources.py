@@ -442,6 +442,9 @@ def dpp_partitioned_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             table(spark, sf_dir, "orders")
             .withColumn("order_month", F.month("o_orderdate"))
+            # Cluster by the partition key first (see
+            # partition_retention_drop: avoids task×month file blowup).
+            .repartition(F.col("order_month"))
             .write.partitionBy("order_month")
             .mode("overwrite")
             .parquet(path)
@@ -1535,6 +1538,12 @@ def partition_retention_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             "month",
             F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd"),
         )
+        # Cluster rows by the partition column before the partitioned
+        # write: a multi-task source otherwise emits one file per
+        # (task × month) — a small-files explosion (32 tasks × ~80
+        # months here; fatal at 100 TB where partitioned writes always
+        # repartition or sort by the partition key first).
+        .repartition(F.col("month"))
         .write.partitionBy("month")
         .parquet(base)
     )

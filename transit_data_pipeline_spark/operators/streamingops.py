@@ -184,7 +184,12 @@ def streaming_feature_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hour("event_time").alias("hour_of_day"),
             "value",
         )
-        feats.write.mode("append").partitionBy("event_date").parquet(sink)
+        # Cluster by the partition key before the partitioned append:
+        # a multi-partition micro-batch otherwise emits one file per
+        # (task × day) — a small-files explosion at any real scale.
+        feats.repartition(F.col("event_date")).write.mode("append").partitionBy(
+            "event_date"
+        ).parquet(sink)
 
     with _stream_conf(spark):
         q = (
