@@ -274,6 +274,24 @@ BOUNDS: dict[str, dict] = {
         ">77 GB of DuckDB temp) — a genuine single-node bound; "
         "invariant-verified at ×64 (tools/scale_spotcheck.py)",
     },
+    "contrastive_pair_mining": {
+        "max_factor": 8,
+        "reason": "oracle's positive-mining CTE is the exact shingle "
+        "self-join (Σdf² grows ×N² on the duplicate-saturated "
+        "corpus): DuckDB died with IOException after 608 s at ×64 "
+        "(r10 tier run — spill disk, same failure mode as "
+        "dedup_semdedup); the ENGINE side mines positives from LSH "
+        "candidates and stays bucketed — ×8 strict-green in the "
+        "full-registry campaign",
+    },
+    "embedding_knn_outliers": {
+        "max_factor": 8,
+        "reason": "oracle's within-cluster 1-NN is all-pairs per "
+        "cluster, and the ×N corpus lands every copy-clique in one "
+        "cluster (pairs grow ×N²): filled >29 GB of DuckDB spill at "
+        "×64 before being killed (r10 tier run); ×8 strict-green in "
+        "the full-registry campaign",
+    },
 }
 
 #: Multiplier base for the per-row md5 polynomial digest (any odd
