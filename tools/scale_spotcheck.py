@@ -1,8 +1,9 @@
-"""Engine-side ×N spot-check for the oracle-bounded dedup queries
-(VERDICT r8 item 3): dedup_components, dedup_cluster_stats,
-dedup_keep_best, dedup_semdedup — the four whose single-node DuckDB
-ground truth is recursive-CTE / all-pairs quadratic and cannot run at
-×64 (tools/scale_verify.py BOUNDS).
+"""Engine-side ×N spot-check for the oracle-bounded queries:
+dedup_components, dedup_cluster_stats, dedup_keep_best,
+dedup_semdedup (VERDICT r8 item 3), plus contrastive_pair_mining and
+embedding_knn_outliers (r10 tier run) — the six whose single-node
+DuckDB ground truth is recursive-CTE / all-pairs quadratic and cannot
+run at ×64 (tools/scale_verify.py BOUNDS).
 
 The evidence chain replaces the infeasible oracle with a DERIVED one:
 the ×N corpus (tools/scale_probe.build_xn) duplicates every document
@@ -237,11 +238,124 @@ def check_semdedup(spark, xdir: str, factor: int, base: str = SF) -> list[str]:
     return problems
 
 
+def check_contrastive(spark, xdir: str, factor: int, base: str = SF) -> list[str]:
+    """Derived-oracle law for `contrastive_pair_mining`'s POSITIVE row
+    (r10 — its DuckDB oracle is Σdf²-quadratic and bounded at ×8,
+    tools/scale_verify.py BOUNDS): positives are content-determined
+    (LSH candidacy and exact Jaccard are functions of the shingle
+    sets), so under ×N duplication every ×1 positive pair {a,b}
+    yields N² copy-cross pairs with the SAME jaccard, and every doc
+    contributes C(N,2) within-copy pairs at jaccard 1. Hence
+
+        P_N      = N²·P₁ + n·N(N−1)/2
+        mean_N   = float(N²·S₁ + n·N(N−1)/2) / P_N
+
+    with S₁ the DECIMAL(18,4) jaccard sum over the ×1 positives —
+    decimal addition is order-exact, and the final cast-to-double /
+    divide is the same IEEE op on both sides, so the comparison is
+    EXACT. The negative row is id-dependent (md5 bucket shuffle over
+    shifted ids), so it only gets invariants: cross-source negatives
+    are never positives, hence mean < the 0.5 verify threshold."""
+    from decimal import Decimal
+
+    from transit_data_pipeline_spark.catalog import table
+    from transit_data_pipeline_spark.operators.dedup import (
+        DEC_J,
+        contrastive_pair_mining,
+        dedup_lsh_verified,
+    )
+
+    n = table(spark, base, "documents").count()
+    b1 = (
+        dedup_lsh_verified(spark, base)
+        .agg(
+            F.count(F.lit(1)).alias("p1"),
+            F.sum(F.col("jaccard").cast(DEC_J)).alias("s1"),
+        )
+        .first()
+    )
+    p1, s1 = b1["p1"], b1["s1"] if b1["s1"] is not None else Decimal(0)
+    same = n * factor * (factor - 1) // 2
+    want_pairs = factor * factor * p1 + same
+    want_mean = float(Decimal(factor * factor) * s1 + Decimal(same)) / want_pairs
+    rows = {
+        r["label"]: r for r in contrastive_pair_mining(spark, xdir).collect()
+    }
+    problems = []
+    if "pos" not in rows:
+        return [f"no pos row (labels: {sorted(rows)})"]
+    pos = rows["pos"]
+    if pos["n_pairs"] != want_pairs:
+        problems.append(
+            f"pos pairs {pos['n_pairs']} != N²·{p1} + {same} = {want_pairs}"
+        )
+    if pos["mean_jaccard"] != want_mean:
+        problems.append(
+            f"pos mean {pos['mean_jaccard']!r} != derived {want_mean!r}"
+        )
+    neg = rows.get("neg")
+    if neg is not None:
+        if not (0 < neg["n_pairs"] <= factor * n // 2):
+            problems.append(f"neg pairs {neg['n_pairs']} out of [1, N·n/2]")
+        if not (0.0 <= neg["mean_jaccard"] < 0.5):
+            problems.append(
+                f"neg mean {neg['mean_jaccard']} not in [0, 0.5) — a "
+                "negative with jaccard >= 0.5 should have been a positive"
+            )
+    return problems
+
+
+def check_knn_outliers(spark, xdir: str, factor: int, base: str = SF) -> list[str]:
+    """×N invariant for `embedding_knn_outliers` (r10 — its oracle's
+    within-cluster all-pairs 1-NN is quadratic on the copy-saturated
+    corpus and bounded at ×8): cluster assignment is a deterministic
+    function of the embedding, so all N identical copies of a vector
+    co-assign and every vector's 1-NN distance is EXACTLY 0. The
+    top-15 therefore degenerates to the tiebreak — nn_d2 0, ranks
+    1..15, vec_ids = the 15 smallest ids (base ids sort below every
+    shifted copy id). Degenerate but sharp: any drift in assignment
+    determinism, the distance arithmetic, or the NULLS-LAST tiebreak
+    breaks it loudly."""
+    from transit_data_pipeline_spark.catalog import table
+    from transit_data_pipeline_spark.operators.similarity import (
+        embedding_knn_outliers,
+    )
+
+    base_ids = [
+        r[0]
+        for r in table(spark, base, "embeddings")
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(15)
+        .collect()
+    ]
+    rows = embedding_knn_outliers(spark, xdir).orderBy("rnk").collect()
+    problems = []
+    if len(rows) != 15:
+        problems.append(f"row count {len(rows)} != 15")
+    if [r["rnk"] for r in rows] != list(range(1, len(rows) + 1)):
+        problems.append(f"ranks not 1..15: {[r['rnk'] for r in rows]}")
+    bad_d2 = [r["nn_d2"] for r in rows if r["nn_d2"] != 0]
+    if bad_d2:
+        problems.append(
+            f"{len(bad_d2)} rows with nn_d2 != 0 (every ×N vector has "
+            f"an identical co-clustered copy): {bad_d2[:5]}"
+        )
+    got_ids = [r["vec_id"] for r in rows]
+    if got_ids != base_ids[: len(rows)]:
+        problems.append(
+            f"tie-broken ids {got_ids} != 15 smallest base ids {base_ids}"
+        )
+    return problems
+
+
 CHECKS = {
     "dedup_components": check_components,
     "dedup_cluster_stats": check_cluster_stats,
     "dedup_keep_best": check_keep_best,
     "dedup_semdedup": check_semdedup,
+    "contrastive_pair_mining": check_contrastive,
+    "embedding_knn_outliers": check_knn_outliers,
 }
 
 
