@@ -1050,6 +1050,16 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr("(85 * dm) div (100 * n)")
                 ).alias("rank"),
             )
+            # Per-round lineage cut (r10): `ranks` feeds the NEXT
+            # round twice (contrib join + dangling-mass aggregate), so
+            # without truncation the logical plan doubles per round —
+            # 2^5 duplicated subtrees by round 5, each re-executing
+            # its broadcast subqueries (measured ~1 s at sf0.1; the
+            # no-cut spelling is unboundedly worse at depth — the same
+            # shape costs 30x in hits_trade_graph). The frame is
+            # |nations| rows, so the per-round materialization is
+            # constant-size at any corpus scale (guide §1.2/§5).
+            .localCheckpoint()
         )
     return ranks.join(
         F.broadcast(nation), ranks["node"] == nation["n_nationkey"]
