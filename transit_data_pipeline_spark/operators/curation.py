@@ -24,16 +24,13 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from .dedup import (
-    MINHASH_A,
-    MINHASH_B,
-    N_BANDS,
     SQL_DOC_SHINGLES,
     SQL_NORM,
-    SPARK_SHINGLE_HASH,
-    _P,
-    _band_exprs,
     _doc_shingles,
     _norm_col,
+    _pin,
+    _symmetric_edges,
+    _verified_pairs,
 )
 from .registry import register
 from .textops import SQL_TOKENS, STOPWORDS, _sql_list, quality_score_col
@@ -57,62 +54,9 @@ _SQL_QUALITY = f"""
 def _lsh_verified_pairs(sh: DataFrame) -> DataFrame:
     """(doc_a, doc_b) near-dup pairs (Jaccard >= JACCARD_THR) from a
     shingle frame: banded MinHash candidates, exact verify on the
-    candidates only. Same construction as dedup_lsh_verified
-    (dedup.py), parameterized by the (already-restricted) shingles."""
-    hashed = sh.withColumn("h", F.expr(SPARK_SHINGLE_HASH))
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.expr(f"(h * {MINHASH_A[i]}L + {MINHASH_B[i]}L) % {_P}L")
-            ).alias(f"m_{i}")
-            for i in range(16)
-        ]
-    )
-    zipped = F.explode(
-        F.arrays_zip(
-            F.array(*[F.lit(j) for j in range(N_BANDS)]).alias("band_id"),
-            F.array(*[F.expr(e) for e in _band_exprs()]).alias("band_hash"),
-        )
-    )
-    bands = sig.select("doc_id", zipped.alias("z")).select(
-        "doc_id",
-        F.col("z.band_id").alias("band_id"),
-        F.col("z.band_hash").alias("band_hash"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
-    inter = (
-        cand.join(sh_a, "doc_a")
-        .join(
-            sh_b,
-            (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh_a") == F.col("sh_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
-    jac = F.col("n_inter").cast("double") / (
-        F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_inter")
-    )
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THR)
-    )
+    candidates only — the shared dedup._verified_pairs construction,
+    parameterized by the (already-restricted, PINNED) shingles."""
+    return _verified_pairs(sh, JACCARD_THR)
 
 
 @register(
@@ -183,7 +127,11 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 5 — persist it (and each survivor set) so no stage re-runs an
     # upstream corpus pass; at 100 TB these would be 4 redundant scans.
     all_sh = _doc_shingles(spark, sf_dir).persist()
-    sh2 = all_sh.join(s2, "doc_id", "left_semi")
+    # sh2 is pinned on top of all_sh: _lsh_verified_pairs consumes it
+    # FOUR times (signature, sizes, both intersection sides), and each
+    # consumer would otherwise re-run the semi-join against the cached
+    # shingles (4 shuffles → 1 materialization, r10 guide §1.2/§5).
+    sh2 = _pin(all_sh.join(s2, "doc_id", "left_semi"))
     dropped3 = _lsh_verified_pairs(sh2).select(
         F.col("doc_b").alias("doc_id")
     ).distinct()
@@ -359,10 +307,15 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _min_label_components, dedup_lsh_verified
 
     pairs = dedup_lsh_verified(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    labels = _min_label_components(edges.cache())
+    # One-pass symmetrization: the union-of-swapped spelling executed
+    # the LSH-verify lineage once per branch (see dedup._symmetric_edges).
+    edges = _symmetric_edges(pairs).cache()
+    labels = _min_label_components(edges)
+    # Unpersist now (the loop has materialized its labels): a leaked
+    # cache entry would let a later same-session invocation of this
+    # query silently reuse it via the CacheManager's canonical-plan
+    # lookup — cross-run result caching (r10).
+    edges.unpersist()
     d = table(spark, sf_dir, "documents", spread=True)
     scored = (
         d.select("doc_id", quality_score_col().alias("quality_score"))

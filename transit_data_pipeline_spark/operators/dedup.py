@@ -68,6 +68,30 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Materialize a multiply-consumed frame once and cut its lineage
+    (eager ``localCheckpoint``). Catalyst shares no common subtrees
+    across join/aggregate branches, so a frame referenced k times in
+    one plan re-executes its lineage k times — for the shingle frame
+    (corpus scan → normalize → explode → md5) that is k full corpus
+    passes at 100 TB (guide §1.2: fix the algorithm, §5: cache only
+    what is reused AND expensive). Eager on purpose: a lazy
+    localCheckpoint first materialized inside an AQE map stage
+    (submitMapStage) never truncates — measured 5-6× regression on the
+    dedup component family when tried lazily (OPTIMIZATION_r10.md).
+    Blocks are freed by the ContextCleaner once the last consumer's
+    plan is dropped.
+
+    NOT ``persist()``: a lazy persist measured slightly faster on some
+    composers, but persist registers in the CacheManager keyed by the
+    CANONICAL plan — a later invocation of the same query in the same
+    session silently reuses the first invocation's cached
+    intermediates, which corrupts any best-of-N timing and amounts to
+    cross-run result caching (prohibited). localCheckpoint is RDD-
+    level: every invocation materializes fresh."""
+    return df.localCheckpoint()
+
+
 # MinHash parameters: 16 permutations h_i(x) = (a_i·x + b_i) mod p over
 # the md5-derived 32-bit shingle hash, banded 4×4 for LSH.
 _P = 2147483647
@@ -146,7 +170,11 @@ def dedup_ngram_jaccard(
     # three shuffles. The 100 TB path is dedup_minhash_lsh (stays
     # near-linear on the same probe); this operator is the exact
     # verifier you run on LSH candidates or bounded corpora.
-    sh = _doc_shingles(spark, sf_dir)
+    # Pinned: the guard aggregate materializes the shingle frame
+    # anyway (eager .first()), and the frame then feeds the sizes
+    # aggregate plus both self-join sides — 4 consumers; the pin turns
+    # 4 corpus shingle passes into 1 (r10, guide §1.2/§5).
+    sh = _pin(_doc_shingles(spark, sf_dir))
     # Blast-radius guard: one LINEAR pass estimates the join's output
     # (Σ df² bounds Σ C(df,2) intermediate rows). Refusing up front
     # costs one cheap agg; not refusing can cost hours of Σdf² work on
@@ -188,10 +216,16 @@ def dedup_ngram_jaccard(
     )
 
 
-def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_signature(
+    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, m_0..m_15): min over shingles of each permuted hash —
-    one groupBy with 16 MIN aggregates, no row explosion."""
-    sh = _doc_shingles(spark, sf_dir).withColumn("h", F.expr(SPARK_SHINGLE_HASH))
+    one groupBy with 16 MIN aggregates, no row explosion. Pass a
+    (pinned) shingle frame via ``sh`` when the caller also consumes
+    the shingles, so the corpus pass is shared."""
+    if sh is None:
+        sh = _doc_shingles(spark, sf_dir)
+    sh = sh.withColumn("h", F.expr(SPARK_SHINGLE_HASH))
     aggs = [
         F.min(F.expr(f"(h * {MINHASH_A[i]}L + {MINHASH_B[i]}L) % {_P}L")).alias(f"m_{i}")
         for i in range(16)
@@ -249,7 +283,11 @@ WHERE ({" + ".join(f"CASE WHEN sa.m_{i} = sb.m_{i} THEN 1 ELSE 0 END" for i in r
 """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _minhash_signature(spark, sf_dir)
+    # Pinned: the signature frame feeds the band explode AND both
+    # sides of the candidate verify join — 3 consumers, so without the
+    # pin the shingle+signature lineage (a full corpus pass) executes
+    # 3× in one plan (r10, guide §1.2/§5).
+    sig = _pin(_minhash_signature(spark, sf_dir))
     band_id = F.explode(
         F.arrays_zip(
             F.array(*[F.lit(j) for j in range(N_BANDS)]).alias("band_id"),
@@ -289,6 +327,94 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _verified_pairs(sh: DataFrame, thr: float = 0.5) -> DataFrame:
+    """(doc_a, doc_b, jaccard) near-dup pairs with exact Jaccard >= thr
+    from a shingle frame: banded MinHash candidates (band-hash
+    equi-join), exact verify on the candidates only.
+
+    The one construction shared by dedup_lsh_verified, the curation
+    funnel and contrastive mining. `sh` is consumed FOUR times
+    (signature build, per-doc sizes, and both sides of the candidate-
+    restricted intersection join) — callers must pass a pinned frame
+    (:func:`_pin`) or a persisted one, or the corpus shingle pass
+    re-executes once per consumer."""
+    hashed = sh.withColumn("h", F.expr(SPARK_SHINGLE_HASH))
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.expr(f"(h * {MINHASH_A[i]}L + {MINHASH_B[i]}L) % {_P}L")
+            ).alias(f"m_{i}")
+            for i in range(16)
+        ]
+    )
+    zipped = F.explode(
+        F.arrays_zip(
+            F.array(*[F.lit(j) for j in range(N_BANDS)]).alias("band_id"),
+            F.array(*[F.expr(e) for e in _band_exprs()]).alias("band_hash"),
+        )
+    )
+    bands = sig.select("doc_id", zipped.alias("z")).select(
+        "doc_id",
+        F.col("z.band_id").alias("band_id"),
+        F.col("z.band_hash").alias("band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(
+            sh_b,
+            (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= thr)
+    )
+
+
+def _symmetric_edges(pairs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) pairs → symmetric (src, dst) edge list in ONE
+    pass: posexplode of a two-struct array instead of
+    ``pairs.union(pairs.swapped)``, whose two branches each re-execute
+    the full pair-mining lineage (Catalyst does not share common
+    subtrees across union branches) — one corpus-scale LSH pass saved
+    per materialization."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+
+
 @register(
     "dedup_lsh_verified",
     ops=("J1", "A1", "A9"),
@@ -320,55 +446,15 @@ WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
 """,
 )
 def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Phase 1: LSH candidates (same banding as dedup_minhash_lsh).
-    sig = _minhash_signature(spark, sf_dir)
-    zipped = F.explode(
-        F.arrays_zip(
-            F.array(*[F.lit(j) for j in range(N_BANDS)]).alias("band_id"),
-            F.array(*[F.expr(e) for e in _band_exprs()]).alias("band_hash"),
-        )
-    )
-    bands = sig.select("doc_id", zipped.alias("z")).select(
-        "doc_id", F.col("z.band_id").alias("band_id"), F.col("z.band_hash").alias("band_hash")
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    # Phase 2: exact Jaccard on candidates only. The shingle join is
-    # keyed by (doc, shingle) — restricted to candidate docs, so cost
-    # is Σ_cand(|A|+|B|), not Σ_sh df².
-    sh = _doc_shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
-    inter = (
-        cand.join(sh_a, "doc_a")
-        .join(
-            sh_b,
-            (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh_a") == F.col("sh_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
-    jac = F.col("n_inter").cast("double") / (
-        F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_inter")
-    )
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
-    )
+    # Phase 1 (LSH candidates, same banding as dedup_minhash_lsh) and
+    # phase 2 (exact Jaccard on candidates only — the shingle join is
+    # keyed by (doc, shingle) restricted to candidate docs, so cost is
+    # Σ_cand(|A|+|B|), not Σ_sh df²) both live in _verified_pairs.
+    # The shingle frame is pinned: _verified_pairs consumes it 4 times
+    # (signature, sizes, both intersection sides) — r10 measured 4
+    # corpus shingle passes → 1 (guide §1.2).
+    sh = _pin(_doc_shingles(spark, sf_dir))
+    return _verified_pairs(sh, 0.5)
 
 
 @register(
@@ -425,7 +511,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "simhash"
         )
     )
-    blocked = sim.withColumn("block", F.expr("simhash >> 24"))
+    # Pinned: both sides of the block self-join — without the pin the
+    # whole token→bit→simhash aggregate chain executes twice.
+    blocked = _pin(sim.withColumn("block", F.expr("simhash >> 24")))
     a, b = blocked.alias("a"), blocked.alias("b")
     hamming = F.expr("cast(bit_count(a.simhash ^ b.simhash) as int)")
     return (
@@ -698,9 +786,10 @@ FROM comp c JOIN csizes s ON c.canonical_doc_id = s.canonical_doc_id
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_lsh_verified(spark, sf_dir).select("doc_a", "doc_b")
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # One-pass symmetrization (posexplode of both orientations) — the
+    # union-of-swapped spelling re-executed the whole LSH-verify
+    # lineage once per branch when the cache materialized (r10).
+    edges = _symmetric_edges(pairs)
     edges = edges.cache()
 
     # Propagate labels over the EDGE SUBGRAPH only: a doc in no
@@ -919,6 +1008,10 @@ def minhash_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Pinned: the per-source shingle set feeds the signature aggregate
+    # AND both sides of the pairwise-intersection self-join — 3
+    # consumers of the corpus pass (r10, guide §1.2/§5).
+    src_sh = _pin(src_sh)
     hashed = src_sh.withColumn("h", F.expr(SPARK_SHINGLE_HASH))
     sig = hashed.groupBy("source").agg(
         *[
@@ -1047,6 +1140,11 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
         .distinct()
     )
+    # Pinned: the edge list feeds the degree union (2 consumers) and
+    # all THREE legs of the triangle join — 5 consumers, so without
+    # the pin the whole shingle→signature→band-join lineage executes
+    # 5× in one plan (r10, guide §1.2/§5).
+    edges = _pin(edges)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -1143,9 +1241,10 @@ FROM batch b LEFT JOIN scored s ON b.doc_id = s.batch_doc
     ),
 )
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Not persisted: the signature aggregate is cheap relative to a
-    # pinned cache (house rule — query fns return cache-free frames).
-    sig = _minhash_signature(spark, sf_dir)
+    # Pinned: sig has FIVE consumers (batch/index band explodes, both
+    # score-join sides, and the final batch frame) — without the pin
+    # the corpus shingle+signature pass executes five times (r10).
+    sig = _pin(_minhash_signature(spark, sf_dir))
     batch_sig = sig.filter(F.col("doc_id") % 7 == 3)
     index_sig = sig.filter(F.col("doc_id") % 7 != 3)
 
@@ -1242,7 +1341,10 @@ WHERE CAST(i.n_inter AS DOUBLE) / za.n_sh >= 0.8
     ),
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _minhash_signature(spark, sf_dir)
+    # sh is pinned below and feeds the signature too — one corpus
+    # shingle pass for all 4 consumers (sig, sizes, both join sides).
+    sh = _pin(_doc_shingles(spark, sf_dir))
+    sig = _minhash_signature(spark, sf_dir, sh=sh)
     zipped = F.explode(
         F.arrays_zip(
             F.array(*[F.lit(j) for j in range(N_BANDS)]).alias("band_id"),
@@ -1265,7 +1367,6 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = _doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
@@ -1368,7 +1469,11 @@ FROM pairs GROUP BY sig_matches
     ),
 )
 def lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _minhash_signature(spark, sf_dir)
+    # sh pinned (feeds sig + sizes + both verify sides = 4 consumers);
+    # sig pinned on top (feeds bands + both score sides = 3 consumers,
+    # each of which would otherwise re-run the signature aggregate).
+    sh = _pin(_doc_shingles(spark, sf_dir))
+    sig = _pin(_minhash_signature(spark, sf_dir, sh=sh))
     zipped = F.explode(
         F.arrays_zip(
             F.array(*[F.lit(j) for j in range(N_BANDS)]).alias("band_id"),
@@ -1400,7 +1505,6 @@ def lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sig.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", matches.alias("sig_matches"))
     )
-    sh = _doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
@@ -1691,9 +1795,15 @@ GROUP BY 1
 """,
 )
 def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One pinned shingle frame for the whole query: positives mining
+    # consumes it 4× (inside _verified_pairs) and the verify stage
+    # 3× more — one corpus pass instead of seven (r10, guide §1.2).
+    sh = _pin(_doc_shingles(spark, sf_dir))
     # Positives: the LSH-verified near-dup pairs (identical result to
     # the exact pairwise set — certified by dedup_lsh_verified's gate).
-    pos = dedup_lsh_verified(spark, sf_dir).select("doc_a", "doc_b")
+    # Pinned: pos feeds the negative anti-join AND the pair union —
+    # without the pin the whole LSH-verify pipeline executes twice.
+    pos = _pin(_verified_pairs(sh, 0.5).select("doc_a", "doc_b"))
     d = table(spark, sf_dir, "documents", spread=True)
     key = F.md5(F.concat(F.lit("cpm:"), F.col("doc_id").cast("string")))
     bkt = F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % 64
@@ -1721,8 +1831,7 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = pos.withColumn("label", F.lit("pos")).unionByName(
         neg.withColumn("label", F.lit("neg"))
     )
-    # Exact Jaccard on the mined pairs only.
-    sh = _doc_shingles(spark, sf_dir)
+    # Exact Jaccard on the mined pairs only — reuses the pinned sh.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
@@ -1828,7 +1937,8 @@ def simhash_eval_pr(
     # Ground truth is inherently quadratic: this harness is for
     # bounded evaluation SAMPLES, and carries the same Σdf²
     # blast-radius guard as dedup_ngram_jaccard.
-    sh = _doc_shingles(spark, sf_dir)
+    # Pinned: guard agg + sizes + both truth-join sides (4 consumers).
+    sh = _pin(_doc_shingles(spark, sf_dir))
     est = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1905,7 +2015,8 @@ GROUP BY 1
 """,
 )
 def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir)
+    # Pinned: first-owner aggregate + the join-back side (2 consumers).
+    sh = _pin(_doc_shingles(spark, sf_dir))
     first_seen = sh.groupBy("sh").agg(F.min("doc_id").alias("owner"))
     novel = F.count(F.when(F.col("owner") == F.col("doc_id"), 1))
     return (
@@ -2161,7 +2272,8 @@ LEFT JOIN sizes pb ON c.doc_b = pb.doc_id
 )
 def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents", spread=True)
-    sh = _doc_shingles(spark, sf_dir)
+    # Pinned: sizes + both verify-join sides (3 consumers) — see _pin.
+    sh = _pin(_doc_shingles(spark, sf_dir))
     keyed = d.select(
         "doc_id",
         F.substring(
@@ -2198,6 +2310,9 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pos") + 1).cast("bigint").alias("neighbor_offset"),
         )
     )
+    # Pinned: cand feeds the verify intersection AND the final
+    # assembly join — 2 consumers of the corpus-wide sorted scan.
+    cand = _pin(cand)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("sb_id"), F.col("sh").alias("sh_b"))

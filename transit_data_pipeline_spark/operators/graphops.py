@@ -106,9 +106,21 @@ def _backbone_edges(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         .select("src", "dst")
     )
     return (
-        topk.unionByName(
-            topk.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        # One-pass symmetrization (explode of both orientations): the
+        # union-of-swapped spelling re-executed the fact-scale
+        # aggregate + window once per branch when the checkpoint
+        # materialized — two corpus passes for one 25-row frame (r10).
+        topk.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint()
     )

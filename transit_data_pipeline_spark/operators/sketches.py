@@ -916,14 +916,18 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The distinct token set feeds four consumers (sketch build, exact
     # per-source counts, both sides of the exact-intersection join);
-    # persist the vocab-bounded frame so the explode+distinct shuffle
-    # runs once. Size is Σ per-source vocab — sub-linear in corpus rows.
-    tok = (
+    # pin the vocab-bounded frame so the explode+distinct shuffle runs
+    # once. Size is Σ per-source vocab — sub-linear in corpus rows.
+    # localCheckpoint, not persist: this lazy frame is returned inside
+    # the query result, and a leaked persist would let a later same-
+    # session invocation reuse it via the CacheManager's canonical-
+    # plan lookup — cross-run result caching (r10).
+    from .dedup import _pin
+
+    tok = _pin(
         d.select(
             "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
-        )
-        .distinct()
-        .persist()
+        ).distinct()
     )
     u = (
         F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10)
