@@ -362,7 +362,14 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first_seen = e.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
     activity = e.distinct()
-    cells = (
+    from .dedup import _pin
+
+    # Pinned (r10): the cohort-cell frame (events distinct + join +
+    # COUNT DISTINCT) feeds the diagonal-base extract AND the final
+    # join — without the pin the whole cohort aggregation executed
+    # twice (4 events scans in the before-plan). Cells are
+    # week×offset-sized, constant-ish at any corpus scale.
+    cells = _pin(
         activity.join(first_seen, "user_id")
         .groupBy(
             "cohort_week",
@@ -805,7 +812,14 @@ def event_session_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts_ns", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    incidence = (
+    from .dedup import _pin
+
+    # Pinned (r10): the session×type incidence frame (two per-user
+    # window passes + a distinct shuffle) feeds FOUR consumers — the
+    # session count, per-type marginals, and both co-occurrence join
+    # sides; without the pin the sessionization executed 4× (5 events
+    # scans in the before-plan).
+    incidence = _pin(
         flagged.withColumn("session_seq", F.sum("is_start").over(run_w))
         .select("user_id", "session_seq", "event_type")
         .distinct()

@@ -868,7 +868,14 @@ WHERE p.n_co >= 3
 def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    incidence = (
+    from .dedup import _pin
+
+    # Pinned (r10): the order×brand incidence frame (fact join +
+    # distinct shuffle) feeds FOUR consumers — the order count, the
+    # per-brand marginals, and both sides of the co-occurrence
+    # self-join; without the pin the lineitem⋈part distinct executed
+    # 4× (5 lineitem scans in the before-plan).
+    incidence = _pin(
         l.join(p, l["l_partkey"] == p["p_partkey"])
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
