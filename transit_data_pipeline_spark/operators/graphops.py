@@ -141,7 +141,7 @@ def bfs_hops_frame(
         "node",
         F.when(F.col("node") == source, F.lit(0)).alias("hops"),
     )
-    for _ in range(max_hops):
+    for it in range(max_hops):
         cand = (
             dist.filter(F.col("hops").isNotNull())
             .join(F.broadcast(edges), dist["node"] == edges["src"])
@@ -161,11 +161,15 @@ def bfs_hops_frame(
                 .otherwise(F.col("hops"))
                 .alias("hops"),
             )
-            # small frame; cutting lineage per round keeps analysis/
-            # planning cost O(1) per round instead of O(round depth)
-            # (measured 8.7 s → a chained-plan tax, not data).
-            .localCheckpoint()
         )
+        # small frame; cutting lineage every OTHER round (and on the
+        # final round) keeps analysis/planning cost bounded — one
+        # plan doubling between cuts — while halving the
+        # materialization jobs (was per-round: measured 8.7 s with no
+        # cut at all, a chained-plan tax, not data; r10 halves the
+        # job count on top).
+        if it % 2 == 1 or it == max_hops - 1:
+            dist = dist.localCheckpoint()
     return dist
 
 
@@ -187,7 +191,7 @@ def kcore_peel(
     )
     alive = deg0.filter(F.col("deg") >= k).select("node")
     deg = deg0
-    for _ in range(rounds):
+    for r in range(rounds):
         # Fresh column names per round: `alive` feeds the round twice
         # (as survivors and as the neighbor filter), so renamed
         # projections keep the self-join unambiguous.
@@ -200,9 +204,10 @@ def kcore_peel(
             .join(F.broadcast(nbr), F.col("e_dst") == F.col("nbr"), "left")
             .groupBy("node")
             .agg(F.count("nbr").alias("deg"))
-            # small frame; per-round lineage cut (see bfs note).
-            .localCheckpoint()
         )
+        # small frame; lineage cut every other round (see bfs note).
+        if r % 2 == 1 or r == rounds - 1:
+            deg = deg.localCheckpoint()
         alive = deg.filter(F.col("deg") >= k).select("node")
     return deg0, alive, deg
 

@@ -1094,11 +1094,18 @@ WHERE (best_orders_richer IS NULL OR best_orders_richer < n_orders)
 )
 def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    cust = o.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long")
-        .alias("spend_cents"),
-        F.count(F.lit(1)).alias("n_orders"),
+    from .dedup import _pin
+
+    # Pinned (r10): the per-customer spend frame feeds the per-spend
+    # rollup AND the join-back — without the pin the orders-scale
+    # groupBy executed twice.
+    cust = _pin(
+        o.groupBy("o_custkey").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("spend_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
     )
     # "Best among strictly richer" = exclusive running MAX over the
     # per-distinct-spend aggregate (RANGE frame ≡ ROWS frame once
