@@ -597,8 +597,13 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return frame.select(u.alias("u")).distinct().orderBy("u").limit(_JC_K)
 
-    ka = kmv(o, "o_custkey")
-    kb = kmv(cb, "c_custkey")
+    from .dedup import _pin
+
+    # Pinned (r10): each KMV sketch (fact-scale md5 + distinct +
+    # global top-K) feeds the union AND its membership flag join — 2
+    # consumers each, so both sketch builds executed twice before.
+    ka = _pin(kmv(o, "o_custkey"))
+    kb = _pin(kmv(cb, "c_custkey"))
     un = ka.union(kb).distinct().orderBy("u").limit(_JC_K)
     flagged = un.join(
         ka.withColumnRenamed("u", "ua"), F.col("u") == F.col("ua"), "left"
