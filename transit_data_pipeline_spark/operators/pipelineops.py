@@ -1332,12 +1332,17 @@ def join_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     build = table(spark, sf_dir, "orders").agg(
         F.count(F.lit(1)).alias("build_rows")
     )
+    # Scale-safe top-k (r10): orderBy+limit (TakeOrderedAndProject)
+    # replaces a global row_number window over every join key; the
+    # rank is rebuilt over the 5 survivors — identical under the total
+    # (n_rows desc, l_orderkey) order.
     top5 = (
-        per_key.withColumn(
+        per_key.orderBy(F.desc("n_rows"), "l_orderkey")
+        .limit(5)
+        .withColumn(
             "rnk",
             F.row_number().over(Window.orderBy(F.desc("n_rows"), "l_orderkey")),
         )
-        .filter(F.col("rnk") <= 5)
     )
     return (
         top5.crossJoin(F.broadcast(stats))

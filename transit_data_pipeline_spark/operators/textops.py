@@ -845,11 +845,18 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("score")
     )
+    # Scale-safe top-k (r10, guide §2.4): orderBy+limit plans as
+    # TakeOrderedAndProject (per-partition top-20, merged on the
+    # driver) instead of a global row_number window that single-
+    # partition-sorts EVERY matching doc; the rank is then rebuilt by
+    # the same total order over the 20 surviving rows — identical
+    # output (the (score desc, doc_id) order is total).
     w = Window.orderBy(F.col("score").desc(), "doc_id")
-    return (
-        agg.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
-        .select("doc_id", F.col("rnk").cast("long").alias("rnk"), "score")
+    top = agg.orderBy(F.col("score").desc(), "doc_id").limit(20)
+    return top.select(
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        "score",
     )
 
 
@@ -992,13 +999,21 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("tf_sum"))
     )
-    ql_w = Window.orderBy(
-        (F.col("tf_sum").cast("double") / F.col("dl")).desc(), F.col("doc_id")
+    # Scale-safe top-k (r10): orderBy+limit (TakeOrderedAndProject)
+    # replaces a global row_number window over every query-matching
+    # doc; the rank is rebuilt over the 20 survivors — identical under
+    # the total (score desc, doc_id) order. The downstream fused frame
+    # is ≤ 40 rows, so its rank window is already bounded.
+    ql_ord = (
+        (F.col("tf_sum").cast("double") / F.col("dl")).desc(),
+        F.col("doc_id").asc(),
     )
+    ql_w = Window.orderBy(*ql_ord)
     ql = (
         qtf.join(dl, "doc_id")
+        .orderBy(*ql_ord)
+        .limit(20)
         .withColumn("ql_rank", F.row_number().over(ql_w))
-        .filter(F.col("ql_rank") <= 20)
         .select("doc_id", "ql_rank")
     )
     fused = bm.join(ql, "doc_id", "full_outer").select(
@@ -2222,12 +2237,14 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_kn"),
         )
     )
-    rk = F.row_number().over(
-        Window.orderBy(F.col("c12").desc(), "w1", "w2")
-    )
+    # Scale-safe top-k (r10): orderBy+limit plans as
+    # TakeOrderedAndProject (distributed per-partition top-k) instead
+    # of a global row_number window that single-partition-sorts every
+    # bigram type; identical rows under the total (c12 desc, w1, w2)
+    # order, and the rank column was never in the output.
     return (
-        scored.withColumn("rk", rk)
-        .filter(F.col("rk") <= _KN_TOPK)
+        scored.orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(_KN_TOPK)
         .select(
             "w1",
             "w2",
