@@ -2310,9 +2310,13 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pos") + 1).cast("bigint").alias("neighbor_offset"),
         )
     )
-    # Pinned: cand feeds the verify intersection AND the final
-    # assembly join — 2 consumers of the corpus-wide sorted scan.
-    cand = _pin(cand)
+    # cand is NOT pinned despite its two consumers (verify
+    # intersection + final assembly): sorted_neighbors' internal
+    # consistency checkpoint already materializes the range-sorted
+    # frame once for both, so a pin here would only hide the
+    # range-partitioning from the plan (tests/test_plans.py asserts
+    # it) while saving a window+posexplode re-run over checkpointed
+    # blocks.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("sb_id"), F.col("sh").alias("sh_b"))

@@ -2352,8 +2352,6 @@ LEFT JOIN tot2 t2b ON p.doc_b = t2b.doc_id
 """,
 )
 def rouge_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import _pin
-
     d = table(spark, sf_dir, "documents", spread=True)
     keyed = d.select(
         "doc_id",
@@ -2381,15 +2379,15 @@ def rouge_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_b").isNotNull())
         .drop("_real")
     )
-    # Pinned (r10, guide §1.2/§5): `pairs` is consumed by both overlap
-    # builds and the final assembly — 3 consumers, each of which
-    # re-ran the corpus-wide sorted-neighbor range sort. The gram
-    # frames (`uni`, `bi`) are deliberately NOT pinned: their
-    # consumers repartition on different keys each time, but measured
-    # 3.4 → 4.2 s when pinned — the parallel recomputes overlap on
-    # idle cores while a checkpoint serializes, and the frames are
+    # NOT pinned (r10, measured): `pairs` has 3 consumers, but
+    # sorted_neighbors' internal consistency checkpoint already
+    # materializes the range-sorted frame once for all of them (a pin
+    # would also hide the range-partitioning the plan suite asserts).
+    # The gram frames (`uni`, `bi`) are likewise left unpinned: their
+    # consumers repartition on different keys each time, but pinning
+    # measured 3.4 → 4.2 s — the parallel recomputes overlap on idle
+    # cores while a checkpoint serializes, and the frames are
     # token-scale (the biggest intermediate in the query).
-    pairs = _pin(pairs)
     toks = d.select("doc_id", tokens_col().alias("w"))
     uni = toks.select("doc_id", F.explode("w").alias("g")).groupBy(
         "doc_id", "g"
