@@ -39,6 +39,17 @@ def _newest_mtime(path: str) -> float:
     return os.path.getmtime(path)
 
 
+#: Target bytes per mirror file (guide §6: size output files by data
+#: volume, 128 MB-1 GB at real scale; the floor of 8 keeps small-SF
+#: scans parallel without splintering every stage into one task per
+#: core — VERDICT r10 item 1: a 32-core run of ~600K-row tables paid
+#: 32 scan tasks per stage, pure scheduling overhead).
+MIRROR_TARGET_FILE_BYTES = int(
+    os.environ.get("SPARK_GRAFT_MIRROR_FILE_BYTES", 128 * 1024 * 1024)
+)
+MIRROR_MIN_FILES = 8
+
+
 def _mirror_fixtures(spark, sf_dir: str) -> str:
     """Rewrite the driver tables as multi-file parquet into a cached
     /tmp mirror and bench against THAT (VERDICT r9 item 4).
@@ -46,11 +57,15 @@ def _mirror_fixtures(spark, sf_dir: str) -> str:
     The driver fixtures are single-row-group files — one scan task no
     matter the cluster, a layout no real table has (testdata is
     read-only, so the layout knob lives here, in the bench's own
-    ingest). Fact-scale tables get one file per core so scans
-    parallelize natively and catalog.table's `spread` gate stops
-    firing; broadcast dims stay single-file. Cache key = fixture path
-    hash; a mirror older than its source is rebuilt. Opt out with
-    SPARK_GRAFT_NO_MIRROR=1 (times the raw driver layout instead).
+    ingest). Fact-scale tables get ``clamp(ceil(bytes/128MB), 8, dp)``
+    files — sized by data volume, not core count (VERDICT r10 item 1:
+    one-file-per-core splintered every sf0.1 scan stage into 32
+    scheduling-overhead tasks and made the 32-core bench slower than
+    the 8-core one) — so scans parallelize natively and catalog.table's
+    `spread` gate stops firing; broadcast dims stay single-file. Cache
+    key = fixture path + per-table file-count layout; a mirror older
+    than its source is rebuilt. Opt out with SPARK_GRAFT_NO_MIRROR=1
+    (times the raw driver layout instead).
     """
     import hashlib
     import shutil
@@ -62,10 +77,19 @@ def _mirror_fixtures(spark, sf_dir: str) -> str:
     )
 
     base = sf_dir.rstrip("/")
-    tag = hashlib.sha1(os.path.abspath(base).encode()).hexdigest()[:8]
+    dp = spark.sparkContext.defaultParallelism
+    layout = {}
+    for t in TABLES:
+        if t in BROADCAST_TABLES:
+            layout[t] = 1
+            continue
+        nbytes = os.path.getsize(os.path.join(base, f"{t}.parquet"))
+        want = -(-nbytes // MIRROR_TARGET_FILE_BYTES)  # ceil
+        layout[t] = max(MIRROR_MIN_FILES, min(dp, want))
+    key = os.path.abspath(base) + "|" + repr(sorted(layout.items()))
+    tag = hashlib.sha1(key.encode()).hexdigest()[:8]
     mdir = f"/tmp/tdps_bench_mirror_{os.path.basename(base)}_{tag}"
     os.makedirs(mdir, exist_ok=True)
-    dp = spark.sparkContext.defaultParallelism
     for t in TABLES:
         src = os.path.join(base, f"{t}.parquet")
         out = os.path.join(mdir, f"{t}.parquet")
@@ -81,10 +105,10 @@ def _mirror_fixtures(spark, sf_dir: str) -> str:
             if t == "events"
             else spark.read.parquet(src)
         )
-        parts = 1 if t in BROADCAST_TABLES else dp
         shutil.rmtree(out + ".d", ignore_errors=True)
-        df.repartition(parts).write.mode("overwrite").parquet(out + ".d")
+        df.repartition(layout[t]).write.mode("overwrite").parquet(out + ".d")
         os.rename(out + ".d", out)
+    _mirror_fixtures.last_layout = layout
     return mdir
 
 
@@ -220,7 +244,8 @@ def main() -> None:
                 "fixture_layout": (
                     "driver-raw"
                     if os.environ.get("SPARK_GRAFT_NO_MIRROR", "") == "1"
-                    else "multi-file-mirror"
+                    else "multi-file-mirror "
+                    + repr(getattr(_mirror_fixtures, "last_layout", {}))
                 ),
                 "session_floor_sec": floor,
                 "net_total": round(sum(net.values()), 3),

@@ -1,8 +1,10 @@
 """The bench fixture mirror (bench._mirror_fixtures) must be a pure
-layout change: same rows per table, fact tables split into one file
-per core (so scans parallelize and catalog.table's `spread` gate
-stops firing), broadcast dims left single-file, and the events
-encoding still accepted by normalize_events."""
+layout change: same rows per table, fact tables split into
+clamp(ceil(bytes/128MB), 8, dp) files — sized by data volume, floor 8
+so scans parallelize and catalog.table's `spread` gate stops firing,
+capped at core count (VERDICT r10 item 1: one-file-per-core splintered
+every small-SF scan stage) — broadcast dims left single-file, and the
+events encoding still accepted by normalize_events."""
 
 from __future__ import annotations
 
@@ -44,6 +46,8 @@ def test_mirror_preserves_rows_and_values(spark):
 
 
 def test_mirror_layout_parallelizes_facts(spark):
+    import bench
+
     mdir = _mirror(spark)
     dp = spark.sparkContext.defaultParallelism
     for t in TABLES:
@@ -53,7 +57,10 @@ def test_mirror_layout_parallelizes_facts(spark):
         if t in BROADCAST_TABLES:
             assert len(parts) == 1, t
         else:
-            assert len(parts) == dp, t
+            src_bytes = os.path.getsize(os.path.join(SF_SMALL, f"{t}.parquet"))
+            want = -(-src_bytes // bench.MIRROR_TARGET_FILE_BYTES)
+            expect = max(bench.MIRROR_MIN_FILES, min(dp, want))
+            assert len(parts) == expect, t
             # the spread gate must see >= target partitions natively
             df = table(spark, mdir, t)
             assert df.rdd.getNumPartitions() >= min(dp, 8), t

@@ -19,6 +19,23 @@ RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Coalesce post-shuffle partitions by DATA VOLUME (advisory size),
+    # not down to a floor of defaultParallelism: with the default
+    # parallelismFirst=true, every small shuffle keeps `cpus` splinter
+    # partitions — at sf0.1 that is 32 scheduling-overhead tasks per
+    # stage and made the 32-core bench slower than the 8-core one
+    # (VERDICT r10 item 1; guide §2.2 "fewer, larger reduce
+    # partitions"). Scale-adaptive by construction: partition count is
+    # derived from shuffle bytes / advisory size at any scale, capped
+    # above by spark.sql.shuffle.partitions. Advisory size is
+    # env-tunable; 64m (Spark's default) suits the local bench, 256m
+    # is the guide-§9 production setting for big clusters.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": os.environ.get(
+        "SPARK_GRAFT_PARALLELISM_FIRST", "false"
+    ),
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ.get(
+        "SPARK_GRAFT_ADVISORY_PARTITION", "64m"
+    ),
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Exact ANSI-ish semantics are not required; reference relies on
     # permissive casts (SURVEY §2 P9).
@@ -46,6 +63,15 @@ def get_spark(app_name: str = "transit_data_pipeline_spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Truncate physical-plan strings carried inside listener-bus
+        # events (static conf, default unbounded): iterative operators
+        # emit multi-thousand-line plans, and megabyte
+        # SQLExecutionStart payloads back the shared async bus up —
+        # which every Observation.get and AQE listener then waits
+        # behind (r11; guide §5 "the driver should do almost no data
+        # work"). Purely driver-side bookkeeping; no effect on plans,
+        # results, or the UI-less status store's correctness.
+        .config("spark.sql.event.truncate.length", "2000")
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)
