@@ -110,22 +110,42 @@ UNION ALL SELECT 5, 'decontaminated', (SELECT COUNT(*) FROM s5)
 """,
 )
 def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stage-count plumbing (r11, VERDICT r10 item 2): every survivor
+    # frame is PINNED (eager localCheckpoint) with an `observe()`
+    # attached, so each stage's count rides its own materialization
+    # job instead of a separate agg-count job per stage — the raw and
+    # held-out counts ride stage 2's job via observes placed on its
+    # lineage (they cost zero extra corpus scans), and only stage 5
+    # (never materialized otherwise) keeps an explicit count. 6
+    # serialized count jobs + 2 extra corpus scans → 1. CollectMetrics
+    # aggregates exactly the rows flowing through the action, so every
+    # count is byte-identical to the old standalone aggregates; each
+    # observed node executes exactly once (inside its pin), never
+    # inside a multiply-consumed branch.
+    from pyspark.sql import Observation
+
+    obs_raw, obs_train, obs_s2, obs_s3, obs_s4 = (
+        Observation() for _ in range(5)
+    )
+    n = F.count(F.lit(1)).alias("n")
     d = table(spark, sf_dir, "documents", spread=True)
-    train = d.filter(F.col("doc_id") % 20 != 0)
+    train = d.observe(obs_raw, n).filter(F.col("doc_id") % 20 != 0)
 
     # Stage 2: exact dedup — canonical = min doc_id per fingerprint.
-    s2 = (
-        train.select("doc_id", F.md5(_norm_col()).alias("f"))
+    s2 = _pin(
+        train.observe(obs_train, n)
+        .select("doc_id", F.md5(_norm_col()).alias("f"))
         .groupBy("f")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
-    ).persist()
+        .observe(obs_s2, n)
+    )
 
     # Stage 3: near-dup on the survivors (LSH candidates → exact verify).
     # The shingle frame is the funnel's most expensive intermediate
     # (normalize + explode over the full corpus) and feeds stages 3 AND
-    # 5 — persist it (and each survivor set) so no stage re-runs an
-    # upstream corpus pass; at 100 TB these would be 4 redundant scans.
+    # 5 — persist it so no stage re-runs an upstream corpus pass; at
+    # 100 TB these would be redundant corpus scans.
     all_sh = _doc_shingles(spark, sf_dir).persist()
     # sh2 is pinned on top of all_sh: _lsh_verified_pairs consumes it
     # FOUR times (signature, sizes, both intersection sides), and each
@@ -135,15 +155,16 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped3 = _lsh_verified_pairs(sh2).select(
         F.col("doc_b").alias("doc_id")
     ).distinct()
-    s3 = s2.join(dropped3, "doc_id", "left_anti").persist()
+    s3 = _pin(s2.join(dropped3, "doc_id", "left_anti").observe(obs_s3, n))
 
     # Stage 4: quality floor (the shared formula — textops.quality_score_col).
     q = d.select("doc_id", quality_score_col().alias("quality_score"))
-    s4 = (
+    s4 = _pin(
         s3.join(q, "doc_id")
         .filter(F.col("quality_score") >= QUALITY_THR)
         .select("doc_id")
-    ).persist()
+        .observe(obs_s4, n)
+    )
 
     # Stage 5: decontamination against the held-out benchmark shingles.
     bench_sh = (
@@ -168,26 +189,19 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
 
-    # Materialize the six per-stage counts eagerly: a lazy 6-way union
-    # would re-execute the un-shared parts of the lineage per branch,
-    # and the persisted frames must be computed before they can be
-    # released. Each count is a scalar aggregate — O(1) driver memory
-    # at any corpus size (this is not a driver collect of rows).
+    # One explicit scalar-count job (stage 5); every other count was
+    # observed during its stage's materialization. O(1) driver memory
+    # at any corpus size (scalars, not rows).
+    n_s5 = s5.agg(F.count(F.lit(1))).first()[0]
+    all_sh.unpersist()
     rows = [
-        (i, name, df.agg(F.count(F.lit(1))).first()[0])
-        for i, (name, df) in enumerate(
-            (
-                ("raw", d),
-                ("benchmark_held_out", train),
-                ("exact_dedup", s2),
-                ("near_dedup", s3),
-                ("quality_filter", s4),
-                ("decontaminated", s5),
-            )
-        )
+        (0, "raw", obs_raw.get["n"]),
+        (1, "benchmark_held_out", obs_train.get["n"]),
+        (2, "exact_dedup", obs_s2.get["n"]),
+        (3, "near_dedup", obs_s3.get["n"]),
+        (4, "quality_filter", obs_s4.get["n"]),
+        (5, "decontaminated", n_s5),
     ]
-    for cached in (all_sh, s2, s3, s4):
-        cached.unpersist()
     return spark.createDataFrame(
         rows, "stage_id int, stage string, n_docs long"
     )

@@ -68,28 +68,10 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pin(df: DataFrame) -> DataFrame:
-    """Materialize a multiply-consumed frame once and cut its lineage
-    (eager ``localCheckpoint``). Catalyst shares no common subtrees
-    across join/aggregate branches, so a frame referenced k times in
-    one plan re-executes its lineage k times — for the shingle frame
-    (corpus scan → normalize → explode → md5) that is k full corpus
-    passes at 100 TB (guide §1.2: fix the algorithm, §5: cache only
-    what is reused AND expensive). Eager on purpose: a lazy
-    localCheckpoint first materialized inside an AQE map stage
-    (submitMapStage) never truncates — measured 5-6× regression on the
-    dedup component family when tried lazily (OPTIMIZATION_r10.md).
-    Blocks are freed by the ContextCleaner once the last consumer's
-    plan is dropped.
-
-    NOT ``persist()``: a lazy persist measured slightly faster on some
-    composers, but persist registers in the CacheManager keyed by the
-    CANONICAL plan — a later invocation of the same query in the same
-    session silently reuses the first invocation's cached
-    intermediates, which corrupts any best-of-N timing and amounts to
-    cross-run result caching (prohibited). localCheckpoint is RDD-
-    level: every invocation materializes fresh."""
-    return df.localCheckpoint()
+# _pin lives in operators/_util.py (shared across modules — ADVICE
+# r10); re-exported here because the dedup family popularized it and
+# sibling modules/tests import it from this namespace.
+from ._util import _pin  # noqa: E402
 
 
 # MinHash parameters: 16 permutations h_i(x) = (a_i·x + b_i) mod p over
@@ -701,13 +683,24 @@ def _min_label_components(edges, max_iters: int = 20):
     never cascade recomputation back through superseded rounds whose
     storage was already released. Superseded round frames are freed by
     the ContextCleaner once unreferenced — no session-lifetime pin.
+
+    The convergence scalar rides the SAME materialization job via
+    ``observe()`` (r11, VERDICT r10 item 3): the old spelling ran a
+    separate ``agg(sum).first()`` job per round — 2 serialized
+    driver-synchronized jobs per round instead of 1. CollectMetrics
+    aggregates on the data flowing through the checkpoint action, so
+    the sum is byte-identical to the standalone aggregate.
     """
+    from pyspark.sql import Observation
+
+    obs0 = Observation()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("comp", F.col("doc_id"))
+        .observe(obs0, F.sum("comp").alias("s"))
     ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    prev_sum = obs0.get["s"]
     for it in range(max_iters):
         neigh = edges.join(labels, edges.src == labels.doc_id).select(
             F.col("dst").alias("doc_id"), "comp"
@@ -724,8 +717,11 @@ def _min_label_components(edges, max_iters: int = 20):
             new_labels = new_labels.join(hop, "comp").select(
                 "doc_id", F.col("comp2").alias("comp")
             )
-        new_labels = new_labels.localCheckpoint()
-        cur_sum = new_labels.agg(F.sum("comp")).first()[0]
+        obs = Observation()
+        new_labels = new_labels.observe(
+            obs, F.sum("comp").alias("s")
+        ).localCheckpoint()
+        cur_sum = obs.get["s"]
         labels = new_labels
         if cur_sum == prev_sum:
             break

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions import numeric as N
+from ._util import _pin
 from .registry import register
 
 #: DuckDB twin of catalog's microsecond event_time derivation.
@@ -362,7 +363,6 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first_seen = e.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
     activity = e.distinct()
-    from .dedup import _pin
 
     # Pinned (r10): the cohort-cell frame (events distinct + join +
     # COUNT DISTINCT) feeds the diagonal-base extract AND the final
@@ -812,7 +812,6 @@ def event_session_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts_ns", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    from .dedup import _pin
 
     # Pinned (r10): the session×type incidence frame (two per-user
     # window passes + a distinct shuffle) feeds FOUR consumers — the

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions import numeric as N
+from ._util import _pin
 from .registry import register
 
 SQL_EVENT_TIME = "make_timestamp(epoch_ns(ts) // 1000)"
@@ -868,7 +869,6 @@ WHERE p.n_co >= 3
 def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    from .dedup import _pin
 
     # Pinned (r10): the order×brand incidence frame (fact join +
     # distinct shuffle) feeds FOUR consumers — the order count, the
@@ -1033,6 +1033,13 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = base.select("node", "rank")
     srcs = ew.select("src").distinct()  # from the checkpointed frame
+    # (r11, measured-reverted: driving the per-round dangling mass and
+    # node count through observe()-on-checkpoint scalars — VERDICT r10
+    # item 5's mechanism — A/B'd 1.95 s → 2.2-2.7 s isolated and up to
+    # 7.3 s after heavy queries: Observation.get waits on the shared
+    # async listener bus, whose backlog from large-plan
+    # SQLExecutionStart events exceeds the cost of the tiny broadcast-
+    # subquery jobs it replaces. The subquery spelling stays.)
     for _ in range(_PR_ITERS):
         contrib = (
             ranks.join(F.broadcast(ew), ranks["node"] == ew["src"])
@@ -1704,6 +1711,11 @@ def hits_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # without truncation each half-step DOUBLES the logical plan —
         # 2^8 copies after 4 iterations stalls analysis. The frame is
         # |nations| rows; localCheckpoint keeps every half-step O(1).
+        # (r11, measured-reverted: folding the L1 total in as an
+        # observe()-on-checkpoint scalar — VERDICT r10 item 5 — A/B'd
+        # 2.78 s → 3.58 s: Observation.get stalls on the shared async
+        # listener bus behind large-plan SQL events, costing more than
+        # the per-half-step broadcast-subquery job it removes.)
         raw = raw.localCheckpoint()
         tot = raw.agg(F.sum("raw").alias("tot"))
         return raw.crossJoin(F.broadcast(tot)).select(
@@ -1848,41 +1860,54 @@ GROUP BY 1
 def hierarchy_closure_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer", spread=True)
     # Jump table J1: parent pointer, self-loop (0 steps) at roots.
-    j = c.select(
-        F.col("c_custkey").alias("node"),
-        F.when(
-            F.col("c_custkey") >= HIER_FANOUT,
-            F.expr(f"c_custkey DIV {HIER_FANOUT}"),
+    # PINNED (r11, guide §1.2/§6): unpinned, the 4 squaring self-joins
+    # expand to a join tree with 2^4 = 16 leaf scans of customer (plus
+    # the rollup join's 17th) — a 17× scan-byte multiplier at any
+    # scale. Pinning each level makes every squaring ONE join of two
+    # reads of the previous materialization: customer is scanned once,
+    # 4 joins total instead of 15. The rollup payload (c_acctbal) rides
+    # the a-side of each squaring (8 bytes/row across 4 node-keyed
+    # shuffles), which removes the final join-back against customer
+    # entirely.
+    j = _pin(
+        c.select(
+            F.col("c_custkey").alias("node"),
+            F.when(
+                F.col("c_custkey") >= HIER_FANOUT,
+                F.expr(f"c_custkey DIV {HIER_FANOUT}"),
+            )
+            .otherwise(F.col("c_custkey"))
+            .alias("target"),
+            F.when(F.col("c_custkey") >= HIER_FANOUT, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("steps"),
+            F.col("c_acctbal").alias("bal"),
         )
-        .otherwise(F.col("c_custkey"))
-        .alias("target"),
-        F.when(F.col("c_custkey") >= HIER_FANOUT, F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("bigint")
-        .alias("steps"),
     )
     # Square 4 times: J2 = J1∘J1, ... J16 — every node's target is its
     # root once 2^k exceeds the tree depth (roots are fixpoints, so
-    # overshooting composes 0-step self-loops).
+    # overshooting composes 0-step self-loops). The b-side needs only
+    # the pointer columns (project before the exchange, guide §2.3).
     for i in range(4):
-        a, b = j.alias("a"), j.alias("b")
+        a = j.alias("a")
+        b = j.select("node", "target", "steps").alias("b")
         j = a.join(b, F.col("a.target") == F.col("b.node")).select(
             F.col("a.node").alias("node"),
             F.col("b.target").alias("target"),
             (F.col("a.steps") + F.col("b.steps")).alias("steps"),
+            F.col("a.bal").alias("bal"),
         )
-    resolved = j.select(
-        "node", F.col("target").alias("root"), F.col("steps").alias("depth")
-    )
+        if i < 3:
+            j = _pin(j)
     return (
-        resolved.join(c, F.col("node") == F.col("c_custkey"))
-        .groupBy("root")
+        j.groupBy(F.col("target").alias("root"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("subtree_size"),
-            F.sum(F.col("c_acctbal").cast(N.DEC))
+            F.sum(F.col("bal").cast(N.DEC))
             .cast("double")
             .alias("subtree_balance"),
-            F.max("depth").cast("bigint").alias("max_depth"),
+            F.max("steps").cast("bigint").alias("max_depth"),
         )
     )
 

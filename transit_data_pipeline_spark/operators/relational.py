@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..catalog import dim, table
 from ..functions import numeric as N
 from ..functions.ranking import two_phase_rank
+from ._util import _pin
 from .registry import register
 
 # Revenue expression used throughout (kept textually identical on the
@@ -1094,7 +1095,6 @@ WHERE (best_orders_richer IS NULL OR best_orders_richer < n_orders)
 )
 def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    from .dedup import _pin
 
     # Pinned (r10): the per-customer spend frame feeds the per-spend
     # rollup AND the join-back — without the pin the orders-scale

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions import numeric as N
+from ._util import _pin
 from .registry import register
 
 _K = 64
@@ -597,7 +598,6 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return frame.select(u.alias("u")).distinct().orderBy("u").limit(_JC_K)
 
-    from .dedup import _pin
 
     # Pinned (r10): each KMV sketch (fact-scale md5 + distinct +
     # global top-K) feeds the union AND its membership flag join — 2
@@ -927,7 +927,6 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the query result, and a leaked persist would let a later same-
     # session invocation reuse it via the CacheManager's canonical-
     # plan lookup — cross-run result caching (r10).
-    from .dedup import _pin
 
     tok = _pin(
         d.select(

@@ -232,12 +232,15 @@ def mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _refresh(item: tuple) -> tuple:
         name, df = item
+        # try/finally so an exception can't leave the description set
+        # on a reused pool thread (ADVICE r10).
         spark.sparkContext.setJobDescription(f"mv_refresh:{name}")
-        out = os.path.join(_scratch(sf_dir, "mv"), name)
-        df.write.mode("overwrite").parquet(out)
-        n = spark.read.parquet(out).count()
-        spark.sparkContext.setJobDescription(None)
-        return (name, n)
+        try:
+            out = os.path.join(_scratch(sf_dir, "mv"), name)
+            df.write.mode("overwrite").parquet(out)
+            return (name, spark.read.parquet(out).count())
+        finally:
+            spark.sparkContext.setJobDescription(None)
 
     with ThreadPoolExecutor(max_workers=3) as pool:
         rows = list(pool.map(_refresh, views.items()))
@@ -1112,49 +1115,51 @@ FROM meet m, direct d, sizes s
 """,
 )
 def bitmap_index_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE orders pass (r11, guide §6): the old shape built each bitmap
+    # as its own filtered scan and re-executed both for the size counts
+    # plus a fifth scan for the direct predicate count — 5 `Scan
+    # parquet` of orders in the plan, a 5× scan-byte multiplier at any
+    # scale. Both bitmaps, both word counts, the shared-word count, the
+    # AND-intersection popcount AND the direct-scan certification are
+    # conditional aggregates over a single scan → per-word groupBy →
+    # one-row rollup. A word's bitmap is 0 iff no row matched that
+    # predicate in the word (1<<k is never 0), so word-presence counts
+    # come off the merged frame exactly.
     o = table(spark, sf_dir, "orders", spread=True)
-
-    def bitmap(cond):
-        return (
-            o.filter(cond)
-            .select(
-                F.expr("o_orderkey DIV 62").alias("w"),
-                F.expr(
-                    "shiftleft(CAST(1 AS BIGINT), "
-                    "CAST(o_orderkey % 62 AS INT))"
-                ).alias("bit"),
-            )
-            .groupBy("w")
-            .agg(F.bit_or("bit").alias("bits"))
+    c1 = F.col("o_orderstatus") == "F"
+    c2 = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(o_orderkey % 62 AS INT))")
+    zero = F.lit(0).cast("bigint")
+    words = (
+        o.select(
+            F.expr("o_orderkey DIV 62").alias("w"),
+            F.when(c1, bit).otherwise(zero).alias("bit1"),
+            F.when(c2, bit).otherwise(zero).alias("bit2"),
+            F.when(c1 & c2, 1).otherwise(0).alias("m"),
         )
-    b1 = bitmap(F.col("o_orderstatus") == "F")
-    b2 = bitmap(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
-    meet = (
-        b1.join(b2.withColumnsRenamed({"w": "w2", "bits": "bits2"}),
-                F.col("w") == F.col("w2"))
+        .groupBy("w")
         .agg(
-            F.sum(F.bit_count(F.expr("bits & bits2"))).alias("via_bitmap"),
-            F.count(F.lit(1)).alias("n_shared_words"),
+            F.bit_or("bit1").alias("bits"),
+            F.bit_or("bit2").alias("bits2"),
+            F.sum("m").alias("n_direct"),
         )
     )
-    direct = o.filter(
-        (F.col("o_orderstatus") == "F")
-        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    ).agg(F.count(F.lit(1)).alias("via_scan"))
-    sizes = b1.agg(F.count(F.lit(1)).alias("n_words_status")).crossJoin(
-        b2.agg(F.count(F.lit(1)).alias("n_words_priority"))
-    )
-    return (
-        meet.crossJoin(F.broadcast(direct))
-        .crossJoin(F.broadcast(sizes))
-        .select(
-            F.col("n_words_status").cast("bigint").alias("n_words_status"),
-            F.col("n_words_priority").cast("bigint").alias("n_words_priority"),
-            F.col("n_shared_words").cast("bigint").alias("n_shared_words"),
-            F.col("via_bitmap").cast("bigint").alias("matched_via_bitmap"),
-            F.col("via_scan").cast("bigint").alias("matched_direct"),
-            (F.col("via_bitmap") == F.col("via_scan")).alias("bitmap_agrees"),
-        )
+    has1 = F.col("bits") != 0
+    has2 = F.col("bits2") != 0
+    return words.agg(
+        F.count(F.when(has1, 1)).cast("bigint").alias("n_words_status"),
+        F.count(F.when(has2, 1)).cast("bigint").alias("n_words_priority"),
+        F.count(F.when(has1 & has2, 1)).cast("bigint").alias("n_shared_words"),
+        # SUM over the shared words only (no otherwise-0): an empty
+        # intersection yields NULL, matching the old join-then-SUM.
+        F.sum(F.when(has1 & has2, F.bit_count(F.expr("bits & bits2"))))
+        .cast("bigint")
+        .alias("matched_via_bitmap"),
+        F.coalesce(F.sum("n_direct"), F.lit(0))
+        .cast("bigint")
+        .alias("matched_direct"),
+    ).withColumn(
+        "bitmap_agrees", F.col("matched_via_bitmap") == F.col("matched_direct")
     )
 
 
@@ -1305,11 +1310,37 @@ def federated_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq, csv, jl = (f"{base}_parquet", f"{base}_csv", f"{base}_jsonl")
     cols = ["c_custkey", "c_nationkey", "c_acctbal"]
     sliced = c.select(*cols)
-    sliced.filter(F.col("c_custkey") % 3 == 0).write.mode("overwrite").parquet(pq)
-    sliced.filter(F.col("c_custkey") % 3 == 1).write.mode("overwrite").option(
-        "header", "true"
-    ).csv(csv)
-    sliced.filter(F.col("c_custkey") % 3 == 2).write.mode("overwrite").json(jl)
+    # The three staging writes are independent jobs over disjoint
+    # slices with disjoint targets — run them from a thread pool so
+    # each write's task tail back-fills the others (guide §2.6, the
+    # mv_refresh pattern; r11). The read-back union below only starts
+    # after all three committed.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _stage(spec: tuple) -> None:
+        rem, writer = spec
+        spark.sparkContext.setJobDescription(f"federated_stage:{rem}")
+        try:
+            writer(sliced.filter(F.col("c_custkey") % 3 == rem))
+        finally:
+            spark.sparkContext.setJobDescription(None)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(
+            pool.map(
+                _stage,
+                [
+                    (0, lambda df: df.write.mode("overwrite").parquet(pq)),
+                    (
+                        1,
+                        lambda df: df.write.mode("overwrite")
+                        .option("header", "true")
+                        .csv(csv),
+                    ),
+                    (2, lambda df: df.write.mode("overwrite").json(jl)),
+                ],
+            )
+        )
     ddl = "c_custkey bigint, c_nationkey bigint, c_acctbal double"
     u = (
         spark.read.parquet(pq)

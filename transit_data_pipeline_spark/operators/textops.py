@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions import numeric as N
+from ._util import _pin
 from .registry import register
 
 #: Stopword list for ratio features (tiny on purpose; a real pipeline
@@ -2383,90 +2384,96 @@ def rouge_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sorted_neighbors' internal consistency checkpoint already
     # materializes the range-sorted frame once for all of them (a pin
     # would also hide the range-partitioning the plan suite asserts).
-    # The gram frames (`uni`, `bi`) are likewise left unpinned: their
-    # consumers repartition on different keys each time, but pinning
-    # measured 3.4 → 4.2 s — the parallel recomputes overlap on idle
-    # cores while a checkpoint serializes, and the frames are
-    # token-scale (the biggest intermediate in the query).
+    # ONE gram frame (r11, VERDICT r10 item 7): unigrams and bigrams
+    # carry a gram-length discriminator `n` in a single exploded,
+    # PINNED frame. The old shape computed `uni` and `bi` separately
+    # and consumed each 3× (both overlap-join sides + totals) — six
+    # token-explode corpus passes per run; this is one explode pass,
+    # one (doc, n, gram) aggregate, one materialization, and the
+    # overlap join + totals serve both ROUGE orders via conditional
+    # aggregation (guide §1.2/§2.3).
     toks = d.select("doc_id", tokens_col().alias("w"))
-    uni = toks.select("doc_id", F.explode("w").alias("g")).groupBy(
-        "doc_id", "g"
-    ).agg(F.count(F.lit(1)).alias("c"))
-    bi = (
-        toks.filter(F.size("w") >= 2)
-        .select(
+    grams = _pin(
+        toks.select(
             "doc_id",
             F.explode(
-                F.arrays_zip(
-                    F.expr("slice(w, 1, size(w) - 1)").alias("g1"),
-                    F.expr("slice(w, 2, size(w) - 1)").alias("g2"),
+                F.concat(
+                    F.expr(
+                        "transform(w, x -> struct(1 as n, x as g))"
+                    ),
+                    F.expr(
+                        "CASE WHEN size(w) >= 2 THEN "
+                        "transform(sequence(0, size(w) - 2), "
+                        "i -> struct(2 as n, concat_ws(' ', w[i], w[i+1]) as g)) "
+                        "ELSE array() END"
+                    ),
                 )
-            ).alias("p"),
+            ).alias("ng"),
         )
-        .select(
-            "doc_id",
-            F.concat_ws(" ", F.col("p.g1"), F.col("p.g2")).alias("g"),
-        )
-        .groupBy("doc_id", "g")
+        .select("doc_id", F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+        .groupBy("doc_id", "n", "g")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-
-    def overlap(grams: DataFrame, tag: str) -> DataFrame:
-        ga = grams.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("g").alias("ga"),
-            F.col("c").alias("ca"),
+    ga = grams.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("na"),
+        F.col("g").alias("ga"),
+        F.col("c").alias("ca"),
+    )
+    gb = grams.select(
+        F.col("doc_id").alias("gb_id"),
+        F.col("n").alias("nb"),
+        F.col("g").alias("gb"),
+        F.col("c").alias("cb"),
+    )
+    # One candidate-restricted overlap join serves both gram orders;
+    # SUM over a WHEN with no otherwise keeps the per-order NULL
+    # semantics of the old separate joins (a pair sharing bigrams but
+    # not unigrams is impossible, the converse NULL matters).
+    ov = (
+        pairs.join(ga, "doc_a")
+        .join(
+            gb,
+            (F.col("doc_b") == F.col("gb_id"))
+            & (F.col("na") == F.col("nb"))
+            & (F.col("ga") == F.col("gb")),
         )
-        gb = grams.select(
-            F.col("doc_id").alias("gb_id"),
-            F.col("g").alias("gb"),
-            F.col("c").alias("cb"),
+        .groupBy(pairs["doc_a"].alias("u_a"), pairs["doc_b"].alias("u_b"))
+        .agg(
+            F.sum(F.when(F.col("na") == 1, F.least("ca", "cb"))).alias("ou"),
+            F.sum(F.when(F.col("na") == 2, F.least("ca", "cb"))).alias("ob"),
         )
-        return (
-            pairs.join(ga, "doc_a")
-            .join(
-                gb,
-                (F.col("doc_b") == F.col("gb_id")) & (F.col("ga") == F.col("gb")),
-            )
-            .groupBy(pairs["doc_a"].alias(f"{tag}_a"), pairs["doc_b"].alias(f"{tag}_b"))
-            .agg(F.sum(F.least("ca", "cb")).alias(f"o{tag}"))
-        )
-
-    ov1 = overlap(uni, "u")
-    ov2 = overlap(bi, "b")
-    tot1 = uni.groupBy("doc_id").agg(F.sum("c").alias("t"))
-    tot2 = bi.groupBy("doc_id").agg(F.sum("c").alias("t"))
+    )
+    # Per-doc totals for both orders off the same pinned frame — one
+    # aggregate, two join legs instead of four.
+    tot = grams.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("n") == 1, F.col("c"))).alias("t1"),
+        F.sum(F.when(F.col("n") == 2, F.col("c"))).alias("t2"),
+    )
     o1 = F.coalesce(F.col("ou"), F.lit(0)).cast("bigint")
     o2 = F.coalesce(F.col("ob"), F.lit(0)).cast("bigint")
     return (
         pairs.join(
-            ov1,
+            ov,
             (pairs["doc_a"] == F.col("u_a")) & (pairs["doc_b"] == F.col("u_b")),
             "left",
         )
         .join(
-            ov2,
-            (pairs["doc_a"] == F.col("b_a")) & (pairs["doc_b"] == F.col("b_b")),
+            tot.select(
+                F.col("doc_id").alias("ta_id"),
+                F.col("t1").alias("t1a"),
+                F.col("t2").alias("t2a"),
+            ),
+            pairs["doc_a"] == F.col("ta_id"),
             "left",
         )
         .join(
-            tot1.select(F.col("doc_id").alias("t1a_id"), F.col("t").alias("t1a")),
-            pairs["doc_a"] == F.col("t1a_id"),
-            "left",
-        )
-        .join(
-            tot1.select(F.col("doc_id").alias("t1b_id"), F.col("t").alias("t1b")),
-            pairs["doc_b"] == F.col("t1b_id"),
-            "left",
-        )
-        .join(
-            tot2.select(F.col("doc_id").alias("t2a_id"), F.col("t").alias("t2a")),
-            pairs["doc_a"] == F.col("t2a_id"),
-            "left",
-        )
-        .join(
-            tot2.select(F.col("doc_id").alias("t2b_id"), F.col("t").alias("t2b")),
-            pairs["doc_b"] == F.col("t2b_id"),
+            tot.select(
+                F.col("doc_id").alias("tb_id"),
+                F.col("t1").alias("t1b"),
+                F.col("t2").alias("t2b"),
+            ),
+            pairs["doc_b"] == F.col("tb_id"),
             "left",
         )
         .select(
