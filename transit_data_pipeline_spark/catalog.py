@@ -65,7 +65,16 @@ def table(
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if spread:
-        target = max(spark.sparkContext.defaultParallelism, 8)
+        dp = max(spark.sparkContext.defaultParallelism, 8)
+        # Scale-adaptive spread width (r11, brief §2): one task per
+        # ~4 MB of on-disk input (env SPARK_GRAFT_SPREAD_TASK_BYTES),
+        # floor 8, capped at cluster width. The old target was bare
+        # defaultParallelism — a pure core-count constant that
+        # splintered every CPU-heavy map over a sub-MB corpus into 32
+        # near-empty ~14 ms tasks locally, while still being the right
+        # answer for corpora big enough to fill the cluster (the cap
+        # preserves it: bytes/4MB >= dp whenever there is real work).
+        target = min(dp, max(8, -(-_source_bytes(sf_dir, name) // SPREAD_TASK_BYTES)))
         # Gate on the planned scan parallelism: the driver fixtures are
         # single-row-group files (one task no matter the cluster), but on
         # a real multi-file layout the scan already parallelizes and an
@@ -73,6 +82,30 @@ def table(
         if df.rdd.getNumPartitions() < target:
             df = df.repartition(target)
     return df
+
+
+#: Per-task input quantum for `spread` repartitions (bytes of on-disk
+#: parquet; the raw text behind it is ~3-5x larger).
+SPREAD_TASK_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_TASK_BYTES", 4 * 1024 * 1024)
+)
+
+
+def _source_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of one table (file or directory of part files).
+    Falls back to a huge value (=> spread to full cluster width) when
+    the path is not os-stat-able (e.g. a remote filesystem URI)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(path)
+                for f in files
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 1 << 60
 
 
 def read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
